@@ -1,0 +1,173 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.encoding.TermCols
+import graft.model._
+
+/**
+ * N-Triples / N-Quads reader and writer.
+ *
+ * The reference loads RDF through oxrdfio parsers into its quad store
+ * (/root/reference/lib/rdf-fusion/src/store.rs:477-514). Line-oriented
+ * N-Triples/N-Quads are embarrassingly parallel, so on Spark we parse inside
+ * `mapPartitions` over `spark.read.textFile` — each input split parses
+ * independently on its executor; no driver-side work, scales linearly with
+ * input size.
+ *
+ * Output schema = the quad relation (graph | subject | predicate | object),
+ * each column a PlainTerm struct, graph NULL = default graph
+ * (lib/encoding/src/quad_storage_encoding.rs:26-33).
+ */
+object NTriples {
+
+  val quadSchema: StructType = StructType(Seq(
+    StructField("graph", TermCols.schema, nullable = true),
+    StructField("subject", TermCols.schema, nullable = false),
+    StructField("predicate", TermCols.schema, nullable = false),
+    StructField("object", TermCols.schema, nullable = false)))
+
+  /** Read an N-Triples (or N-Quads when `quads=true`) file into a quads DF. */
+  def read(spark: SparkSession, path: String, quads: Boolean = false): DataFrame = {
+    val lines = spark.read.textFile(path)
+    val parsed = lines.rdd.mapPartitions { it =>
+      it.flatMap(parseLine)
+    }
+    import org.apache.spark.sql.Row
+    val rows = parsed.map { q =>
+      Row(q.graph.map(termRow).orNull, termRow(q.subject), termRow(q.predicate), termRow(q.obj))
+    }
+    spark.createDataFrame(rows, quadSchema)
+  }
+
+  private def termRow(t: RdfTerm): org.apache.spark.sql.Row = t match {
+    case Iri(v) => org.apache.spark.sql.Row(TermType.Iri, v, null, null)
+    case BNode(v) => org.apache.spark.sql.Row(TermType.BlankNode, v, null, null)
+    case Lit(v, dt, lang) =>
+      org.apache.spark.sql.Row(TermType.Literal, v,
+        if (dt == Xsd.string && lang.isEmpty) null else dt, lang.orNull)
+  }
+
+  /** Parse one N-Triples/N-Quads line → quad. Comments/blank lines → None.
+    * Malformed lines raise (strict, like the reference's parser). */
+  def parseLine(raw: String): Option[RdfQuad] = {
+    val line = raw.trim
+    if (line.isEmpty || line.startsWith("#")) return None
+    val p = new NtParser(line)
+    val s = p.term()
+    val pr = p.term() match {
+      case i: Iri => i
+      case other => throw new IllegalArgumentException(s"predicate must be IRI, got $other in: $line")
+    }
+    val o = p.term()
+    val g = p.optTerm()
+    p.expectDot()
+    Some(RdfQuad(g, s, pr, o))
+  }
+
+  /** Hand-rolled single-line scanner — no regex backtracking in the hot loop. */
+  private final class NtParser(s: String) {
+    private var i = 0
+    private def ws(): Unit = while (i < s.length && (s(i) == ' ' || s(i) == '\t')) i += 1
+
+    def term(): RdfTerm = {
+      ws()
+      optTerm().getOrElse(throw new IllegalArgumentException(s"expected term at $i in: $s"))
+    }
+
+    def optTerm(): Option[RdfTerm] = {
+      ws()
+      if (i >= s.length) return None
+      s(i) match {
+        case '<' =>
+          val e = s.indexOf('>', i)
+          val v = s.substring(i + 1, e); i = e + 1
+          Some(Iri(unescape(v)))
+        case '_' =>
+          require(i + 1 < s.length && s(i + 1) == ':', s"bad bnode at $i")
+          var j = i + 2
+          while (j < s.length && !Character.isWhitespace(s(j))) j += 1
+          val v = s.substring(i + 2, j); i = j
+          Some(BNode(v))
+        case '"' =>
+          var j = i + 1
+          val sb = new StringBuilder
+          while (s(j) != '"') {
+            if (s(j) == '\\') { sb.append(s(j)).append(s(j + 1)); j += 2 }
+            else { sb.append(s(j)); j += 1 }
+          }
+          val lex = unescape(sb.result()); i = j + 1
+          if (i < s.length && s(i) == '@') {
+            var k = i + 1
+            while (k < s.length && (s(k).isLetterOrDigit || s(k) == '-')) k += 1
+            val lang = s.substring(i + 1, k); i = k
+            Some(Lit(lex, Rdf.langString, Some(lang.toLowerCase)))
+          } else if (i + 1 < s.length && s(i) == '^' && s(i + 1) == '^') {
+            i += 2
+            require(s(i) == '<', "expected datatype IRI")
+            val e = s.indexOf('>', i)
+            val dt = s.substring(i + 1, e); i = e + 1
+            Some(Lit(lex, unescape(dt), None))
+          } else Some(Lit(lex, Xsd.string, None))
+        case '.' => None
+        case _ => throw new IllegalArgumentException(s"unexpected char '${s(i)}' at $i in: $s")
+      }
+    }
+
+    def expectDot(): Unit = {
+      ws()
+      require(i < s.length && s(i) == '.', s"expected '.' at $i in: $s")
+    }
+  }
+
+  private[graft] def unescape(v: String): String = {
+    if (v.indexOf('\\') < 0) return v
+    val sb = new StringBuilder(v.length)
+    var i = 0
+    while (i < v.length) {
+      val c = v(i)
+      if (c == '\\' && i + 1 < v.length) {
+        v(i + 1) match {
+          case 'n' => sb.append('\n'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 'b' => sb.append('\b'); i += 2
+          case 'f' => sb.append('\f'); i += 2
+          case '"' => sb.append('"'); i += 2
+          case '\'' => sb.append('\''); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case 'u' => sb.append(Integer.parseInt(v.substring(i + 2, i + 6), 16).toChar); i += 6
+          case 'U' =>
+            sb.appendAll(Character.toChars(Integer.parseInt(v.substring(i + 2, i + 10), 16))); i += 10
+          case other => sb.append(other); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.result()
+  }
+
+  // ------------------------------------------------------------------ writer
+
+  /** Serialise a quads DF to N-Quads lines (one string column), ready for
+    * `df.write.text(...)` — distributed, no driver collection
+    * (reference: Store::dump_to_writer, lib/rdf-fusion/src/store.rs:586-657). */
+  def toNQuadLines(quads: DataFrame): DataFrame = {
+    def fmt(c: Column): Column = {
+      val esc = regexp_replace(regexp_replace(regexp_replace(
+        TermCols.value(c), "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\n", "\\\\n")
+      when(TermCols.isIri(c), concat(lit("<"), TermCols.value(c), lit(">")))
+        .when(TermCols.isBlank(c), concat(lit("_:"), TermCols.value(c)))
+        .when(TermCols.langTag(c).isNotNull,
+          concat(lit("\""), esc, lit("\"@"), TermCols.langTag(c)))
+        .when(TermCols.datatypeRaw(c).isNotNull && TermCols.datatypeRaw(c) =!= Xsd.string,
+          concat(lit("\""), esc, lit("\"^^<"), TermCols.datatypeRaw(c), lit(">")))
+        .otherwise(concat(lit("\""), esc, lit("\"")))
+    }
+    // concat_ws skips NULL elements, so default-graph rows get no extra gap.
+    quads.select(concat_ws(" ",
+      fmt(col("subject")), fmt(col("predicate")), fmt(col("object")),
+      when(col("graph").isNotNull, fmt(col("graph"))),
+      lit(".")).as("value"))
+  }
+}

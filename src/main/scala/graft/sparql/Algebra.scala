@@ -1,0 +1,164 @@
+package graft.sparql
+
+import graft.model.{Iri, RdfTerm}
+
+/**
+ * SPARQL algebra — mirrors the shape of spargebra's algebra tree, which the
+ * reference parses into and rewrites from (/root/reference/lib/execution/src/
+ * sparql/algebra.rs; rewriter graph_pattern_rewriter.rs:63-236). The parser
+ * ([[SparqlParser]]) produces this; the engine rewriter
+ * ([[graft.engine.Rewriter]]) turns it into a DataFrame plan.
+ */
+object Algebra {
+
+  final case class Var(name: String) {
+    override def toString: String = "?" + name
+  }
+
+  /** A term pattern slot: variable, ground term, or blank node label (which
+    * behaves as a non-projectable variable in queries). */
+  sealed trait TermPattern
+  final case class VarPat(v: Var) extends TermPattern
+  final case class TermPat(t: RdfTerm) extends TermPattern
+  final case class BNodePat(label: String) extends TermPattern
+
+  final case class TriplePattern(s: TermPattern, p: TermPattern, o: TermPattern)
+
+  // ------------------------------------------------------------------ paths
+
+  sealed trait PropertyPath
+  final case class PathLink(iri: Iri) extends PropertyPath
+  final case class PathReverse(p: PropertyPath) extends PropertyPath
+  final case class PathSequence(a: PropertyPath, b: PropertyPath) extends PropertyPath
+  final case class PathAlternative(a: PropertyPath, b: PropertyPath) extends PropertyPath
+  final case class PathZeroOrMore(p: PropertyPath) extends PropertyPath
+  final case class PathOneOrMore(p: PropertyPath) extends PropertyPath
+  final case class PathZeroOrOne(p: PropertyPath) extends PropertyPath
+  /** Negated property set: !(iri|...|^iri|...) */
+  final case class PathNegated(forward: Seq[Iri], reverse: Seq[Iri]) extends PropertyPath
+
+  // ------------------------------------------------------------- expressions
+
+  sealed trait Expr
+  final case class ETerm(t: RdfTerm) extends Expr
+  final case class EVar(v: Var) extends Expr
+  final case class EOr(l: Expr, r: Expr) extends Expr
+  final case class EAnd(l: Expr, r: Expr) extends Expr
+  final case class ENot(e: Expr) extends Expr
+  /** op ∈ =, !=, <, <=, >, >= with SPARQL operator-mapping semantics. */
+  final case class ECmp(op: String, l: Expr, r: Expr) extends Expr
+  final case class EIn(e: Expr, list: Seq[Expr], negated: Boolean) extends Expr
+  /** op ∈ +, -, *, / with the numeric promotion ladder. */
+  final case class EArith(op: String, l: Expr, r: Expr) extends Expr
+  final case class ENeg(e: Expr) extends Expr
+  final case class EBound(v: Var) extends Expr
+  final case class EIf(c: Expr, t: Expr, f: Expr) extends Expr
+  final case class ECoalesce(args: Seq[Expr]) extends Expr
+  final case class EExists(p: GraphPattern, negated: Boolean) extends Expr
+  /** Builtin or custom (by IRI) function call. Name is upper-cased for
+    * builtins (STR, LANG, …) or the full IRI for extension functions
+    * (reference registry: lib/extensions/src/functions/name.rs:8-13). */
+  final case class ECall(name: String, args: Seq[Expr]) extends Expr
+
+  /** Aggregate expression inside GROUP BY queries. */
+  final case class Aggregate(name: String, distinct: Boolean, arg: Option[Expr],
+                             separator: Option[String] = None)
+
+  /** An aggregate call site inside an expression tree; the query-level
+    * translation hoists these into a [[Group]] node and substitutes the
+    * generated aggregate variable (mirrors spargebra's translation,
+    * reference graph_pattern_rewriter.rs:311-361). */
+  final case class EAgg(agg: Aggregate) extends Expr
+
+  // ---------------------------------------------------------------- patterns
+
+  sealed trait GraphPattern
+  final case class Bgp(patterns: Seq[TriplePattern]) extends GraphPattern
+  final case class PathPattern(s: TermPattern, path: PropertyPath, o: TermPattern) extends GraphPattern
+  final case class Join(l: GraphPattern, r: GraphPattern) extends GraphPattern
+  final case class LeftJoin(l: GraphPattern, r: GraphPattern, filter: Option[Expr]) extends GraphPattern
+  final case class Filter(expr: Expr, inner: GraphPattern) extends GraphPattern
+  final case class Union(l: GraphPattern, r: GraphPattern) extends GraphPattern
+  /** GRAPH <iri> {p} or GRAPH ?g {p} */
+  final case class GraphGraph(name: TermPattern, inner: GraphPattern) extends GraphPattern
+  final case class Extend(inner: GraphPattern, v: Var, expr: Expr) extends GraphPattern
+  final case class Minus(l: GraphPattern, r: GraphPattern) extends GraphPattern
+  final case class ValuesPattern(vars: Seq[Var], rows: Seq[Seq[Option[RdfTerm]]]) extends GraphPattern
+  final case class Group(inner: GraphPattern, keys: Seq[(Var, Option[Expr])],
+                         aggregates: Seq[(Var, Aggregate)]) extends GraphPattern
+  /** Sub-SELECT — full nested query as a pattern. */
+  final case class SubSelect(query: SelectQuery) extends GraphPattern
+
+  final case class OrderCond(expr: Expr, ascending: Boolean)
+
+  // ----------------------------------------------------------------- queries
+
+  sealed trait Query {
+    def base: Option[String]
+    def prefixes: Map[String, String]
+  }
+
+  /** Projection item: plain var or (expr AS ?var). */
+  final case class ProjItem(v: Var, expr: Option[Expr])
+
+  final case class SelectQuery(
+      projection: Seq[ProjItem],          // empty = SELECT *
+      distinct: Boolean,
+      reduced: Boolean,
+      where: GraphPattern,
+      groupBy: Seq[(Var, Option[Expr])],  // explicit GROUP BY keys
+      having: Option[Expr],
+      orderBy: Seq[OrderCond],
+      offset: Option[Long],
+      limit: Option[Long],
+      fromDefault: Seq[Iri] = Nil,
+      fromNamed: Seq[Iri] = Nil,
+      base: Option[String] = None,
+      prefixes: Map[String, String] = Map.empty) extends Query
+
+  final case class ConstructQuery(template: Seq[TriplePattern], where: GraphPattern,
+      orderBy: Seq[OrderCond], offset: Option[Long], limit: Option[Long],
+      fromDefault: Seq[Iri] = Nil, fromNamed: Seq[Iri] = Nil,
+      base: Option[String] = None, prefixes: Map[String, String] = Map.empty) extends Query
+
+  final case class AskQuery(where: GraphPattern,
+      fromDefault: Seq[Iri] = Nil, fromNamed: Seq[Iri] = Nil,
+      base: Option[String] = None, prefixes: Map[String, String] = Map.empty) extends Query
+
+  final case class DescribeQuery(targets: Seq[TermPattern], where: Option[GraphPattern],
+      fromDefault: Seq[Iri] = Nil, fromNamed: Seq[Iri] = Nil,
+      base: Option[String] = None, prefixes: Map[String, String] = Map.empty) extends Query
+
+  // ------------------------------------------------------------------ helpers
+
+  /** In-scope variables of a pattern (used for nullability bookkeeping and
+    * SELECT * expansion — reference computes the same per-node schema,
+    * lib/logical/src/patterns/mod.rs). */
+  def inScopeVars(p: GraphPattern): Seq[Var] = {
+    val buf = scala.collection.mutable.LinkedHashSet[Var]()
+    def tp(t: TermPattern): Unit = t match {
+      case VarPat(v) => buf += v
+      case BNodePat(l) => buf += Var("__bnode_" + l)
+      case _ =>
+    }
+    def walk(g: GraphPattern): Unit = g match {
+      case Bgp(ps) => ps.foreach { t => tp(t.s); tp(t.p); tp(t.o) }
+      case PathPattern(s, _, o) => tp(s); tp(o)
+      case Join(l, r) => walk(l); walk(r)
+      case LeftJoin(l, r, _) => walk(l); walk(r)
+      case Filter(_, i) => walk(i)
+      case Union(l, r) => walk(l); walk(r)
+      case GraphGraph(n, i) => tp(n); walk(i)
+      case Extend(i, v, _) => walk(i); buf += v
+      case Minus(l, _) => walk(l)
+      case ValuesPattern(vs, _) => buf ++= vs
+      case Group(i, keys, aggs) =>
+        keys.foreach { case (v, _) => buf += v }; aggs.foreach { case (v, _) => buf += v }
+        if (keys.isEmpty && aggs.isEmpty) walk(i)
+      case SubSelect(q) =>
+        if (q.projection.isEmpty) walk(q.where) else buf ++= q.projection.map(_.v)
+    }
+    walk(p)
+    buf.toSeq
+  }
+}
