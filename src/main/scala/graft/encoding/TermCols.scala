@@ -76,7 +76,14 @@ object TermCols {
 
   def fromLong(c: Column): Column = typedLit(c.cast(StringType), Xsd.integer)
   def fromDouble(c: Column): Column = typedLit(dblToLexical(c), Xsd.double)
-  def fromDecimal(c: Column): Column = typedLit(c.cast(StringType), Xsd.decimal)
+  def fromDecimal(c: Column): Column = typedLit(decToLexical(c), Xsd.decimal)
+
+  /** Decimal(36,16) → canonical lexical form: strip trailing zeros ("3.5000…0"
+    * → "3.5", "4.0000…0" → "4"). */
+  def decToLexical(c: Column): Column = {
+    val s = c.cast(StringType)
+    regexp_replace(regexp_replace(s, "(\\.\\d*?)0+$", "$1"), "\\.$", "")
+  }
 
   /** xsd:dateTime term from a native timestamp column (UTC session TZ). */
   def fromTimestamp(c: Column): Column =

@@ -1,0 +1,410 @@
+package graft.engine
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.encoding.TermCols
+import graft.encoding.TermCols._
+import graft.model._
+import graft.sparql.Algebra._
+
+/**
+ * Compiles SPARQL expressions to Catalyst column expressions over PlainTerm
+ * structs.
+ *
+ * Semantics follow the reference's function library
+ * (/root/reference/lib/functions/src/scalar/ — one file per builtin, registry
+ * lib/extensions/src/functions/builtin.rs:6-99): every function is total,
+ * errors are *values*. The reference encodes errors as the null union variant
+ * of its TypedValue encoding (lib/functions/src/scalar/dispatch/unary.rs:11-53);
+ * we adopt the same convention — error ≡ unbound ≡ NULL struct — so all
+ * expressions stay inside whole-stage codegen (no UDFs, no exceptions).
+ *
+ * EExists never reaches this compiler: the rewriter replaces it with a marker
+ * variable (see [[Rewriter]]).
+ */
+object ExprCompiler {
+
+  /** Resolve a variable name to its column; unknown variables are unbound. */
+  type Env = String => Column
+
+  def envOf(inScope: Set[String]): Env =
+    name => if (inScope(name)) col(name) else nullTerm
+
+  // ------------------------------------------------------------ entry points
+
+  /** Compile to a PlainTerm struct column. */
+  def term(e: Expr, env: Env): Column = e match {
+    case ETerm(t) => termLit(t)
+    case EVar(v) => env(v.name)
+    case EOr(l, r) => fromBoolean(ebv(l, env) || ebv(r, env))
+    case EAnd(l, r) => fromBoolean(ebv(l, env) && ebv(r, env))
+    case ENot(x) => fromBoolean(!ebv(x, env))
+    case ECmp(op, l, r) => fromBoolean(cmp(op, term(l, env), term(r, env)))
+    case EIn(x, list, neg) =>
+      val c = term(x, env)
+      val anyEq = list.map(i => cmp("=", c, term(i, env))).reduceOption(_ || _).getOrElse(lit(false))
+      fromBoolean(if (neg) !anyEq else anyEq)
+    case EArith(op, l, r) => arith(op, term(l, env), term(r, env))
+    case ENeg(x) => negate(term(x, env))
+    case EBound(v) => fromBoolean(env(v.name).isNotNull)
+    case EIf(c, t, f) =>
+      val cc = ebv(c, env)
+      when(cc, term(t, env)).when(!cc, term(f, env)).otherwise(nullTerm)
+    case ECoalesce(args) => coalesce(args.map(term(_, env)): _*)
+    case ECall(name, args) => call(name, args.map(term(_, env)), env)
+    case EExists(_, _) =>
+      throw new IllegalStateException("EXISTS must be rewritten before expression compilation")
+    case EAgg(_) =>
+      throw new IllegalStateException("aggregate must be hoisted before expression compilation")
+  }
+
+  /** Compile to a native boolean (EBV'd) — for FILTER / IF / join conditions.
+    * NULL = error (row is dropped by FILTER, matching SPARQL). */
+  def ebv(e: Expr, env: Env): Column = e match {
+    // short-circuit common boolean shapes to avoid term round-trips
+    // (the reference's EBV(BOOLEAN_AS_TERM(x)) → x simplifier,
+    //  lib/logical/src/expr/expression_simplifier.rs:259-305)
+    case EOr(l, r) => ebv(l, env) || ebv(r, env)
+    case EAnd(l, r) => ebv(l, env) && ebv(r, env)
+    case ENot(x) => !ebv(x, env)
+    case ECmp(op, l, r) => cmp(op, term(l, env), term(r, env))
+    case EBound(v) => env(v.name).isNotNull
+    case EIn(x, list, neg) =>
+      val c = term(x, env)
+      val anyEq = list.map(i => cmp("=", c, term(i, env))).reduceOption(_ || _).getOrElse(lit(false))
+      if (neg) !anyEq else anyEq
+    case other => ebvOfTerm(term(other, env))
+  }
+
+  /** SPARQL 17.2.2 Effective Boolean Value of a term
+    * (reference: lib/functions/src/builtin/native/effective_boolean_value.rs:20-60). */
+  def ebvOfTerm(c: Column): Column =
+    when(boolValue(c).isNotNull, boolValue(c))
+      .when(isNumeric(c), !isnan(numDouble(c)) && numDouble(c) =!= 0.0)
+      .when(isStringLit(c), length(value(c)) > 0)
+      .otherwise(lit(null).cast(BooleanType))
+
+  /** A ground RDF term as a literal column. */
+  def termLit(t: RdfTerm): Column = t match {
+    case Iri(v) => TermCols.iri(lit(v))
+    case BNode(v) => TermCols.bnode(lit(v))
+    case Lit(v, dt, lang) =>
+      val dtc = if (lang.isEmpty && (dt == null || dt == Xsd.string)) lit(null).cast(StringType)
+                else lit(if (lang.isDefined) Rdf.langString else dt)
+      TermCols.literal(lit(v), dtc, lang.map(l => lit(l)).getOrElse(lit(null).cast(StringType)))
+  }
+
+  // ------------------------------------------------------------- comparisons
+
+  /** SPARQL operator mapping (reference lib/functions/src/scalar/comparison/):
+    * numeric cross-type by value, strings by codepoint, booleans, dateTimes;
+    * '=' additionally term identity for IRIs/bnodes; incomparable → error. */
+  def cmp(op: String, l: Column, r: Column): Column = {
+    val bothNum = isNumeric(l) && isNumeric(r)
+    val exact = !isDoubleTyped(l) && !isDoubleTyped(r) // ints/decimals compare exactly
+    val numCmp = binOp(op,
+      when(exact, numDecimal(l)).otherwise(numDouble(l).cast(DecimalType(38, 15))),
+      when(exact, numDecimal(r)).otherwise(numDouble(r).cast(DecimalType(38, 15))))
+    val numCmpD = binOp(op, numDouble(l), numDouble(r))
+    val strCmp = binOp(op, value(l), value(r))
+    val boolCmp = binOp(op, boolValue(l), boolValue(r))
+    val tsCmp = binOp(op, tsValue(l), tsValue(r))
+    val sameKindStr = isStringLit(l) && isStringLit(r) && (langTag(l) <=> langTag(r))
+    val base =
+      when(bothNum, when(isDoubleTyped(l) || isDoubleTyped(r), numCmpD).otherwise(numCmp))
+        .when(sameKindStr, strCmp)
+        .when(boolValue(l).isNotNull && boolValue(r).isNotNull, boolCmp)
+        .when(tsValue(l).isNotNull && tsValue(r).isNotNull, tsCmp)
+    op match {
+      case "=" =>
+        base.when(termType(l).isin(0, 1) && termType(l) === termType(r), value(l) === value(r))
+          // identical unknown-type literals are equal; different unknown → error
+          .when(l === r, lit(true))
+          .otherwise(lit(null).cast(BooleanType))
+      case "!=" =>
+        !(when(bothNum, when(isDoubleTyped(l) || isDoubleTyped(r),
+            binOp("=", numDouble(l), numDouble(r))).otherwise(binOp("=", numDecimal(l), numDecimal(r))))
+          .when(sameKindStr, binOp("=", value(l), value(r)))
+          .when(boolValue(l).isNotNull && boolValue(r).isNotNull, binOp("=", boolValue(l), boolValue(r)))
+          .when(tsValue(l).isNotNull && tsValue(r).isNotNull, binOp("=", tsValue(l), tsValue(r)))
+          .when(termType(l).isin(0, 1) && termType(l) === termType(r), value(l) === value(r))
+          .when(l === r, lit(true))
+          .otherwise(lit(null).cast(BooleanType)))
+      case _ => base.otherwise(lit(null).cast(BooleanType))
+    }
+  }
+
+  private def binOp(op: String, l: Column, r: Column): Column = op match {
+    case "=" => l === r
+    case "!=" => l =!= r
+    case "<" => l < r
+    case "<=" => l <= r
+    case ">" => l > r
+    case ">=" => l >= r
+  }
+
+  // -------------------------------------------------------------- arithmetic
+
+  /** Numeric promotion ladder Integer → Decimal → Double; `/` of integers is
+    * decimal (reference lib/functions/src/scalar/numeric/{add,div,…}.rs,
+    * ladder lib/model/src/xsd/numeric.rs). Non-numeric operand → error. */
+  def arith(op: String, l: Column, r: Column): Column = {
+    val bothNum = isNumeric(l) && isNumeric(r)
+    val anyDouble = isDoubleTyped(l) || isDoubleTyped(r)
+    val anyDecimal = isDecimalTyped(l) || isDecimalTyped(r)
+    val dl = numDouble(l); val dr = numDouble(r)
+    val el = numDecimal(l); val er = numDecimal(r)
+    val dres = op match {
+      case "+" => dl + dr
+      case "-" => dl - dr
+      case "*" => dl * dr
+      case "/" => when(dr =!= 0.0, dl / dr) // double div-by-zero → INF in XPath; keep error=null for 0 denom on non-double below
+    }
+    val eres = op match {
+      case "+" => el + er
+      case "-" => el - er
+      case "*" => (el * er).cast(DecimalType(36, 16))
+      case "/" => when(er =!= 0, (el / er).cast(DecimalType(36, 16))) // div by zero → error
+    }
+    when(!bothNum, nullTerm)
+      .when(anyDouble, if (op == "/") fromDouble(dl / dr) else fromDouble(dres))
+      .when(lit(op == "/") || anyDecimal, fromDecimal(eres))
+      .otherwise(fromLong(eres.cast(LongType)))
+  }
+
+  def negate(c: Column): Column =
+    when(!isNumeric(c), nullTerm)
+      .when(isDoubleTyped(c), fromDouble(-numDouble(c)))
+      .when(isDecimalTyped(c), fromDecimal(-numDecimal(c)))
+      .otherwise(fromLong((-numDecimal(c)).cast(LongType)))
+
+  // --------------------------------------------------------------- functions
+
+  private val nullB = lit(null).cast(BooleanType)
+  private val nullS = lit(null).cast(StringType)
+
+  /** Keep the language/string-type of a source literal on a derived value
+    * (SUBSTR/UCASE/… return same kind as input, SPARQL 17.4.3). */
+  private def likeStringOf(src: Column, newVal: Column): Column =
+    TermCols.literal(newVal,
+      when(langTag(src).isNotNull, Rdf.langString).otherwise(nullS), langTag(src))
+
+  /** Argument compatibility (SPARQL 17.4.3.1): arg2 simple, or same lang. */
+  private def argCompatible(a: Column, b: Column): Column =
+    isStringLit(a) && isStringLit(b) &&
+      (langTag(b).isNull || (langTag(b) <=> langTag(a)))
+
+  def call(name: String, args: Seq[Column], env: Env): Column = {
+    def a0 = args(0); def a1 = args(1); def a2 = args(2)
+    name match {
+      // ---- term accessors / constructors (reference lib/functions/src/scalar/terms/)
+      case "STR" => when(isLiteral(a0) || isIri(a0), str(value(a0))).otherwise(nullTerm)
+      case "LANG" => when(isLiteral(a0), str(coalesce(langTag(a0), lit("")))).otherwise(nullTerm)
+      case "DATATYPE" => when(isLiteral(a0), TermCols.iri(datatype(a0))).otherwise(nullTerm)
+      case "IRI" | "URI" =>
+        when(isIri(a0), a0).when(isSimpleString(a0), TermCols.iri(value(a0))).otherwise(nullTerm)
+      case "BNODE" =>
+        if (args.isEmpty) TermCols.bnode(expr("uuid()"))
+        else when(isSimpleString(a0), TermCols.bnode(concat(lit("b"), md5(value(a0))))).otherwise(nullTerm)
+      case "STRDT" =>
+        when(isSimpleString(a0) && isIri(a1),
+          when(value(a1) === Xsd.string, str(value(a0)))
+            .otherwise(TermCols.literal(value(a0), value(a1), nullS))).otherwise(nullTerm)
+      case "STRLANG" =>
+        when(isSimpleString(a0) && isSimpleString(a1) && length(value(a1)) > 0,
+          langStr(value(a0), value(a1))).otherwise(nullTerm)
+      case "UUID" => TermCols.iri(concat(lit("urn:uuid:"), expr("uuid()")))
+      case "STRUUID" => str(expr("uuid()"))
+      case "ISIRI" | "ISURI" => fromBoolean(isIri(a0))
+      case "ISBLANK" => fromBoolean(isBlank(a0))
+      case "ISLITERAL" => fromBoolean(isLiteral(a0))
+      case "ISNUMERIC" => fromBoolean(when(a0.isNull, nullB).otherwise(isNumeric(a0)))
+      case "SAMETERM" => fromBoolean(a0 === a1)
+
+      // ---- strings (reference lib/functions/src/scalar/strings/)
+      case "STRLEN" => when(isStringLit(a0), fromLong(length(value(a0)))).otherwise(nullTerm)
+      case "SUBSTR" =>
+        val start = numDecimal(a1).cast(IntegerType)
+        val len = if (args.size > 2) numDecimal(a2).cast(IntegerType)
+                  else (length(value(a0)) - start + 1)
+        when(isStringLit(a0) && isNumeric(a1) && (if (args.size > 2) isNumeric(a2) else lit(true)),
+          likeStringOf(a0, value(a0).substr(start, len))).otherwise(nullTerm)
+      case "UCASE" => when(isStringLit(a0), likeStringOf(a0, upper(value(a0)))).otherwise(nullTerm)
+      case "LCASE" => when(isStringLit(a0), likeStringOf(a0, lower(value(a0)))).otherwise(nullTerm)
+      case "STRSTARTS" =>
+        when(argCompatible(a0, a1), fromBoolean(value(a0).startsWith(value(a1)))).otherwise(nullTerm)
+      case "STRENDS" =>
+        when(argCompatible(a0, a1), fromBoolean(value(a0).endsWith(value(a1)))).otherwise(nullTerm)
+      case "CONTAINS" =>
+        when(argCompatible(a0, a1), fromBoolean(value(a0).contains(value(a1)))).otherwise(nullTerm)
+      case "STRBEFORE" =>
+        val pos = instr(value(a0), value(a1))
+        when(argCompatible(a0, a1),
+          when(length(value(a1)) === 0, likeStringOf(a0, lit("")))
+            .when(pos > 0, likeStringOf(a0, value(a0).substr(lit(1), pos - 1)))
+            .otherwise(str(lit("")))).otherwise(nullTerm)
+      case "STRAFTER" =>
+        val pos = instr(value(a0), value(a1))
+        when(argCompatible(a0, a1),
+          when(length(value(a1)) === 0, likeStringOf(a0, value(a0)))
+            .when(pos > 0, likeStringOf(a0,
+              value(a0).substr(pos + length(value(a1)), length(value(a0)))))
+            .otherwise(str(lit("")))).otherwise(nullTerm)
+      case "ENCODE_FOR_URI" =>
+        // url_encode is form-encoding: '+' for space; SPARQL wants %20
+        when(isStringLit(a0),
+          str(regexp_replace(url_encode(value(a0)), "\\+", "%20"))).otherwise(nullTerm)
+      case "CONCAT" =>
+        if (args.isEmpty) str(lit(""))
+        else {
+          val allString = args.map(isStringLit).reduce(_ && _)
+          val sameLang = args.map(langTag).reduce((x, y) => when(x <=> y, x).otherwise(nullS))
+          val allLang = args.map(a => langTag(a).isNotNull).reduce(_ && _)
+          when(allString, TermCols.literal(concat(args.map(value): _*),
+            when(allLang && sameLang.isNotNull, Rdf.langString).otherwise(nullS),
+            when(allLang, sameLang).otherwise(nullS))).otherwise(nullTerm)
+        }
+      case "LANGMATCHES" =>
+        val tag = lower(value(a0)); val range = lower(value(a1))
+        when(isSimpleString(a0) && isSimpleString(a1),
+          fromBoolean(when(range === "*", length(tag) > 0)
+            .otherwise(tag === range || tag.startsWith(concat(range, lit("-")))))).otherwise(nullTerm)
+      case "REGEX" =>
+        val pat = if (args.size > 2) regexWithFlags(value(a1), value(a2)) else value(a1)
+        when(isStringLit(a0) && isSimpleString(a1), fromBoolean(regexp_like(value(a0), pat)))
+          .otherwise(nullTerm)
+      case "REPLACE" =>
+        val pat = if (args.size > 3) regexWithFlags(value(a1), value(args(3))) else value(a1)
+        when(isStringLit(a0) && isSimpleString(a1) && isSimpleString(a2),
+          likeStringOf(a0, regexp_replace(value(a0), pat, value(a2)))).otherwise(nullTerm)
+      case "MD5" => when(isSimpleString(a0), str(md5(value(a0)))).otherwise(nullTerm)
+      case "SHA1" => when(isSimpleString(a0), str(sha1(value(a0)))).otherwise(nullTerm)
+      case "SHA256" => when(isSimpleString(a0), str(sha2(value(a0), 256))).otherwise(nullTerm)
+      case "SHA384" => when(isSimpleString(a0), str(sha2(value(a0), 384))).otherwise(nullTerm)
+      case "SHA512" => when(isSimpleString(a0), str(sha2(value(a0), 512))).otherwise(nullTerm)
+
+      // ---- numeric (reference lib/functions/src/scalar/numeric/)
+      case "ABS" => numericUnary(a0, d => abs(d), e => abs(e))
+      case "CEIL" => numericUnary(a0, d => ceil(d).cast(DoubleType), e => ceil(e).cast(DecimalType(36, 16)))
+      case "FLOOR" => numericUnary(a0, d => floor(d).cast(DoubleType), e => floor(e).cast(DecimalType(36, 16)))
+      case "ROUND" =>
+        // XPath round: half toward +infinity (-2.5 → -2); Spark round is
+        // half away from zero, so use floor(x + 0.5)
+        numericUnary(a0, d => floor(d + 0.5).cast(DoubleType),
+          e => floor(e + lit(BigDecimal(0.5))).cast(DecimalType(36, 16)))
+      case "RAND" => fromDouble(rand())
+
+      // ---- dates & times (reference lib/functions/src/scalar/dates_and_times/)
+      // extract from the LEXICAL form: SPARQL accessors see the literal's own
+      // timezone, so converting through Spark timestamps (session-TZ
+      // normalising) would be wrong.
+      case "YEAR" => dtPart(a0, "^(-?\\d{4,})", _.cast(LongType))
+      case "MONTH" => dtPart(a0, "^-?\\d{4,}-(\\d{2})", _.cast(LongType))
+      case "DAY" => dtPart(a0, "^-?\\d{4,}-\\d{2}-(\\d{2})", _.cast(LongType))
+      case "HOURS" => dtPart(a0, "T(\\d{2})", _.cast(LongType))
+      case "MINUTES" => dtPart(a0, "T\\d{2}:(\\d{2})", _.cast(LongType))
+      case "SECONDS" =>
+        when(isDateTimeLit(a0), fromDecimal(
+          regexp_extract(value(a0), "T\\d{2}:\\d{2}:(\\d{2}(?:\\.\\d+)?)", 1)
+            .cast(DecimalType(36, 16)))).otherwise(nullTerm)
+      case "TZ" =>
+        when(isDateTimeLit(a0),
+          str(regexp_extract(value(a0), "(Z|[+-]\\d{2}:\\d{2})$", 1))).otherwise(nullTerm)
+      case "TIMEZONE" =>
+        val tz = regexp_extract(value(a0), "(Z|[+-]\\d{2}:\\d{2})$", 1)
+        val h = regexp_extract(tz, "^[+-](\\d{2})", 1).cast(IntegerType)
+        val m = regexp_extract(tz, ":(\\d{2})$", 1).cast(IntegerType)
+        val sign = when(tz.startsWith("-"), lit("-")).otherwise(lit(""))
+        val dur = when(tz === "Z" || (h === 0 && m === 0), lit("PT0S"))
+          .otherwise(concat(sign, lit("PT"),
+            when(h > 0, concat(h.cast(StringType), lit("H"))).otherwise(lit("")),
+            when(m > 0, concat(m.cast(StringType), lit("M"))).otherwise(lit(""))))
+        when(isDateTimeLit(a0) && length(tz) > 0, TermCols.typedLit(dur, Xsd.dayTimeDuration))
+          .otherwise(nullTerm)
+      case "NOW" => fromTimestamp(current_timestamp())
+
+      // ---- XSD constructor casts (reference lib/functions/src/scalar/conversion/)
+      case n if n.startsWith(XsdNs) => xsdCast(n, a0)
+
+      case other =>
+        Registry.lookup(other) match {
+          case Some(f) => f(args)
+          case None => throw new IllegalArgumentException(s"unknown function $other")
+        }
+    }
+  }
+
+  private val XsdNs = "http://www.w3.org/2001/XMLSchema#"
+
+  private def isDateTimeLit(c: Column): Column =
+    isLiteral(c) && datatypeRaw(c).isin(Xsd.dateTime, Xsd.date, Xsd.time)
+
+  private def dtPart(c: Column, re: String, f: Column => Column): Column =
+    when(isDateTimeLit(c), fromLong(f(regexp_extract(value(c), re, 1)))).otherwise(nullTerm)
+
+  private def numericUnary(c: Column, d: Column => Column, e: Column => Column): Column =
+    when(!isNumeric(c), nullTerm)
+      .when(isDoubleTyped(c), fromDouble(d(numDouble(c))))
+      .when(isDecimalTyped(c), fromDecimal(e(numDecimal(c))))
+      .otherwise(fromLong(e(numDecimal(c)).cast(LongType)))
+
+  /** XPath/XQuery regex flags s,m,i,x → Java embedded flags. */
+  private def regexWithFlags(pat: Column, flags: Column): Column =
+    when(flags.isNull || length(flags) === 0, pat)
+      .otherwise(concat(lit("(?"), flags, lit(")"), pat))
+
+  /** XPath casting rules (reference lib/functions/src/scalar/conversion/cast_*.rs):
+    * invalid lexical form → error (NULL), unlike Spark cast's silent coercions. */
+  def xsdCast(target: String, c: Column): Column = target match {
+    case t if t == Xsd.string =>
+      when(isLiteral(c) || isIri(c), str(value(c))).otherwise(nullTerm)
+    case t if t == Xsd.boolean =>
+      when(boolValue(c).isNotNull, fromBoolean(boolValue(c)))
+        .when(isNumeric(c), fromBoolean(numDouble(c) =!= 0.0))
+        .when(isSimpleString(c) && value(c).isin("true", "1"), fromBoolean(lit(true)))
+        .when(isSimpleString(c) && value(c).isin("false", "0"), fromBoolean(lit(false)))
+        .otherwise(nullTerm)
+    case t if t == Xsd.double || t == Xsd.float =>
+      val v = when(isNumeric(c) || isSimpleString(c), value(c).cast(DoubleType))
+        .when(boolValue(c).isNotNull, boolValue(c).cast(DoubleType))
+      when(v.isNotNull, TermCols.typedLit(dblLex(v), t)).otherwise(nullTerm)
+    case t if t == Xsd.decimal =>
+      val v = when(isNumeric(c) || isSimpleString(c), value(c).cast(DecimalType(36, 16)))
+        .when(boolValue(c).isNotNull, boolValue(c).cast(DecimalType(36, 16)))
+      when(v.isNotNull, fromDecimal(v)).otherwise(nullTerm)
+    case t if t == Xsd.integer || t == Xsd.int || t == Xsd.long =>
+      // "1.5" → error; "1"/bool/int-valued numerics fine; double 1.9 truncates per XPath
+      val fromStr = when(value(c).rlike("^[+-]?\\d+$"), value(c).cast(LongType))
+      val v = when(isSimpleString(c), fromStr)
+        .when(isNumeric(c), numDecimal(c).cast(LongType))
+        .when(boolValue(c).isNotNull, boolValue(c).cast(LongType))
+      when(v.isNotNull, fromLong(v)).otherwise(nullTerm)
+    case t if t == Xsd.dateTime =>
+      when(tsValue(c).isNotNull && datatypeRaw(c) === Xsd.dateTime, c)
+        .when(isSimpleString(c) && to_timestamp(value(c)).isNotNull, TermCols.typedLit(value(c), Xsd.dateTime))
+        .when(datatypeRaw(c) === Xsd.date, TermCols.typedLit(concat(value(c), lit("T00:00:00")), Xsd.dateTime))
+        .otherwise(nullTerm)
+    case t if t == Xsd.date =>
+      when(datatypeRaw(c) === Xsd.date, c)
+        .when(datatypeRaw(c) === Xsd.dateTime, TermCols.typedLit(substring(value(c), 1, 10), Xsd.date))
+        .when(isSimpleString(c) && value(c).rlike("^-?\\d{4,}-\\d{2}-\\d{2}"), TermCols.typedLit(value(c), Xsd.date))
+        .otherwise(nullTerm)
+    case other =>
+      // unknown cast IRI: treat as extension-typed literal constructor
+      when(isLiteral(c), TermCols.literal(value(c), lit(other), nullS)).otherwise(nullTerm)
+  }
+
+  private def dblLex(d: Column): Column = {
+    when(d === d.cast(LongType).cast(DoubleType) && abs(d) < 1e15,
+      d.cast(LongType).cast(StringType)).otherwise(d.cast(StringType))
+  }
+
+  /** Custom function registry by IRI (reference
+    * lib/extensions/src/functions/registry.rs + name.rs:8-13). */
+  object Registry {
+    private var fns = Map.empty[String, Seq[Column] => Column]
+    def register(iri: String, f: Seq[Column] => Column): Unit = synchronized { fns += (iri -> f) }
+    def lookup(iri: String): Option[Seq[Column] => Column] = fns.get(iri)
+  }
+}

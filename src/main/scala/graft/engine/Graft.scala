@@ -1,0 +1,127 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.encoding.TermCols
+import graft.model._
+import graft.sparql.{Algebra, SparqlParser}
+import graft.sparql.Algebra._
+
+/**
+ * Public query facade over a quads DataFrame — the Spark counterpart of the
+ * reference's `Store` (/root/reference/lib/rdf-fusion/src/store.rs:171-235)
+ * with query evaluation per lib/execution/src/sparql/eval.rs:24-133.
+ *
+ * Construction is cheap; `Graft(quads)` wraps any DataFrame with the quad
+ * schema (graph | subject | predicate | object as PlainTerm structs).
+ */
+final class Graft(val quads: DataFrame) {
+  private val spark: SparkSession = quads.sparkSession
+
+  /** SELECT → DataFrame of PlainTerm structs, one column per variable. */
+  def select(text: String): DataFrame = SparqlParser.parse(text) match {
+    case q: SelectQuery => new Rewriter(spark, quads).select(q, defaultScope(q.fromDefault)).df
+    case other => throw new IllegalArgumentException(s"not a SELECT query: ${other.getClass.getSimpleName}")
+  }
+
+  /** Any query form, dispatched. */
+  def query(text: String): DataFrame = SparqlParser.parse(text) match {
+    case q: SelectQuery => new Rewriter(spark, quads).select(q, defaultScope(q.fromDefault)).df
+    case q: AskQuery => ask(q)
+    case q: ConstructQuery => construct(q)
+    case q: DescribeQuery => describe(q)
+  }
+
+  def askBoolean(text: String): Boolean = SparqlParser.parse(text) match {
+    case q: AskQuery => !new Rewriter(spark, quads).pattern(q.where, defaultScope(q.fromDefault)).df.isEmpty
+    case other => throw new IllegalArgumentException(s"not an ASK query: $other")
+  }
+
+  private def defaultScope(from: Seq[Iri]): GraphScope =
+    if (from.nonEmpty) GraphScope.UnionOf(from.map(_.value)) else GraphScope.DefaultGraph
+
+  /** ASK → single row, single boolean column (reference eval.rs:73-86). */
+  private def ask(q: AskQuery): DataFrame = {
+    val p = new Rewriter(spark, quads).pattern(q.where, defaultScope(q.fromDefault))
+    p.df.limit(1).select(lit(1).as("one")).groupBy().count()
+      .select((col("count") > 0).as("ask"))
+  }
+
+  /**
+   * CONSTRUCT: instantiate the template per solution, union templates, drop
+   * incomplete/illegal triples, dedup (reference QueryTripleStream,
+   * lib/execution/src/results/triples.rs; template application eval.rs:54-72).
+   * Template blank nodes are scoped per-solution via a row id.
+   */
+  private def construct(q: ConstructQuery): DataFrame = {
+    val rewriter = new Rewriter(spark, quads)
+    val plan = rewriter.select(
+      SelectQuery(Nil, distinct = false, reduced = false, q.where, Nil, None,
+        q.orderBy, q.offset, q.limit, q.fromDefault, q.fromNamed, q.base, q.prefixes),
+      defaultScope(q.fromDefault))
+    val df = plan.df.withColumn("__row", monotonically_increasing_id())
+    val inScope = plan.vars.toSet
+    def slot(tp: TermPattern): Column = tp match {
+      case VarPat(v) => if (inScope(v.name)) col(v.name) else TermCols.nullTerm
+      case TermPat(t) => ExprCompiler.termLit(t)
+      case BNodePat(l) =>
+        TermCols.bnode(concat(lit(l + "_"), col("__row").cast(StringType)))
+    }
+    val parts = q.template.map { t =>
+      df.select(slot(t.s).as("subject"), slot(t.p).as("predicate"), slot(t.o).as("object"))
+    }
+    val all = parts.reduce(_ unionAll _)
+    all.filter(col("subject").isNotNull && col("predicate").isNotNull && col("object").isNotNull &&
+        col("subject.t") =!= TermType.Literal && col("predicate.t") === TermType.Iri)
+      .dropDuplicates()
+  }
+
+  /** DESCRIBE: outgoing triples of all matched target terms
+    * (reference eval.rs:87-131 star-expands; we emit the standard
+    * outgoing-edge description). */
+  private def describe(q: DescribeQuery): DataFrame = {
+    val rewriter = new Rewriter(spark, quads)
+    val targets: DataFrame = q.where match {
+      case Some(w) =>
+        val p = rewriter.pattern(w, defaultScope(q.fromDefault))
+        val cols = q.targets.collect { case VarPat(v) if p.vars.contains(v.name) => col(v.name) }
+        if (cols.isEmpty) throw new IllegalArgumentException("DESCRIBE vars not in WHERE")
+        cols.map(c => p.df.select(c.as("node"))).reduce(_ unionAll _).dropDuplicates()
+      case None =>
+        val iris = q.targets.collect { case TermPat(t) => t }
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(iris.map(t => org.apache.spark.sql.Row(termRowOf(t))), 1),
+          StructType(Seq(StructField("node", TermCols.schema))))
+    }
+    quads.filter(col("graph").isNull)
+      .join(targets.hint("broadcast"), col("subject") === col("node"))
+      .select(col("subject"), col("predicate"), col("object"))
+      .dropDuplicates()
+  }
+
+  private def termRowOf(t: RdfTerm): org.apache.spark.sql.Row = t match {
+    case Iri(v) => org.apache.spark.sql.Row(TermType.Iri, v, null, null)
+    case BNode(v) => org.apache.spark.sql.Row(TermType.BlankNode, v, null, null)
+    case Lit(v, dt, lang) => org.apache.spark.sql.Row(TermType.Literal, v,
+      if (dt == Xsd.string && lang.isEmpty) null else dt, lang.orNull)
+  }
+}
+
+object Graft {
+  def apply(quads: DataFrame): Graft = new Graft(quads)
+
+  /** Decode a PlainTerm-struct result to flat lexical columns (for display
+    * and for DuckDB-oracle comparison): each column becomes its term's
+    * lexical value as STRING, or a native type when `types` provides one. */
+  def decode(df: DataFrame, types: Map[String, DataType] = Map.empty): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      val v = TermCols.value(col(f.name))
+      types.get(f.name) match {
+        case Some(dt) => v.cast(dt).as(f.name)
+        case None => v.as(f.name)
+      }
+    }
+    df.select(cols.toSeq: _*)
+  }
+}

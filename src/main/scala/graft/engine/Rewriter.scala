@@ -1,0 +1,558 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.encoding.TermCols
+import graft.model._
+import graft.sparql.Algebra._
+
+/**
+ * SPARQL algebra → DataFrame rewriter.
+ *
+ * Mirrors the walk of the reference's GraphPatternRewriter
+ * (/root/reference/lib/execution/src/sparql/rewriting/graph_pattern_rewriter.rs:63-236)
+ * but emits Catalyst plans *directly* in lowered form — the reference keeps
+ * custom logical nodes only so DataFusion's rules can see schemas before
+ * lowering (join/rewrite.rs:15-26); we track per-variable nullability in
+ * [[SPlan]] during the walk instead, so the fast equi-join path fires without
+ * a separate rule pass.
+ *
+ * Scale notes: every BGP join is a plain equi-join on term-struct columns
+ * (hash-partitionable, broadcast-able, AQE-eligible); the compat fallback
+ * (nullable shared vars) only triggers where SPARQL semantics require it.
+ * Pattern filters are field-level predicates (`subject.v = …`) so parquet
+ * row-group pruning and pushdown apply.
+ */
+final class Rewriter(spark: SparkSession, quads: DataFrame) {
+
+  import GraphScope._
+
+  private var counter = 0
+  private def fresh(p: String): String = { counter += 1; s"__${p}_$counter" }
+
+  // ================================================================ patterns
+
+  def pattern(p: GraphPattern, scope: GraphScope): SPlan = p match {
+    case Bgp(Nil) => unitPlan
+    case Bgp(ps) => ps.map(scanTriple(_, scope)).reduce(join(_, _, "inner", None, scope))
+    case PathPattern(s, path, o) => pathPattern(s, path, o, scope)
+    case Join(l, r) => join(pattern(l, scope), pattern(r, scope), "inner", None, scope)
+    case LeftJoin(l, r, f) => join(pattern(l, scope), pattern(r, scope), "left", f, scope)
+    case Filter(e, i) => filterPlan(pattern(i, scope), e, scope)
+    case Union(l, r) => union(pattern(l, scope), pattern(r, scope))
+    case Extend(i, v, e) =>
+      val in = pattern(i, scope)
+      val (expr2, plan2) = rewriteExists(e, in, scope)
+      val env = ExprCompiler.envOf(plan2.vars.toSet)
+      SPlan(plan2.df.withColumn(v.name, ExprCompiler.term(expr2, env)),
+        in.vars :+ v.name, in.maybeUnbound + v.name)
+    case Minus(l, r) => minus(pattern(l, scope), pattern(r, scope))
+    case ValuesPattern(vars, rows) => values(vars, rows)
+    case GraphGraph(name, inner) => name match {
+      case TermPat(Iri(iri)) => pattern(inner, Named(iri))
+      case TermPat(t) => throw new IllegalArgumentException(s"GRAPH needs an IRI or variable, got $t")
+      case VarPat(v) => pattern(inner, NamedVar(v.name))
+      case BNodePat(l) => pattern(inner, NamedVar("__bnode_" + l))
+    }
+    case Group(inner, keys, aggs) => group(pattern(inner, scope), keys, aggs, scope)
+    case SubSelect(q) => select(q, scope)
+  }
+
+  /** Single-row zero-variable relation — the join identity
+    * (reference lib/logical/src/logical_plan_builder_context.rs:161-170). */
+  private def unitPlan: SPlan = SPlan(spark.range(1).select(), Nil, Set.empty)
+
+  // ---------------------------------------------------------------- scanning
+
+  /** Quads scoped to the active graph: returns (df, graphVar bound?). */
+  private def scopedQuads(scope: GraphScope): (DataFrame, Option[String]) = scope match {
+    case DefaultGraph => (quads.filter(col("graph").isNull), None)
+    case Named(iri) =>
+      (quads.filter(col("graph.t") === TermType.Iri && col("graph.v") === iri), None)
+    case NamedVar(v) => (quads.filter(col("graph").isNotNull), Some(v))
+    case UnionOf(iris) =>
+      // FROM merge semantics: triples from any listed graph, deduplicated
+      (quads.filter(col("graph.t") === TermType.Iri && col("graph.v").isin(iris: _*))
+        .select(col("subject"), col("predicate"), col("object")).dropDuplicates()
+        .withColumn("graph", TermCols.nullTerm), None)
+  }
+
+  /** Field-level equality predicate for a bound term in a pattern slot —
+    * stays pushdown-friendly (subject.v = '…' reaches the parquet scan). */
+  private def termFilter(c: Column, t: RdfTerm): Column = t match {
+    case Iri(v) => c.getField("t") === TermType.Iri && c.getField("v") === v
+    case BNode(v) => c.getField("t") === TermType.BlankNode && c.getField("v") === v
+    case Lit(v, dt, lang) =>
+      val dtCanon = if (lang.isEmpty && (dt == null || dt == Xsd.string)) null
+                    else if (lang.isDefined) Rdf.langString else dt
+      c.getField("t") === TermType.Literal && c.getField("v") === v &&
+        c.getField("dt") <=> lit(dtCanon) && c.getField("lang") <=> lit(lang.orNull)
+  }
+
+  private def varName(tp: TermPattern): Option[String] = tp match {
+    case VarPat(v) => Some(v.name)
+    case BNodePat(l) => Some("__bnode_" + l)
+    case TermPat(_) => None
+  }
+
+  /** One triple pattern → filters + projection
+    * (reference lib/logical/src/patterns/rewrite.rs:29-196). */
+  private def scanTriple(tp: TriplePattern, scope: GraphScope): SPlan = {
+    val (df0, gvar) = scopedQuads(scope)
+    val slots = Seq("subject" -> tp.s, "predicate" -> tp.p, "object" -> tp.o)
+    var df = df0
+    // bound terms → field-level filters
+    slots.foreach { case (c, pat) =>
+      pat match {
+        case TermPat(t) => df = df.filter(termFilter(col(c), t))
+        case _ =>
+      }
+    }
+    // repeated variables (?a ?a ?b) → sameTerm filters
+    val varSlots: Seq[(String, String)] =
+      slots.flatMap { case (c, pat) => varName(pat).map(v => v -> c) } ++
+        gvar.map(v => v -> "graph")
+    varSlots.groupBy(_._1).foreach { case (_, occ) =>
+      occ.map(_._2).sliding(2).foreach {
+        case Seq(c1, c2) => df = df.filter(col(c1) === col(c2))
+        case _ =>
+      }
+    }
+    val outVars = varSlots.map(_._1).distinct
+    val proj = varSlots.groupBy(_._1).view.mapValues(_.head._2).toMap
+    SPlan(df.select(outVars.map(v => col(proj(v)).as(v)): _*), outVars, Set.empty)
+  }
+
+  // ------------------------------------------------------------------- joins
+
+  /** SPARQL join (reference SparqlJoinLoweringRule,
+    * lib/logical/src/join/rewrite.rs:23-361): equi-join when every shared
+    * variable is definitely bound on both sides, compat join otherwise. */
+  private def join(l: SPlan, r: SPlan, joinType: String, filter: Option[Expr],
+                   scope: GraphScope): SPlan = {
+    val shared = l.vars.filter(r.vars.contains(_))
+    val rOnly = r.vars.filterNot(shared.contains)
+    val outVars = l.vars ++ rOnly
+
+    val needCompat = shared.exists(v => l.isNullable(v) || r.isNullable(v))
+
+    if (shared.isEmpty && filter.isEmpty) {
+      val df = if (joinType == "inner") l.df.crossJoin(r.df)
+               else l.df.join(r.df, lit(true), "left")
+      val mu = l.maybeUnbound ++ (if (joinType == "left") r.vars.toSet else r.maybeUnbound)
+      return SPlan(df, outVars, mu)
+    }
+
+    if (!needCompat && filter.isEmpty) {
+      // fast path: plain equi-join; Catalyst picks broadcast/SMJ/shuffle-hash
+      val df = l.df.join(r.df, shared, joinType)
+      val mu0 = l.maybeUnbound ++ r.maybeUnbound -- shared
+      val mu = if (joinType == "left") mu0 ++ rOnly else mu0
+      return SPlan(df, outVars, mu)
+    }
+
+    // general path: explicit condition (compat per shared var + LeftJoin filter
+    // inside the condition, SPARQL semantics), then coalesce shared columns
+    val rr = r.df.select(r.vars.map(v => col(v).as("__r_" + v)): _*)
+    val compat = shared.map { v =>
+      if (!l.isNullable(v) && !r.isNullable(v)) col(v) === col("__r_" + v)
+      else TermCols.isCompatible(col(v), col("__r_" + v))
+    }
+    val filterCond = filter.map { f =>
+      val env: ExprCompiler.Env = name =>
+        if (shared.contains(name)) coalesce(col(name), col("__r_" + name))
+        else if (l.vars.contains(name)) col(name)
+        else if (r.vars.contains(name)) col("__r_" + name)
+        else TermCols.nullTerm
+      ExprCompiler.ebv(f, env)
+    }
+    val cond = (compat ++ filterCond).reduceOption(_ && _).getOrElse(lit(true))
+    val joined = l.df.join(rr, cond, joinType)
+    val out = outVars.map { v =>
+      if (shared.contains(v)) coalesce(col(v), col("__r_" + v)).as(v)
+      else if (l.vars.contains(v)) col(v)
+      else col("__r_" + v).as(v)
+    }
+    val muShared = shared.filter(v =>
+      if (joinType == "left") l.isNullable(v)
+      else l.isNullable(v) && r.isNullable(v)).toSet
+    val mu = (l.maybeUnbound -- shared) ++ muShared ++
+      (if (joinType == "left") rOnly.toSet
+       else r.maybeUnbound.filter(rOnly.contains))
+    SPlan(joined.select(out: _*), outVars, mu)
+  }
+
+  /** MINUS (reference lib/logical/src/minus/rewrite.rs:51-136): anti join on
+    * compat over shared vars, requiring ≥1 shared var bound on both sides;
+    * no shared vars → left unchanged. */
+  private def minus(l: SPlan, r: SPlan): SPlan = {
+    val shared = l.vars.filter(r.vars.contains(_))
+    if (shared.isEmpty) return l
+    val rr = r.df.select(shared.map(v => col(v).as("__r_" + v)): _*)
+    val compat = shared.map(v => TermCols.isCompatible(col(v), col("__r_" + v)))
+    val anyBoth = shared.map(v => col(v).isNotNull && col("__r_" + v).isNotNull)
+    val cond = compat.reduce(_ && _) && anyBoth.reduce(_ || _)
+    SPlan(l.df.join(rr, cond, "left_anti"), l.vars, l.maybeUnbound)
+  }
+
+  /** SPARQL UNION = bag union with null-padding of missing vars
+    * (reference logical_plan_builder.rs:364-439). */
+  private def union(l: SPlan, r: SPlan): SPlan = {
+    val outVars = (l.vars ++ r.vars).distinct
+    def pad(p: SPlan) = p.df.select(outVars.map(v =>
+      if (p.vars.contains(v)) col(v) else TermCols.nullTerm.as(v)): _*)
+    val mu = l.maybeUnbound ++ r.maybeUnbound ++
+      outVars.filter(v => !l.vars.contains(v) || !r.vars.contains(v))
+    SPlan(pad(l).unionAll(pad(r)), outVars, mu)
+  }
+
+  private def values(vars: Seq[Var], rows: Seq[Seq[Option[RdfTerm]]]): SPlan = {
+    val schema = StructType(vars.map(v => StructField(v.name, TermCols.schema, nullable = true)))
+    val data = rows.map(r => Row(r.map(_.map(termRow).orNull): _*))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(data, 1), schema)
+    val mu = vars.zipWithIndex.filter { case (_, i) => rows.exists(r => r(i).isEmpty) }
+      .map(_._1.name).toSet
+    SPlan(df, vars.map(_.name), mu)
+  }
+
+  private def termRow(t: RdfTerm): Row = t match {
+    case Iri(v) => Row(TermType.Iri, v, null, null)
+    case BNode(v) => Row(TermType.BlankNode, v, null, null)
+    case Lit(v, dt, lang) =>
+      Row(TermType.Literal, v,
+        if (dt == Xsd.string && lang.isEmpty) null
+        else if (lang.isDefined) Rdf.langString else dt,
+        lang.orNull)
+  }
+
+  // ------------------------------------------------------------------ filter
+
+  private def filterPlan(in: SPlan, e: Expr, scope: GraphScope): SPlan = {
+    // whole-filter EXISTS / NOT EXISTS → semi/anti join (the decorrelated
+    // form the reference gets from DecorrelatePredicateSubquery,
+    // lib/execution/src/sparql/optimizer.rs:77-84)
+    e match {
+      case EExists(p, neg) => return existsJoin(in, p, neg, scope)
+      case ENot(EExists(p, neg)) => return existsJoin(in, p, !neg, scope)
+      case _ =>
+    }
+    val (e2, plan2) = rewriteExists(e, in, scope)
+    val env = ExprCompiler.envOf(plan2.vars.toSet)
+    val filtered = plan2.df.filter(ExprCompiler.ebv(e2, env))
+    // drop any EXISTS marker columns again
+    val df = if (plan2.vars == in.vars) filtered else filtered.select(in.vars.map(col): _*)
+    SPlan(df, in.vars, in.maybeUnbound)
+  }
+
+  private def existsJoin(in: SPlan, p: GraphPattern, negated: Boolean, scope: GraphScope): SPlan = {
+    val inner = pattern(p, scope)
+    val shared = in.vars.filter(inner.vars.contains(_))
+    val jt = if (negated) "left_anti" else "left_semi"
+    if (shared.isEmpty) {
+      val df = in.df.join(inner.df.limit(1), lit(true), jt)
+      return SPlan(df, in.vars, in.maybeUnbound)
+    }
+    val rr = inner.df.select(shared.map(v => col(v).as("__r_" + v)): _*)
+    val cond = shared.map { v =>
+      if (!in.isNullable(v) && !inner.isNullable(v)) col(v) === col("__r_" + v)
+      else TermCols.isCompatible(col(v), col("__r_" + v))
+    }.reduce(_ && _)
+    SPlan(in.df.join(rr, cond, jt), in.vars, in.maybeUnbound)
+  }
+
+  /** Replace nested EXISTS subexpressions with a boolean marker variable
+    * computed via an outer join + group-back (exact under multi-matches). */
+  private def rewriteExists(e: Expr, in: SPlan, scope: GraphScope): (Expr, SPlan) = {
+    var plan = in
+    def walk(x: Expr): Expr = x match {
+      case EExists(p, neg) =>
+        val m = fresh("exists")
+        plan = existsMarker(plan, p, m, scope)
+        if (neg) ENot(EVar(Var(m))) else EVar(Var(m))
+      case EOr(l, r) => EOr(walk(l), walk(r))
+      case EAnd(l, r) => EAnd(walk(l), walk(r))
+      case ENot(i) => ENot(walk(i))
+      case ECmp(op, l, r) => ECmp(op, walk(l), walk(r))
+      case EIn(i, list, n) => EIn(walk(i), list.map(walk), n)
+      case EArith(op, l, r) => EArith(op, walk(l), walk(r))
+      case ENeg(i) => ENeg(walk(i))
+      case EIf(c, t, f) => EIf(walk(c), walk(t), walk(f))
+      case ECoalesce(args) => ECoalesce(args.map(walk))
+      case ECall(n, args) => ECall(n, args.map(walk))
+      case other => other
+    }
+    val e2 = walk(e)
+    (e2, plan)
+  }
+
+  private def existsMarker(in: SPlan, p: GraphPattern, marker: String, scope: GraphScope): SPlan = {
+    val inner = pattern(p, scope)
+    val shared = in.vars.filter(inner.vars.contains(_))
+    if (shared.isEmpty) {
+      val flag = !inner.df.isEmpty
+      return SPlan(in.df.withColumn(marker, ExprCompiler.termLit(Lit.boolean(flag))),
+        in.vars :+ marker, in.maybeUnbound)
+    }
+    val rr = inner.df.select(shared.map(v => col(v).as("__r_" + v)): _*)
+      .dropDuplicates().withColumn("__m", lit(true))
+    val cond = shared.map { v =>
+      if (!in.isNullable(v) && !inner.isNullable(v)) col(v) === col("__r_" + v)
+      else TermCols.isCompatible(col(v), col("__r_" + v))
+    }.reduce(_ && _)
+    val id = "__rowid_" + marker
+    val joined = in.df.withColumn(id, monotonically_increasing_id()).join(rr, cond, "left")
+    val aggExprs = in.vars.map(v => first(col(v)).as(v)) :+
+      TermCols.fromBoolean(coalesce(max(col("__m")), lit(false))).as(marker)
+    val agg = joined.groupBy(col(id))
+      .agg(aggExprs.head, aggExprs.tail: _*)
+      .drop(id)
+    SPlan(agg, in.vars :+ marker, in.maybeUnbound)
+  }
+
+  // ------------------------------------------------------------- aggregation
+
+  /** GROUP BY: keys grouped on PlainTerm structs (term identity — matching
+    * the reference's forced PlainTerm/ObjectId key encoding,
+    * lib/logical/src/logical_plan_builder.rs:235-263); aggregates follow the
+    * reference's Accumulators (lib/functions/src/aggregates/). Partial
+    * aggregation (map-side combine) applies — all are built-in aggregates. */
+  private def group(in: SPlan, keys: Seq[(Var, Option[Expr])],
+                    aggs: Seq[(Var, Aggregate)], scope: GraphScope): SPlan = {
+    var df = in.df
+    val env = ExprCompiler.envOf(in.vars.toSet)
+    // computed keys
+    keys.foreach {
+      case (v, Some(e)) => df = df.withColumn(v.name, ExprCompiler.term(e, env))
+      case _ =>
+    }
+    // aggregate inputs
+    val argCols: Map[String, String] = aggs.collect {
+      case (v, Aggregate(_, _, Some(arg), _)) =>
+        val c = fresh("aggin")
+        df = df.withColumn(c, ExprCompiler.term(arg, env))
+        v.name -> c
+    }.toMap
+
+    val keyNames = keys.map(_._1.name)
+    val mu = keys.collect {
+      case (v, Some(_)) => v.name                       // computed key may error → NULL
+      case (v, None) if in.isNullable(v.name) => v.name
+    }.toSet ++ aggs.collect { case (v, a) if a.name != "COUNT" => v.name }
+    if (aggs.isEmpty)
+      return SPlan(df.select(keyNames.map(col): _*).dropDuplicates(), keyNames, mu)
+    val aggExprs: Seq[Column] = aggs.flatMap { case (v, a) => aggCols(v.name, a, argCols.get(v.name)) }
+    val grouped = df.groupBy(keyNames.map(col): _*).agg(aggExprs.head, aggExprs.tail: _*)
+    // final projection turns raw aggregate buffers into terms
+    val finals = keyNames.map(col) ++ aggs.map { case (v, a) => aggFinal(v.name, a).as(v.name) }
+    val out = grouped.select(finals: _*)
+    SPlan(out, keyNames ++ aggs.map(_._1.name), mu)
+  }
+
+  /** Raw aggregate buffer columns for one SPARQL aggregate. */
+  private def aggCols(out: String, a: Aggregate, argCol: Option[String]): Seq[Column] = {
+    import TermCols._
+    val in = argCol.map(col)
+    a.name match {
+      case "COUNT" =>
+        val c = in match {
+          case None => count(lit(1))
+          case Some(x) => if (a.distinct) count_distinct(x) else count(x)
+        }
+        Seq(c.as(s"__${out}_cnt"))
+      case "SUM" | "AVG" =>
+        val x = in.get
+        val dec = if (a.distinct) sum_distinct(numDecimal(x)) else sum(numDecimal(x))
+        val dbl = if (a.distinct) sum_distinct(numDouble(x)) else sum(numDouble(x))
+        val cntNum = sum(when(isNumeric(x), 1L).otherwise(0L))
+        Seq(dec.as(s"__${out}_dec"), dbl.as(s"__${out}_dbl"),
+          max(when(x.isNotNull && !isNumeric(x), 1).otherwise(0)).as(s"__${out}_bad"),
+          max(when(isDoubleTyped(x), 1).otherwise(0)).as(s"__${out}_anydbl"),
+          max(when(isDecimalTyped(x), 1).otherwise(0)).as(s"__${out}_anydec"),
+          cntNum.as(s"__${out}_n"))
+      case "MIN" =>
+        Seq(min(when(col(argCol.get).isNotNull, struct(sortKey(col(argCol.get)).as("k"),
+          col(argCol.get).as("t")))).as(s"__${out}_mm"))
+      case "MAX" =>
+        Seq(max(when(col(argCol.get).isNotNull, struct(sortKey(col(argCol.get)).as("k"),
+          col(argCol.get).as("t")))).as(s"__${out}_mm"))
+      case "SAMPLE" => Seq(first(col(argCol.get), ignoreNulls = true).as(s"__${out}_s"))
+      case "GROUP_CONCAT" =>
+        val x = col(argCol.get)
+        val s = when(isLiteral(x) || isIri(x), value(x))
+        val lst = if (a.distinct) collect_set(s) else collect_list(s)
+        Seq(lst.as(s"__${out}_lst"),
+          max(when(x.isNotNull && s.isNull, 1).otherwise(0)).as(s"__${out}_bad"))
+      case other => throw new IllegalArgumentException(s"unknown aggregate $other")
+    }
+  }
+
+  /** Buffer columns → final PlainTerm result (the reference's
+    * evaluate + int64→term cast, graph_pattern_rewriter.rs:367-404). */
+  private def aggFinal(out: String, a: Aggregate): Column = {
+    import TermCols._
+    a.name match {
+      case "COUNT" => fromLong(col(s"__${out}_cnt"))
+      case "SUM" =>
+        when(col(s"__${out}_bad") === 1, nullTerm)
+          .when(col(s"__${out}_anydbl") === 1, fromDouble(col(s"__${out}_dbl")))
+          .when(col(s"__${out}_anydec") === 1, fromDecimal(col(s"__${out}_dec")))
+          .otherwise(fromLong(coalesce(col(s"__${out}_dec").cast(LongType), lit(0L))))
+      case "AVG" =>
+        val n = col(s"__${out}_n")
+        when(col(s"__${out}_bad") === 1, nullTerm)
+          .when(n === 0, fromLong(lit(0L)))
+          .when(col(s"__${out}_anydbl") === 1, fromDouble(col(s"__${out}_dbl") / n))
+          .otherwise(fromDecimal((col(s"__${out}_dec") / n).cast(DecimalType(36, 16))))
+      case "MIN" | "MAX" => col(s"__${out}_mm").getField("t")
+      case "SAMPLE" => col(s"__${out}_s")
+      case "GROUP_CONCAT" =>
+        when(col(s"__${out}_bad") === 1, nullTerm)
+          .otherwise(str(concat_ws(a.separator.getOrElse(" "), col(s"__${out}_lst"))))
+    }
+  }
+
+  // ------------------------------------------------------------------- paths
+
+  /** Property-path pattern → (src, tgt) endpoints bound like a triple scan
+    * (reference PropertyPathLoweringRule, paths/path_node/rewrite.rs:57-371). */
+  private def pathPattern(s: TermPattern, path: PropertyPath, o: TermPattern,
+                          scope: GraphScope): SPlan = {
+    val (df0, gvar) = scopedQuads(scope)
+    val paths = pathDF(path, df0) // columns: g, src, tgt
+    var df = paths
+    s match { case TermPat(t) => df = df.filter(termFilter(col("src"), t)); case _ => }
+    o match { case TermPat(t) => df = df.filter(termFilter(col("tgt"), t)); case _ => }
+    val slots = Seq(varName(s) -> "src", varName(o) -> "tgt").collect { case (Some(v), c) => v -> c } ++
+      gvar.map(_ -> "g")
+    slots.groupBy(_._1).foreach { case (_, occ) =>
+      occ.map(_._2).sliding(2).foreach {
+        case Seq(c1, c2) => df = df.filter(col(c1) === col(c2))
+        case _ =>
+      }
+    }
+    val outVars = slots.map(_._1).distinct
+    val proj = slots.groupBy(_._1).view.mapValues(_.head._2).toMap
+    SPlan(df.select(outVars.map(v => col(proj(v)).as(v)): _*), outVars, Set.empty)
+  }
+
+  /** Structural path forms over the scoped quads; returns cols (g, src, tgt).
+    * g is the graph term (NULL in default graph) so closure stays per-graph
+    * (reference disallow_cross_graph_paths, physical.rs:345-384). */
+  private def pathDF(p: PropertyPath, q: DataFrame): DataFrame = p match {
+    case PathLink(Iri(i)) =>
+      q.filter(col("predicate.v") === i && col("predicate.t") === TermType.Iri)
+        .select(col("graph").as("g"), col("subject").as("src"), col("object").as("tgt"))
+    case PathNegated(fwd, rev) =>
+      val f = if (fwd.nonEmpty)
+        Some(q.filter(!col("predicate.v").isin(fwd.map(_.value): _*))
+          .select(col("graph").as("g"), col("subject").as("src"), col("object").as("tgt")))
+      else None
+      val r = if (rev.nonEmpty)
+        Some(q.filter(!col("predicate.v").isin(rev.map(_.value): _*))
+          .select(col("graph").as("g"), col("object").as("src"), col("subject").as("tgt")))
+      else None
+      (f, r) match {
+        case (Some(a), Some(b)) => a.unionAll(b).dropDuplicates()
+        case (Some(a), None) => a.dropDuplicates()
+        case (None, Some(b)) => b.dropDuplicates()
+        case _ => throw new IllegalArgumentException("empty negated property set")
+      }
+    case PathReverse(i) =>
+      pathDF(i, q).select(col("g"), col("tgt").as("src"), col("src").as("tgt"))
+    case PathSequence(a, b) =>
+      // rename-based self-join (aliases are unreliable when both sides are
+      // the same checkpointed DataFrame)
+      val l = pathDF(a, q).select(col("g").as("lg"), col("src").as("lsrc"), col("tgt").as("ltgt"))
+      val r = pathDF(b, q)
+      l.join(r, col("ltgt") === col("src") && (col("lg") <=> col("g")))
+        .select(col("lg").as("g"), col("lsrc").as("src"), col("tgt"))
+        .dropDuplicates()
+    case PathAlternative(a, b) =>
+      pathDF(a, q).unionAll(pathDF(b, q)).dropDuplicates()
+    case PathZeroOrOne(i) => zeroLength(q).unionAll(pathDF(i, q)).dropDuplicates()
+    case PathZeroOrMore(i) => zeroLength(q).unionAll(closure(pathDF(i, q))).dropDuplicates()
+    case PathOneOrMore(i) => closure(pathDF(i, q))
+  }
+
+  /** Zero-length paths: every subject/object node paired with itself
+    * (reference paths/path_node/rewrite.rs:250-266). */
+  private def zeroLength(q: DataFrame): DataFrame = {
+    q.select(col("graph").as("g"), col("subject").as("n"))
+      .unionAll(q.select(col("graph").as("g"), col("object").as("n")))
+      .dropDuplicates()
+      .select(col("g"), col("n").as("src"), col("n").as("tgt"))
+  }
+
+  /**
+   * Transitive closure — distributed semi-naïve iteration replacing the
+   * reference's single-partition blocking KleenePlusClosureExec
+   * (lib/physical/src/paths/kleene_plus/physical.rs:166-290). Each round is a
+   * distributed hash join; localCheckpoint cuts lineage so plans stay flat.
+   * Scales with cluster size where the reference is single-node here.
+   */
+  private def closure(edges0: DataFrame): DataFrame = {
+    val edges = edges0.dropDuplicates().localCheckpoint()
+    var all = edges
+    var delta = edges
+    var iterating = true
+    while (iterating) {
+      val d = delta.select(col("g").as("dg"), col("src").as("dsrc"), col("tgt").as("dtgt"))
+      val next = d.join(edges, col("dtgt") === col("src") && (col("dg") <=> col("g")))
+        .select(col("dg").as("g"), col("dsrc").as("src"), col("tgt"))
+        .dropDuplicates()
+      delta = next.except(all).localCheckpoint()
+      if (delta.isEmpty) iterating = false
+      else all = all.unionAll(delta).localCheckpoint() // delta ∩ all = ∅ → union stays distinct
+    }
+    all
+  }
+
+  // ===================================================================== query
+
+  /** Compile a full SELECT (used for top level and sub-selects). */
+  def select(q: SelectQuery, outerScope: GraphScope): SPlan = {
+    val scope =
+      if (q.fromDefault.nonEmpty) GraphScope.UnionOf(q.fromDefault.map(_.value))
+      else outerScope
+    var plan = pattern(q.where, scope)
+    val env = ExprCompiler.envOf(plan.vars.toSet)
+
+    // computed projection items become columns first (visible to ORDER BY)
+    val projItems = if (q.projection.nonEmpty) q.projection
+                    else inScopeVars(q.where).map(v => ProjItem(v, None))
+    var df = plan.df
+    projItems.foreach {
+      case ProjItem(v, Some(e)) => df = df.withColumn(v.name, ExprCompiler.term(e, env))
+      case _ =>
+    }
+    val projNames = projItems.map(_.v.name)
+    val allVars = (plan.vars ++ projNames).distinct
+    val env2 = ExprCompiler.envOf(allVars.toSet)
+
+    if (q.distinct || q.reduced) {
+      // project → dedup → order → slice (ordering keys must be projected)
+      df = df.select(projNames.map(col): _*).dropDuplicates()
+      if (q.orderBy.nonEmpty) df = orderDf(df, q.orderBy, ExprCompiler.envOf(projNames.toSet))
+    } else {
+      if (q.orderBy.nonEmpty) df = orderDf(df, q.orderBy, env2)
+      df = df.select(projNames.map(col): _*)
+    }
+    q.offset.foreach(o => df = df.offset(o.toInt))
+    q.limit.foreach(l => df = df.limit(l.toInt))
+    val mu = projItems.map(_.v.name).filter(v =>
+      plan.isNullable(v) || projItems.exists(p => p.v.name == v && p.expr.isDefined)).toSet
+    SPlan(df, projNames, mu)
+  }
+
+  private def orderDf(df: DataFrame, conds: Seq[OrderCond], env: ExprCompiler.Env): DataFrame = {
+    // SPARQL total order via the sortable view; unbound sorts first on ASC
+    // (reference graph_pattern_rewriter.rs:277-297 — nulls_first = true)
+    val keys = conds.map { c =>
+      val k = TermCols.sortKey(ExprCompiler.term(c.expr, env))
+      if (c.ascending) k.asc_nulls_first else k.desc_nulls_last
+    }
+    df.orderBy(keys: _*)
+  }
+}

@@ -41,6 +41,16 @@ object NTriples {
     spark.createDataFrame(rows, quadSchema)
   }
 
+  /** Parse N-Triples/N-Quads text already on the driver (small data / tests). */
+  def fromString(spark: SparkSession, text: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows: java.util.List[org.apache.spark.sql.Row] = text.linesIterator.flatMap(parseLine).map { q =>
+      org.apache.spark.sql.Row(q.graph.map(termRow).orNull, termRow(q.subject),
+        termRow(q.predicate), termRow(q.obj))
+    }.toList.asJava
+    spark.createDataFrame(rows, quadSchema)
+  }
+
   private def termRow(t: RdfTerm): org.apache.spark.sql.Row = t match {
     case Iri(v) => org.apache.spark.sql.Row(TermType.Iri, v, null, null)
     case BNode(v) => org.apache.spark.sql.Row(TermType.BlankNode, v, null, null)

@@ -47,6 +47,16 @@ object Smoke {
     rq.show(10, truncate = false)
     println(s"region+nation quad count = ${rq.count()}")
 
+    println("=== 5. SPARQL end-to-end over TPC-H quads ===")
+    val eng = graft.engine.Graft(rq)
+    val res = eng.select(
+      """PREFIX g: <urn:g:>
+        |SELECT ?rname (COUNT(?n) AS ?nations) WHERE {
+        |  ?n <urn:g:nation#ref_region> ?r .
+        |  ?r <urn:g:region#r_name> ?rname .
+        |} GROUP BY ?rname ORDER BY ?rname""".stripMargin)
+    graft.engine.Graft.decode(res).show(10, truncate = false)
+
     spark.stop()
   }
 }
