@@ -1,13 +1,393 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+import graft.engine.Graft
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.RdbToRdf
+
+/**
+ * Driver contract: one entry per implemented operator (SURVEY.md §2 + the
+ * training-data pipeline ops), each with a DuckDB oracle where SQL can
+ * express it. SPARQL queries run through the full engine over the
+ * relational→RDF mapping, so the DuckDB result over the raw tables is an
+ * end-to-end oracle for parser + rewriter + expression compiler + executor.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def graftOver(s: SparkSession, dir: String, tables: String*): Graft =
+    Graft(RdbToRdf.tpchQuads(s, dir, tables))
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("sparql_region_nations")(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------------ SPARQL
+
+  private def sparqlRegionNations(s: SparkSession, dir: String): DataFrame = {
+    val res = graftOver(s, dir, "region", "nation").select(
+      """SELECT ?rname (COUNT(?n) AS ?nations) WHERE {
+        |  ?n <urn:g:nation#ref_region> ?r .
+        |  ?r <urn:g:region#r_name> ?rname .
+        |} GROUP BY ?rname ORDER BY ?rname""".stripMargin)
+    Graft.decode(res, Map("nations" -> LongType)).orderBy("rname")
+  }
+
+  private def sparqlFilterOrder(s: SparkSession, dir: String): DataFrame = {
+    val res = graftOver(s, dir, "customer").select(
+      """SELECT ?name ?bal WHERE {
+        |  ?c <urn:g:customer#c_name> ?name .
+        |  ?c <urn:g:customer#c_acctbal> ?bal .
+        |  FILTER(?bal > 9000)
+        |} ORDER BY ?name""".stripMargin)
+    Graft.decode(res, Map("bal" -> DoubleType))
+      .select(col("name"), round(col("bal"), 2).as("bal")).orderBy("name")
+  }
+
+  private def sparqlOptionalAgg(s: SparkSession, dir: String): DataFrame = {
+    val res = graftOver(s, dir, "customer", "orders").select(
+      """SELECT ?name (COUNT(?o) AS ?orders) WHERE {
+        |  ?c <urn:g:customer#c_name> ?name .
+        |  OPTIONAL { ?o <urn:g:orders#ref_customer> ?c }
+        |} GROUP BY ?name ORDER BY ?name""".stripMargin)
+    Graft.decode(res, Map("orders" -> LongType)).orderBy("name")
+  }
+
+  private def sparqlMinus(s: SparkSession, dir: String): DataFrame = {
+    val res = graftOver(s, dir, "customer", "orders").select(
+      """SELECT ?name WHERE {
+        |  ?c <urn:g:customer#c_name> ?name .
+        |  MINUS { ?o <urn:g:orders#ref_customer> ?c }
+        |} ORDER BY ?name""".stripMargin)
+    Graft.decode(res).orderBy("name")
+  }
+
+  private def sparqlUnion(s: SparkSession, dir: String): DataFrame = {
+    val res = graftOver(s, dir, "customer", "supplier").select(
+      """SELECT ?name WHERE {
+        |  { ?x <urn:g:customer#c_name> ?name } UNION { ?x <urn:g:supplier#s_name> ?name }
+        |} ORDER BY ?name""".stripMargin)
+    Graft.decode(res).orderBy("name")
+  }
+
+  private def sparqlPathSeq(s: SparkSession, dir: String): DataFrame = {
+    val res = graftOver(s, dir, "orders", "customer", "nation", "region").select(
+      """SELECT ?rname (COUNT(?o) AS ?orders) WHERE {
+        |  ?o (<urn:g:orders#ref_customer>/<urn:g:customer#ref_nation>/<urn:g:nation#ref_region>/<urn:g:region#r_name>) ?rname
+        |} GROUP BY ?rname ORDER BY ?rname""".stripMargin)
+    Graft.decode(res, Map("orders" -> LongType)).orderBy("rname")
+  }
+
+  private def sparqlExists(s: SparkSession, dir: String): DataFrame = {
+    val res = graftOver(s, dir, "customer", "orders").select(
+      """SELECT ?name WHERE {
+        |  ?c <urn:g:customer#c_name> ?name .
+        |  FILTER EXISTS { ?o <urn:g:orders#ref_customer> ?c .
+        |                  ?o <urn:g:orders#o_totalprice> ?tp . FILTER(?tp > 300000) }
+        |} ORDER BY ?name""".stripMargin)
+    Graft.decode(res).orderBy("name")
+  }
+
+  private def sparqlBindSum(s: SparkSession, dir: String): DataFrame = {
+    val res = graftOver(s, dir, "lineitem").select(
+      """SELECT ?flag (SUM(?rev) AS ?revenue) WHERE {
+        |  ?l <urn:g:lineitem#l_returnflag> ?flag .
+        |  ?l <urn:g:lineitem#l_extendedprice> ?p .
+        |  ?l <urn:g:lineitem#l_discount> ?d .
+        |  BIND(?p * (1 - ?d) AS ?rev)
+        |} GROUP BY ?flag ORDER BY ?flag""".stripMargin)
+    Graft.decode(res, Map("revenue" -> DoubleType))
+      .select(col("flag"), round(col("revenue"), 0).cast(LongType).as("revenue"))
+      .orderBy("flag")
+  }
+
+  // -------------------------------------------------------- relational / OLAP
+
+  private def q1LineitemAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01 00:00:00")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 0).cast(LongType).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 0).cast(LongType).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private def q3TopRevenue(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+    cust.join(ord, col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("l_orderkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  private def q5RegionRevenue(s: SparkSession, dir: String): DataFrame = {
+    val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = t(s, dir, "nation")
+    val cust = t(s, dir, "customer")
+    val ord = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 0).cast(LongType).as("revenue"))
+      .orderBy("n_name")
+  }
+
+  /** events.ts is TIMESTAMP(NANOS) parquet — read as Long nanos under
+    * spark.sql.legacy.parquet.nanosAsLong; normalise to epoch millis. */
+  private def eventsWithMs(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val ms = ev.schema("ts").dataType match {
+      case LongType => col("ts") / lit(1000000L)
+      case _ => unix_millis(col("ts"))
+    }
+    ev.withColumn("ts_ms", ms.cast(LongType))
+  }
+
+  private def eventsTopPerUser(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id").asc)
+    eventsWithMs(s, dir)
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), round(col("value"), 2).as("value"))
+      .orderBy("user_id")
+  }
+
+  private def eventsSessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ms")
+    eventsWithMs(s, dir)
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > 1800000L, 1).otherwise(0))
+      .groupBy("user_id")
+      .agg(sum("new_session").cast(LongType).as("sessions"), count(lit(1)).as("events"))
+      .orderBy("user_id")
+  }
+
+  // ------------------------------------------------------------ pipeline ops
+
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "documents"), "doc_id", "text").orderBy("h")
+
+  private def dedupJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  private def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+      numHashes = 32, bands = 8, threshold = 0.3, shingleK = 1)
+      .orderBy("id_a", "id_b")
+
+  private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 16)
+      .orderBy("id_a", "id_b")
+
+  private def annCosine(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineTopK(t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L, k = 10)
+
+  private def annLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.annTopK(t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L, k = 10,
+      nPlanes = 6, probeHamming = 1)
+
+  private def textQuality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.quality(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")
+
+  private def langId(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(t(s, dir, "documents"), "doc_id", "text").orderBy("id")
+
+  private def tokenStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenStats(t(s, dir, "documents"), "source", "text").orderBy("source")
+
+  private def fingerprint(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")
+
+  private def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(
+      Multimodal.syntheticMedia(t(s, dir, "documents"), "doc_id"))
+      .select(col("media_id"), col("n_bytes"), round(col("byte_mean"), 4).as("byte_mean"),
+        round(col("byte_entropy"), 4).as("byte_entropy"))
+      .orderBy("media_id")
+
+  // =========================================================== the contract
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sparql_region_nations" -> sparqlRegionNations,
+    "sparql_filter_order" -> sparqlFilterOrder,
+    "sparql_optional_agg" -> sparqlOptionalAgg,
+    "sparql_minus" -> sparqlMinus,
+    "sparql_union" -> sparqlUnion,
+    "sparql_path_seq" -> sparqlPathSeq,
+    "sparql_exists" -> sparqlExists,
+    "sparql_bind_sum" -> sparqlBindSum,
+    "q1_lineitem_agg" -> q1LineitemAgg,
+    "q3_top_revenue" -> q3TopRevenue,
+    "q5_region_revenue" -> q5RegionRevenue,
+    "events_top_per_user" -> eventsTopPerUser,
+    "events_sessionize" -> eventsSessionize,
+    "dedup_exact" -> dedupExact,
+    "dedup_jaccard" -> dedupJaccard,
+    "dedup_minhash" -> dedupMinhash,
+    "dedup_simhash" -> dedupSimhash,
+    "ann_cosine" -> annCosine,
+    "ann_lsh" -> annLsh,
+    "text_quality" -> textQuality,
+    "lang_id" -> langId,
+    "token_stats" -> tokenStats,
+    "fingerprint" -> fingerprint,
+    "multimodal_features" -> multimodalFeatures)
+
+  /** DuckDB oracle SQL (same column names/types as the Spark results).
+    * Omitted for approximate / engine-specific-hash ops (`dedup_minhash`,
+    * `dedup_simhash`, `ann_lsh`, `multimodal_features`) → rows-only check. */
+  def oracleSql: Map[String, String] = Map(
+    "sparql_region_nations" ->
+      """SELECT r_name AS rname, count(*) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sparql_filter_order" ->
+      """SELECT c_name AS name, round(c_acctbal, 2) AS bal
+        |FROM customer WHERE c_acctbal > 9000 ORDER BY name""".stripMargin,
+    "sparql_optional_agg" ->
+      """SELECT c_name AS name, count(o_orderkey) AS orders
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sparql_minus" ->
+      """SELECT c_name AS name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY 1""".stripMargin,
+    "sparql_union" ->
+      """SELECT name FROM (
+        |  SELECT c_name AS name FROM customer
+        |  UNION ALL SELECT s_name AS name FROM supplier) ORDER BY 1""".stripMargin,
+    "sparql_path_seq" ->
+      """SELECT r_name AS rname, count(*) AS orders
+        |FROM orders, customer, nation, region
+        |WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+        |  AND n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sparql_exists" ->
+      """SELECT c_name AS name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY 1""".stripMargin,
+    "sparql_bind_sum" ->
+      """SELECT l_returnflag AS flag,
+        |       CAST(round(sum(l_extendedprice * (1 - l_discount)), 0) AS BIGINT) AS revenue
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q1_lineitem_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       CAST(round(sum(l_extendedprice), 0) AS BIGINT) AS sum_base_price,
+        |       CAST(round(sum(l_extendedprice * (1 - l_discount)), 0) AS BIGINT) AS sum_disc_price,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       round(avg(l_discount), 4) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q3_top_revenue" ->
+      """SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |       CAST(round(sum(l_extendedprice * (1 - l_discount)), 0) AS BIGINT) AS revenue
+        |FROM lineitem, orders, customer, nation, region
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_top_per_user" ->
+      """SELECT user_id, event_id, round(value, 2) AS value FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) = 1
+        |ORDER BY user_id""".stripMargin,
+    "events_sessionize" ->
+      """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS sessions, count(*) AS events
+        |FROM (SELECT user_id,
+        |        CASE WHEN prev_ts IS NULL OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000 THEN 1 ELSE 0 END AS new_session
+        |      FROM (SELECT user_id, ts,
+        |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |            FROM events))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_jaccard" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                                      x -> len(x) > 0)) AS tok
+        |    FROM documents)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |       round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = id_a
+        |           JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.5
+        |ORDER BY 1, 2""".stripMargin,
+    "ann_cosine" ->
+      """SELECT vec_id,
+        |       round(list_cosine_similarity(embedding::DOUBLE[],
+        |             (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) AS sim
+        |FROM embeddings WHERE vec_id != 0
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INT) AS n_chars,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS INT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '\p{L}{1,4}|\p{N}{1,3}|[^\p{L}\p{N}\s]')) AS INT) AS n_bpeish,
+        |  round(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) / greatest(length(text), 1), 6) AS punct_ratio,
+        |  round(len(list_filter(string_split_regex(text, '\s+'),
+        |        x -> lower(x) IN ('the','a','an','of','to','and','in','is','it','that')))
+        |        / greatest(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)), 1), 6) AS stopword_ratio,
+        |  round(length(text) / greatest(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)), 1), 6) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "lang_id" ->
+      """WITH markers(tok, cand) AS (VALUES
+        |  ('the','en'),('a','en'),('of','en'),('and','en'),('is','en'),
+        |  ('der','de'),('die','de'),('das','de'),('und','de'),('ist','de'),
+        |  ('el','es'),('la','es'),('los','es'),('y','es'),('es','es'),
+        |  ('le','fr'),('la','fr'),('les','fr'),('et','fr'),('est','fr'),
+        |  ('的','zh'),('是','zh'),('在','zh'),('了','zh'),('和','zh')),
+        |words AS (
+        |  SELECT doc_id AS id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |                                          x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |scored AS (
+        |  SELECT id, cand, count(*) AS hits FROM words JOIN markers USING (tok) GROUP BY 1, 2),
+        |best AS (
+        |  SELECT id, cand AS lang_pred, hits FROM scored
+        |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY hits DESC, cand) = 1)
+        |SELECT d.doc_id AS id, coalesce(b.lang_pred, 'und') AS lang_pred,
+        |       coalesce(b.hits, 0) AS hits
+        |FROM documents d LEFT JOIN best b ON b.id = d.doc_id ORDER BY 1""".stripMargin,
+    "token_stats" ->
+      """SELECT source, count(*) AS docs,
+        |  CAST(sum(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0))) AS BIGINT) AS tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '\p{L}{1,4}|\p{N}{1,3}|[^\p{L}\p{N}\s]'))) AS BIGINT) AS bpeish_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "fingerprint" ->
+      """SELECT doc_id,
+        |       md5(array_to_string(list_filter(string_split_regex(lower(text), '\s+'),
+        |                                       x -> len(x) > 0), ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin)
 }

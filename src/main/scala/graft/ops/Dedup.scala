@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Deduplication operators for large-scale text corpora.
+ *
+ * All operators are pure DataFrame pipelines: tokenisation is a generate
+ * (explode) over a single scan, candidate generation is an equi-join keyed on
+ * tokens/bands/buckets (shuffle-partitioned by key, AQE-skew-eligible), and
+ * verification is a grouped aggregation — no driver-side loops, no UDFs, so
+ * the whole pipeline stays in whole-stage codegen and scales horizontally.
+ */
+object Dedup {
+
+  /** Exact dedup by content hash: one row per distinct text with the kept
+    * (minimum) id and the duplicate count. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("h"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
+
+  /** Normalised word tokens: lowercase, split on non-alphanumerics. */
+  def tokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)).as("tok"))
+
+  /** Distinct token sets as (id, tok). */
+  def tokenSet(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokens(df, idCol, textCol).distinct()
+
+  /** Word k-shingles as (id, shingle) — k consecutive tokens joined by ' '. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"), t => length(t) > 0).as("ts"))
+    toks.select(col("id"), explode(
+      transform(sequence(lit(0), greatest(size(col("ts")) - k, lit(0))),
+        i => concat_ws(" ", slice(col("ts"), i + 1, lit(k))))).as("shingle"))
+      .where(length(col("shingle")) > 0).distinct()
+  }
+
+  /**
+   * Exact n-gram (token-set) Jaccard near-duplicate pairs via an inverted
+   * index self-join: shuffle key = token, intersection size by count, no
+   * O(n²) candidate enumeration — only docs sharing ≥1 token ever meet.
+   */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double, shingleK: Int = 1): DataFrame = {
+    val sets = (if (shingleK <= 1) tokenSet(df, idCol, textCol)
+                else shingles(df, idCol, textCol, shingleK).withColumnRenamed("shingle", "tok"))
+    val sizes = sets.groupBy("id").agg(count(lit(1)).as("sz"))
+    val a = sets.withColumnRenamed("id", "id_a")
+    val b = sets.withColumnRenamed("id", "id_b")
+    val inter = a.join(b, Seq("tok")).where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("jaccard", round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Deterministic per-seed token hash for MinHash. */
+  private def seededHash(tok: Column, seed: Int): Column = xxhash64(tok, lit(seed))
+
+  /**
+   * MinHash signatures: one row per doc, `sig` = array of numHashes minima.
+   * Computed as a single grouped aggregation over the token explode —
+   * map-side partial min per hash keeps shuffle volume at
+   * O(docs × numHashes), independent of document length.
+   */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 32, shingleK: Int = 3): DataFrame = {
+    val sets = (if (shingleK <= 1) tokenSet(df, idCol, textCol)
+                else shingles(df, idCol, textCol, shingleK).withColumnRenamed("shingle", "tok"))
+    val mins = (0 until numHashes).map(i => min(seededHash(col("tok"), i)).as(s"h$i"))
+    sets.groupBy("id").agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /**
+   * MinHash + LSH near-duplicate pairs: band the signature, bucket-join on
+   * (band index, band hash), then estimate similarity as the fraction of
+   * matching minhashes. Candidate generation cost is bounded by bucket
+   * collisions, not n² — the standard LSH scale path.
+   */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5,
+                      shingleK: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleK)
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * lit(r) + 1, lit(r)), b))))
+      .select(col("id"), col("sig"), col("pos").as("band"), col("col").as("bh"))
+    val a = banded.select(col("band"), col("bh"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bh"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val cand = a.join(b, Seq("band", "bh")).where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b").dropDuplicates("id_a", "id_b")
+    cand.withColumn("est_jaccard",
+        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          / lit(numHashes.toDouble), 6))
+      .where(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /**
+   * 64-bit SimHash per document: token hashes vote ±1 per bit position,
+   * weighted by term frequency; sign of the sum becomes the bit. One explode
+   * + one grouped agg (64 conditional sums — map-side combinable).
+   */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(df, idCol, textCol).withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0L, 1).otherwise(-1)).as(s"b$i")
+    }
+    toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
+          .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, candidates via
+    * 4×16-bit chunk equality (pigeonhole: dist ≤ 3 ⇒ some chunk equal). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
+    val sh = simhash(df, idCol, textCol)
+    val chunked = sh.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)))
+      .select(col("id"), col("simhash"), col("pos").as("chunk"), col("col").as("ch"))
+    val a = chunked.select(col("chunk"), col("ch"), col("id").as("id_a"), col("simhash").as("sh_a"))
+    val b = chunked.select(col("chunk"), col("ch"), col("id").as("id_b"), col("simhash").as("sh_b"))
+    val cand = a.join(b, Seq("chunk", "ch")).where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").dropDuplicates("id_a", "id_b")
+    cand.withColumn("dist", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .where(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+}

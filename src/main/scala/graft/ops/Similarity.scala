@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Similarity search over an embedding column (`array<float>`).
+ *
+ * Brute-force cosine is the exact baseline: one scan, vector math via
+ * `zip_with`/`aggregate` (codegen'd higher-order functions, no UDFs), and a
+ * `TakeOrderedAndProject` top-k — at 100 TB this is a single map + tiny
+ * driver-side k-merge, no shuffle of the corpus.
+ *
+ * The scale path is hyperplane LSH: a deterministic 16-bit signature per
+ * vector, bucket equi-join for candidates, exact re-rank within buckets.
+ */
+object Similarity {
+
+  private def toDouble(c: Column): Column = transform(c, x => x.cast(DoubleType))
+
+  /** Σ aᵢbᵢ via zip_with + aggregate (both codegen'd). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /**
+   * Exact top-k by cosine against one query vector. The query row is
+   * broadcast (cross join with a 1-row DF) so the corpus never shuffles.
+   */
+  def cosineTopK(emb: DataFrame, idCol: String, vecCol: String,
+                 queryId: Long, k: Int): DataFrame = {
+    val q = emb.where(col(idCol) === queryId)
+      .select(toDouble(col(vecCol)).as("qvec"))
+    emb.crossJoin(broadcast(q))
+      .where(col(idCol) =!= queryId)
+      .select(col(idCol),
+        round(cosine(toDouble(col(vecCol)), col("qvec")), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Deterministic Rademacher (±1) hyperplane component for (plane, dim) —
+    * reproducible across engines and runs, no RNG state to ship. */
+  private def planeSign(plane: Int, d: Column): Column =
+    when(xxhash64(lit(plane), d).bitwiseAND(1L) === 0L, lit(1.0)).otherwise(lit(-1.0))
+
+  /** nPlanes-bit LSH signature of a (double) vector column. */
+  def lshSignature(vec: Column, nPlanes: Int = 16): Column =
+    (0 until nPlanes).map { p =>
+      val proj = aggregate(zip_with(vec, sequence(lit(0), size(vec) - 1),
+        (x, i) => x * planeSign(p, i)), lit(0.0d), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /**
+   * Approximate top-k: candidates = rows whose signature is within
+   * `probeHamming` bits of the query signature (multi-probe by XOR-ing
+   * single-bit masks — no corpus shuffle; the probe set is broadcast),
+   * then exact cosine re-rank.
+   */
+  def annTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int, nPlanes: Int = 16, probeHamming: Int = 1): DataFrame = {
+    val withSig = emb.select(col(idCol), toDouble(col(vecCol)).as("v"))
+      .withColumn("sig", lshSignature(col("v"), nPlanes))
+    val q = withSig.where(col(idCol) === queryId)
+      .select(col("v").as("qvec"), col("sig").as("qsig"))
+    // probe signatures: exact + all 1-bit flips (multi-probe)
+    val masks: Seq[Column] = lit(0L) +: (if (probeHamming >= 1) (0 until nPlanes).map(p => lit(1L << p)) else Nil)
+    val probes = q.select(explode(array(masks.map(m => col("qsig").bitwiseXOR(m)): _*)).as("sig"),
+      col("qvec")).dropDuplicates("sig")
+    withSig.join(broadcast(probes), Seq("sig"))
+      .where(col(idCol) =!= queryId)
+      .select(col(idCol), round(cosine(col("v"), col("qvec")), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /**
+   * All-pairs within-bucket near neighbours (embedding near-dup candidates):
+   * bucket by LSH signature, self-join inside buckets only.
+   */
+  def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                   minCosine: Double, nPlanes: Int = 12): DataFrame = {
+    val withSig = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("sig", lshSignature(col("v"), nPlanes))
+    val a = withSig.select(col("sig"), col("id").as("id_a"), col("v").as("va"))
+    val b = withSig.select(col("sig"), col("id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("sig")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), round(cosine(col("va"), col("vb")), 6).as("sim"))
+      .where(col("sim") >= minCosine)
+  }
+}

@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Text-analysis operators for training-data pipelines: quality scoring,
+ * language identification, token counting, fingerprinting. All pure column
+ * expressions over one scan — no shuffle except the final aggregations.
+ */
+object TextAnalysis {
+
+  /** Whitespace tokens (column-level). */
+  private def toks(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** BPE-ish subword count: word fragments of ≤4 chars + punctuation, the
+    * usual cheap proxy for LLM token count. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\p{L}{1,4}|\\p{N}{1,3}|[^\\p{L}\\p{N}\\s]"), lit(0)))
+
+  /** Per-document quality metrics. */
+  def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val tokens = toks(t)
+    val nTok = size(tokens)
+    // ASCII punctuation spelled out (not \p{Punct}) so the DuckDB-RE2 oracle
+    // can use the identical class
+    val punct = size(regexp_extract_all(t, lit("[!-/:-@\\[-`{-~]"), lit(0)))
+    val stop = size(filter(tokens, w => lower(w).isin("the", "a", "an", "of", "to", "and", "in", "is", "it", "that")))
+    df.select(col(idCol),
+      length(t).as("n_chars"),
+      nTok.as("n_tokens"),
+      bpeishTokenCount(t).as("n_bpeish"),
+      round(punct / greatest(length(t), lit(1)).cast(DoubleType), 6).as("punct_ratio"),
+      round(stop / greatest(nTok, lit(1)).cast(DoubleType), 6).as("stopword_ratio"),
+      round(length(t) / greatest(nTok, lit(1)).cast(DoubleType), 6).as("avg_token_len"))
+  }
+
+  /** Quality score in [0,1] combining the metrics (weights are heuristic). */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    quality(df, idCol, textCol).withColumn("score",
+      round(least(lit(1.0),
+        (least(col("n_tokens"), lit(100)) / 100.0) * 0.5 +
+          (lit(1.0) - least(col("punct_ratio") * 5, lit(1.0))) * 0.25 +
+          least(col("stopword_ratio") * 4, lit(1.0)) * 0.25), 6))
+
+  /** Language marker words (tiny per-language stopword seed sets). */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("的", "是", "在", "了", "和"))
+
+  /**
+   * N-gram-heuristic language ID: score each language by marker-token hits,
+   * pick the best (ties broken lexicographically); no hits → 'und'.
+   * One explode + small broadcast join + argmax window.
+   */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val markers = spark.createDataFrame(
+      langMarkers.toSeq.flatMap { case (l, ws) => ws.map(w => (w, l)) }).toDF("tok", "cand")
+    val words = df.select(col(idCol).as("id"), explode(toks(lower(col(textCol)))).as("tok"))
+    val scored = words.join(broadcast(markers), Seq("tok"))
+      .groupBy("id", "cand").agg(count(lit(1)).as("hits"))
+    val w = Window.partitionBy("id").orderBy(col("hits").desc, col("cand").asc)
+    val best = scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("id"), col("cand").as("lang_pred"), col("hits"))
+    df.select(col(idCol).as("id")).join(best, Seq("id"), "left")
+      .select(col("id"), coalesce(col("lang_pred"), lit("und")).as("lang_pred"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+  }
+
+  /** Corpus token statistics per group column. */
+  def tokenStats(df: DataFrame, groupCol: String, textCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("docs"),
+        sum(size(toks(col(textCol)))).as("tokens"),
+        sum(bpeishTokenCount(col(textCol))).as("bpeish_tokens"),
+        sum(length(col(textCol))).as("chars"))
+
+  /** Content fingerprint: md5 over the normalised token stream (whitespace/
+    * case-insensitive duplicate detection). */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      md5(concat_ws(" ", toks(lower(col(textCol))))).as("fp"))
+
+  /**
+   * Winnowing-style rolling-hash fingerprints: hash every k-gram window of
+   * the token stream, keep each document's minimum w per window position
+   * band — robust to local edits. Returns (id, band, fp_hash).
+   */
+  def rollingFingerprints(df: DataFrame, idCol: String, textCol: String,
+                          k: Int = 5, bandSize: Int = 8): DataFrame = {
+    val grams = Dedup.shingles(df, idCol, textCol, k)
+      .withColumn("h", xxhash64(col("shingle")))
+    // band = hash-space partition; min-hash per band = winnowing selection
+    grams.withColumn("band", pmod(col("h"), lit(bandSize)))
+      .groupBy("id", "band").agg(min(col("h")).as("fp_hash"))
+  }
+}

@@ -53,7 +53,10 @@ object RdbToRdf {
    */
   def tableToQuads(df: DataFrame, table: String, pkCols: Seq[String],
                    fks: Seq[Fk] = Nil, graph: Option[String] = None): DataFrame = {
-    val pk = concat_ws("-", pkCols.map(c => col(c).cast(StringType)): _*)
+    // >2 pk columns = "no real key" marker → row-content hash subject
+    // (declared keys may be non-unique in synthetic data; full rows must be)
+    val pk = if (pkCols.size > 2) md5(concat_ws("|", df.columns.map(c => col(c).cast(StringType)): _*))
+             else concat_ws("-", pkCols.map(c => col(c).cast(StringType)): _*)
     val subj = subjectIri(table, pk)
 
     val dataQuads: Seq[Column] = df.schema.fields.toSeq.map { f =>
@@ -103,7 +106,7 @@ object RdbToRdf {
     case "supplier" => Seq("s_suppkey")
     case "part" => Seq("p_partkey")
     case "orders" => Seq("o_orderkey")
-    case "lineitem" => Seq("l_orderkey", "l_linenumber")
+    case "lineitem" => Seq("l_orderkey", "l_linenumber", "l_partkey") // 3 cols → row-hash subject
     case "events" => Seq("event_id")
     case "documents" => Seq("doc_id")
     case "embeddings" => Seq("vec_id")
