@@ -59,24 +59,26 @@ object RdbToRdf {
              else concat_ws("-", pkCols.map(c => col(c).cast(StringType)): _*)
     val subj = subjectIri(table, pk)
 
-    val dataQuads: Seq[Column] = df.schema.fields.toSeq.map { f =>
-      struct(
-        TermCols.iri(predIri(table, f.name)).as("p"),
-        litTerm(col(f.name), f.dataType).as("o"))
-    }
-    val fkQuads: Seq[Column] = fks.map { fk =>
-      struct(
-        TermCols.iri(predIri(table, "ref_" + fk.target)).as("p"),
-        subjectIri(fk.target, col(fk.column).cast(StringType)).as("o"))
-    }
     val g = graph match {
       case Some(giri) => TermCols.iri(giri)
       case None => TermCols.nullTerm
     }
-    df.select(g.as("graph"), subj.as("subject"),
-        explode(array(dataQuads ++ fkQuads: _*)).as("po"))
-      .select(col("graph"), col("subject"),
-        col("po.p").as("predicate"), col("po.o").as("object"))
+    // One UNION branch per predicate (not explode-of-array): a pattern scan
+    // with a bound predicate constant-folds `predicate.v = <iri>` to false in
+    // every other branch, so Catalyst drops those branches entirely and the
+    // parquet scan reads only the needed columns — the virtual-quads
+    // equivalent of predicate-partitioned quad storage.
+    val dataQuads: Seq[DataFrame] = df.schema.fields.toSeq.map { f =>
+      df.select(g.as("graph"), subj.as("subject"),
+          TermCols.iri(predIri(table, f.name)).as("predicate"),
+          litTerm(col(f.name), f.dataType).as("object"))
+    }
+    val fkQuads: Seq[DataFrame] = fks.map { fk =>
+      df.select(g.as("graph"), subj.as("subject"),
+        TermCols.iri(predIri(table, "ref_" + fk.target)).as("predicate"),
+        subjectIri(fk.target, col(fk.column).cast(StringType)).as("object"))
+    }
+    (dataQuads ++ fkQuads).reduce(_ unionAll _)
       .filter(col("object").isNotNull && TermCols.value(col("object")).isNotNull)
   }
 
