@@ -184,12 +184,12 @@ object SparkEntry {
     Dedup.exact(t(s, dir, "documents"), "doc_id", "text").orderBy("h")
 
   private def dedupJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
+    Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", threshold = 0.05, shingleK = 3)
       .orderBy("id_a", "id_b")
 
   private def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
-      numHashes = 32, bands = 8, threshold = 0.3, shingleK = 1)
+      numHashes = 32, bands = 8, threshold = 0.3, shingleK = 3)
       .orderBy("id_a", "id_b")
 
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
@@ -327,21 +327,24 @@ object SparkEntry {
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_jaccard" ->
-      """WITH toks AS (
-        |  SELECT DISTINCT doc_id, tok FROM (
-        |    SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-        |                                      x -> len(x) > 0)) AS tok
-        |    FROM documents)),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                             x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+        |                                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS tok
+        |  FROM w WHERE len(ws) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
         |inter AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT id_a, id_b,
         |       round(i / (sa.sz + sb.sz - i), 6) AS jaccard
         |FROM inter JOIN sizes sa ON sa.doc_id = id_a
         |           JOIN sizes sb ON sb.doc_id = id_b
-        |WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.5
+        |WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.05
         |ORDER BY 1, 2""".stripMargin,
     "ann_cosine" ->
       """SELECT vec_id,

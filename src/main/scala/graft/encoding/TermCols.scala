@@ -147,7 +147,7 @@ object TermCols {
   /** Timestamp value of an xsd:dateTime/xsd:date literal; NULL otherwise. */
   def tsValue(c: Column): Column =
     when(isLiteral(c) && datatypeRaw(c).isin(Xsd.dateTime, Xsd.date),
-      to_timestamp(value(c)))
+      try_to_timestamp(value(c)))
 
   /** True for plain/xsd:string literals (no language tag). */
   def isSimpleString(c: Column): Column =

@@ -43,7 +43,8 @@ object ExprCompiler {
     case ECmp(op, l, r) => fromBoolean(cmp(op, term(l, env), term(r, env)))
     case EIn(x, list, neg) =>
       val c = term(x, env)
-      val anyEq = list.map(i => cmp("=", c, term(i, env))).reduceOption(_ || _).getOrElse(lit(false))
+      val anyEq = list.map(i => cmp("=", c, term(i, env))).reduceOption(_ || _)
+        .getOrElse(when(c.isNull, lit(null).cast(BooleanType)).otherwise(lit(false)))
       fromBoolean(if (neg) !anyEq else anyEq)
     case EArith(op, l, r) => arith(op, term(l, env), term(r, env))
     case ENeg(x) => negate(term(x, env))
@@ -72,7 +73,8 @@ object ExprCompiler {
     case EBound(v) => env(v.name).isNotNull
     case EIn(x, list, neg) =>
       val c = term(x, env)
-      val anyEq = list.map(i => cmp("=", c, term(i, env))).reduceOption(_ || _).getOrElse(lit(false))
+      val anyEq = list.map(i => cmp("=", c, term(i, env))).reduceOption(_ || _)
+        .getOrElse(when(c.isNull, lit(null).cast(BooleanType)).otherwise(lit(false)))
       if (neg) !anyEq else anyEq
     case other => ebvOfTerm(term(other, env))
   }
@@ -382,7 +384,7 @@ object ExprCompiler {
       when(v.isNotNull, fromLong(v)).otherwise(nullTerm)
     case t if t == Xsd.dateTime =>
       when(tsValue(c).isNotNull && datatypeRaw(c) === Xsd.dateTime, c)
-        .when(isSimpleString(c) && to_timestamp(value(c)).isNotNull, TermCols.typedLit(value(c), Xsd.dateTime))
+        .when(isSimpleString(c) && try_to_timestamp(value(c)).isNotNull, TermCols.typedLit(value(c), Xsd.dateTime))
         .when(datatypeRaw(c) === Xsd.date, TermCols.typedLit(concat(value(c), lit("T00:00:00")), Xsd.dateTime))
         .otherwise(nullTerm)
     case t if t == Xsd.date =>

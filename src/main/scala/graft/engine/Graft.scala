@@ -77,12 +77,13 @@ final class Graft(val quads: DataFrame) {
       .dropDuplicates()
   }
 
-  /** DESCRIBE: outgoing triples of all matched target terms
-    * (reference eval.rs:87-131 star-expands; we emit the standard
-    * outgoing-edge description). */
+  /** DESCRIBE: Concise Bounded Description — outgoing triples of the matched
+    * terms, recursively following blank-node objects to fixpoint
+    * (reference eval.rs:87-131). The bnode frontier shrinks each round, so
+    * the loop is bounded by the deepest bnode chain. */
   private def describe(q: DescribeQuery): DataFrame = {
     val rewriter = new Rewriter(spark, quads)
-    val targets: DataFrame = q.where match {
+    val targets0: DataFrame = q.where match {
       case Some(w) =>
         val p = rewriter.pattern(w, defaultScope(q.fromDefault))
         val cols = q.targets.collect { case VarPat(v) if p.vars.contains(v.name) => col(v.name) }
@@ -94,10 +95,20 @@ final class Graft(val quads: DataFrame) {
           spark.sparkContext.parallelize(iris.map(t => org.apache.spark.sql.Row(termRowOf(t))), 1),
           StructType(Seq(StructField("node", TermCols.schema))))
     }
-    quads.filter(col("graph").isNull)
-      .join(targets.hint("broadcast"), col("subject") === col("node"))
-      .select(col("subject"), col("predicate"), col("object"))
-      .dropDuplicates()
+    val dg = quads.filter(col("graph").isNull)
+    def outgoing(nodes: DataFrame): DataFrame =
+      dg.join(nodes.hint("broadcast"), col("subject") === col("node"))
+        .select(col("subject"), col("predicate"), col("object"))
+    var result = outgoing(targets0).dropDuplicates().localCheckpoint()
+    var frontier = result.filter(col("object.t") === TermType.BlankNode)
+      .select(col("object").as("node")).dropDuplicates().localCheckpoint()
+    while (!frontier.isEmpty) {
+      val next = outgoing(frontier).dropDuplicates().exceptAll(result).dropDuplicates().localCheckpoint()
+      result = result.unionAll(next).localCheckpoint()
+      frontier = next.filter(col("object.t") === TermType.BlankNode)
+        .select(col("object").as("node")).dropDuplicates().localCheckpoint()
+    }
+    result
   }
 
   private def termRowOf(t: RdfTerm): org.apache.spark.sql.Row = t match {

@@ -57,6 +57,14 @@ final class Rewriter(spark: SparkSession, quads: DataFrame) {
     }
     case Group(inner, keys, aggs) => group(pattern(inner, scope), keys, aggs, scope)
     case SubSelect(q) => select(q, scope)
+    case Service(_, inner, _) =>
+      // Federation is unsupported (as in the reference, testsuite/tests/
+      // sparql.rs ignore list). The empty relation reproduces the lazily-
+      // erroring stream's observable behaviour in ASK/UNION/JOIN.
+      val vars = inScopeVars(inner).map(_.name)
+      SPlan(spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(vars.map(v => StructField(v, graft.encoding.TermCols.schema)))),
+        vars, vars.toSet)
   }
 
   /** Single-row zero-variable relation — the join identity

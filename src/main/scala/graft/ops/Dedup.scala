@@ -34,10 +34,11 @@ object Dedup {
   def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"), t => length(t) > 0).as("ts"))
-    toks.select(col("id"), explode(
-      transform(sequence(lit(0), greatest(size(col("ts")) - k, lit(0))),
-        i => concat_ws(" ", slice(col("ts"), i + 1, lit(k))))).as("shingle"))
-      .where(length(col("shingle")) > 0).distinct()
+    toks.where(size(col("ts")) >= k) // docs shorter than k tokens have no k-shingle
+      .select(col("id"), explode(
+        transform(sequence(lit(0), size(col("ts")) - k),
+          i => concat_ws(" ", slice(col("ts"), i + 1, lit(k))))).as("shingle"))
+      .distinct()
   }
 
   /**

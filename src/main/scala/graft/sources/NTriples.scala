@@ -44,12 +44,14 @@ object NTriples {
   /** Parse N-Triples/N-Quads text already on the driver (small data / tests). */
   def fromString(spark: SparkSession, text: String): DataFrame = {
     import scala.jdk.CollectionConverters._
-    val rows: java.util.List[org.apache.spark.sql.Row] = text.linesIterator.flatMap(parseLine).map { q =>
-      org.apache.spark.sql.Row(q.graph.map(termRow).orNull, termRow(q.subject),
-        termRow(q.predicate), termRow(q.obj))
-    }.toList.asJava
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      text.linesIterator.flatMap(parseLine).map(quadRow).toList.asJava
     spark.createDataFrame(rows, quadSchema)
   }
+
+  private[graft] def quadRow(q: RdfQuad): org.apache.spark.sql.Row =
+    org.apache.spark.sql.Row(q.graph.map(termRow).orNull, termRow(q.subject),
+      termRow(q.predicate), termRow(q.obj))
 
   private def termRow(t: RdfTerm): org.apache.spark.sql.Row = t match {
     case Iri(v) => org.apache.spark.sql.Row(TermType.Iri, v, null, null)

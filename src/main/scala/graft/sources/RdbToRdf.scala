@@ -54,8 +54,9 @@ object RdbToRdf {
   def tableToQuads(df: DataFrame, table: String, pkCols: Seq[String],
                    fks: Seq[Fk] = Nil, graph: Option[String] = None): DataFrame = {
     // >2 pk columns = "no real key" marker → row-content hash subject
-    // (declared keys may be non-unique in synthetic data; full rows must be)
-    val pk = if (pkCols.size > 2) md5(concat_ws("|", df.columns.map(c => col(c).cast(StringType)): _*))
+    // (declared keys may be non-unique in synthetic data; full rows must be);
+    // xxhash64, not md5 — 8-byte hash, no hex-string materialisation
+    val pk = if (pkCols.size > 2) conv(xxhash64(df.columns.map(col): _*).cast(StringType), 10, 16)
              else concat_ws("-", pkCols.map(c => col(c).cast(StringType)): _*)
     val subj = subjectIri(table, pk)
 

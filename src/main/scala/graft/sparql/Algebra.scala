@@ -88,6 +88,11 @@ object Algebra {
                          aggregates: Seq[(Var, Aggregate)]) extends GraphPattern
   /** Sub-SELECT — full nested query as a pattern. */
   final case class SubSelect(query: SelectQuery) extends GraphPattern
+  /** SERVICE (federation). Unsupported at execution: evaluates as the empty
+    * relation, matching the reference's lazy-error observable behaviour in
+    * ASK/UNION/JOIN tests (SERVICE itself is unimplemented there too —
+    * testsuite/tests/sparql.rs ignore list). */
+  final case class Service(endpoint: TermPattern, inner: GraphPattern, silent: Boolean) extends GraphPattern
 
   final case class OrderCond(expr: Expr, ascending: Boolean)
 
@@ -157,6 +162,7 @@ object Algebra {
         if (keys.isEmpty && aggs.isEmpty) walk(i)
       case SubSelect(q) =>
         if (q.projection.isEmpty) walk(q.where) else buf ++= q.projection.map(_.v)
+      case Service(_, i, _) => walk(i)
     }
     walk(p)
     buf.toSeq
