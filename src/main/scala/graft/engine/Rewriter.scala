@@ -57,6 +57,7 @@ final class Rewriter(spark: SparkSession, quads: DataFrame) {
     }
     case Group(inner, keys, aggs) => group(pattern(inner, scope), keys, aggs, scope)
     case SubSelect(q) => select(q, scope)
+    case Lateral(l, r) => lateral(pattern(l, scope), r, scope)
     case Service(_, inner, _) =>
       // Federation is unsupported (as in the reference, testsuite/tests/
       // sparql.rs ignore list). The empty relation reproduces the lazily-
@@ -138,31 +139,34 @@ final class Rewriter(spark: SparkSession, quads: DataFrame) {
     * lib/logical/src/join/rewrite.rs:23-361): equi-join when every shared
     * variable is definitely bound on both sides, compat join otherwise. */
   private def join(l: SPlan, r: SPlan, joinType: String, filter: Option[Expr],
-                   scope: GraphScope): SPlan = {
-    val shared = l.vars.filter(r.vars.contains(_))
-    val rOnly = r.vars.filterNot(shared.contains)
+                   scope: GraphScope, idKeys: Seq[String] = Nil): SPlan = {
+    val shared = l.vars.filter(v => r.vars.contains(v) && !idKeys.contains(v))
+    val rOnly = r.vars.filterNot(v => shared.contains(v) || idKeys.contains(v))
     val outVars = l.vars ++ rOnly
 
     val needCompat = shared.exists(v => l.isNullable(v) || r.isNullable(v))
 
-    if (shared.isEmpty && filter.isEmpty) {
-      val df = if (joinType == "inner") l.df.crossJoin(r.df)
-               else l.df.join(r.df, lit(true), "left")
-      val mu = l.maybeUnbound ++ (if (joinType == "left") r.vars.toSet else r.maybeUnbound)
-      return SPlan(df, outVars, mu)
+    if (idKeys.isEmpty) {
+      if (shared.isEmpty && filter.isEmpty) {
+        val df = if (joinType == "inner") l.df.crossJoin(r.df)
+                 else l.df.join(r.df, lit(true), "left")
+        val mu = l.maybeUnbound ++ (if (joinType == "left") r.vars.toSet else r.maybeUnbound)
+        return SPlan(df, outVars, mu)
+      }
+      if (!needCompat && filter.isEmpty) {
+        // fast path: plain equi-join; Catalyst picks broadcast/SMJ/shuffle-hash
+        val df = l.df.join(r.df, shared, joinType)
+        val mu0 = l.maybeUnbound ++ r.maybeUnbound -- shared
+        val mu = if (joinType == "left") mu0 ++ rOnly else mu0
+        return SPlan(df, outVars, mu)
+      }
     }
 
-    if (!needCompat && filter.isEmpty) {
-      // fast path: plain equi-join; Catalyst picks broadcast/SMJ/shuffle-hash
-      val df = l.df.join(r.df, shared, joinType)
-      val mu0 = l.maybeUnbound ++ r.maybeUnbound -- shared
-      val mu = if (joinType == "left") mu0 ++ rOnly else mu0
-      return SPlan(df, outVars, mu)
-    }
-
-    // general path: explicit condition (compat per shared var + LeftJoin filter
-    // inside the condition, SPARQL semantics), then coalesce shared columns
+    // general path: explicit condition (native-typed idKey equality + compat
+    // per shared var + LeftJoin filter inside the condition, SPARQL
+    // semantics), then coalesce shared columns
     val rr = r.df.select(r.vars.map(v => col(v).as("__r_" + v)): _*)
+    val idCond = idKeys.map(k => col(k) === col("__r_" + k))
     val compat = shared.map { v =>
       if (!l.isNullable(v) && !r.isNullable(v)) col(v) === col("__r_" + v)
       else TermCols.isCompatible(col(v), col("__r_" + v))
@@ -175,7 +179,7 @@ final class Rewriter(spark: SparkSession, quads: DataFrame) {
         else TermCols.nullTerm
       ExprCompiler.ebv(f, env)
     }
-    val cond = (compat ++ filterCond).reduceOption(_ && _).getOrElse(lit(true))
+    val cond = (idCond ++ compat ++ filterCond).reduceOption(_ && _).getOrElse(lit(true))
     val joined = l.df.join(rr, cond, joinType)
     val out = outVars.map { v =>
       if (shared.contains(v)) coalesce(col(v), col("__r_" + v)).as(v)
@@ -254,20 +258,162 @@ final class Rewriter(spark: SparkSession, quads: DataFrame) {
     SPlan(df, in.vars, in.maybeUnbound)
   }
 
-  private def existsJoin(in: SPlan, p: GraphPattern, negated: Boolean, scope: GraphScope): SPlan = {
-    val inner = pattern(p, scope)
-    val shared = in.vars.filter(inner.vars.contains(_))
-    val jt = if (negated) "left_anti" else "left_semi"
-    if (shared.isEmpty) {
-      val df = in.df.join(inner.df.limit(1), lit(true), jt)
-      return SPlan(df, in.vars, in.maybeUnbound)
+  // ----------------------------------------------------- correlated patterns
+
+  /**
+   * Correlated (substitution-semantics) evaluation, shared by LATERAL and
+   * EXISTS: tag the outer solutions with a row id, evaluate the inner
+   * pattern with the outer bindings in scope, keep the id so outer rows can
+   * be matched back exactly (no cross-row compat leakage through unbound
+   * outer vars).
+   *
+   * The reference gets EXISTS correlation from DataFusion's
+   * DecorrelatePredicateSubquery (lib/execution/src/sparql/optimizer.rs:77-84)
+   * and LATERAL from spargebra's Lateral algebra node; here both decorrelate
+   * into plain joins keyed on the synthetic id (hash-join friendly).
+   */
+  private def withRowId(in: SPlan, lid: String): SPlan =
+    // localCheckpoint: the id column must be stable across the multiple
+    // branches that reference it (monotonically_increasing_id is
+    // deterministic only for a fixed partition layout)
+    SPlan(in.df.withColumn(lid, monotonically_increasing_id()).localCheckpoint(),
+      in.vars :+ lid, in.maybeUnbound)
+
+  private def lateral(l: SPlan, rp: GraphPattern, scope: GraphScope): SPlan = {
+    val lid = fresh("lid")
+    val ctx = withRowId(l, lid)
+    val r = lateralPattern(rp, ctx, lid, scope)
+    SPlan(r.df.drop(lid), r.vars.filterNot(_ == lid), r.maybeUnbound)
+  }
+
+  /** Evaluate `p` correlated with ctx (which carries the `lid` row id).
+    * Contract: the result contains lid + all ctx vars + p's vars. */
+  private def lateralPattern(p: GraphPattern, ctx: SPlan, lid: String,
+                             scope: GraphScope): SPlan = p match {
+    case Bgp(Nil) => ctx
+    case Bgp(ps) =>
+      ps.foldLeft(ctx)((acc, tp) => join(acc, scanTriple(tp, scope), "inner", None, scope))
+    case PathPattern(s, pa, o) => join(ctx, pathPattern(s, pa, o, scope), "inner", None, scope)
+    case ValuesPattern(vs, rows) => join(ctx, values(vs, rows), "inner", None, scope)
+    case Service(_, inner, _) => join(ctx, pattern(Service(null, inner, silent = true), scope), "inner", None, scope)
+    case Join(a, b) =>
+      join(lateralPattern(a, ctx, lid, scope),
+        lateralPattern(b, ctx, lid, scope), "inner", None, scope, idKeys = Seq(lid))
+    case LeftJoin(a, b, f) =>
+      join(lateralPattern(a, ctx, lid, scope),
+        lateralPattern(b, ctx, lid, scope), "left", f, scope, idKeys = Seq(lid))
+    case Filter(e, i) => filterPlan(lateralPattern(i, ctx, lid, scope), e, scope)
+    case Union(a, b) =>
+      union(lateralPattern(a, ctx, lid, scope), lateralPattern(b, ctx, lid, scope))
+    case Extend(i, v, e) =>
+      val in = lateralPattern(i, ctx, lid, scope)
+      val (expr2, plan2) = rewriteExists(e, in, scope)
+      val env = ExprCompiler.envOf(plan2.vars.toSet)
+      SPlan(plan2.df.withColumn(v.name, ExprCompiler.term(expr2, env)),
+        in.vars :+ v.name, in.maybeUnbound + v.name)
+    case Minus(a, b) =>
+      val A = lateralPattern(a, ctx, lid, scope)
+      val B = lateralPattern(b, ctx, lid, scope)
+      // per-outer-row MINUS: substituted outer vars are constants, so only
+      // inner-introduced shared vars count for the ≥1-bound-both rule
+      val shared = A.vars.filter(v => B.vars.contains(v) && v != lid && !ctx.vars.contains(v))
+      if (shared.isEmpty) A
+      else {
+        val rr = B.df.select((lid +: shared).map(v => col(v).as("__r_" + v)): _*)
+        val compat = shared.map(v => TermCols.isCompatible(col(v), col("__r_" + v)))
+        val anyBoth = shared.map(v => col(v).isNotNull && col("__r_" + v).isNotNull)
+        val cond = (col(lid) === col("__r_" + lid)) && compat.reduce(_ && _) && anyBoth.reduce(_ || _)
+        SPlan(A.df.join(rr, cond, "left_anti"), A.vars, A.maybeUnbound)
+      }
+    case GraphGraph(name, inner) => name match {
+      case TermPat(Iri(iri)) => lateralPattern(inner, ctx, lid, Named(iri))
+      case TermPat(t) => throw new IllegalArgumentException(s"GRAPH needs an IRI or variable, got $t")
+      case VarPat(v) => lateralPattern(inner, ctx, lid, NamedVar(v.name))
+      case BNodePat(l) => lateralPattern(inner, ctx, lid, NamedVar("__bnode_" + l))
     }
-    val rr = inner.df.select(shared.map(v => col(v).as("__r_" + v)): _*)
-    val cond = shared.map { v =>
-      if (!in.isNullable(v) && !inner.isNullable(v)) col(v) === col("__r_" + v)
-      else TermCols.isCompatible(col(v), col("__r_" + v))
-    }.reduce(_ && _)
-    SPlan(in.df.join(rr, cond, jt), in.vars, in.maybeUnbound)
+    case Group(i, keys, aggs) => lateralGroup(lateralPattern(i, ctx, lid, scope), keys, aggs, ctx, lid)
+    case SubSelect(q) => lateralSelect(q, ctx, lid, scope)
+    case Lateral(a, b) => lateral(lateralPattern(a, ctx, lid, scope), b, scope)
+  }
+
+  /** GROUP BY per outer row: group on (lid, keys), then restore outer vars
+    * from the ctx row. */
+  private def lateralGroup(in: SPlan, keys: Seq[(Var, Option[Expr])],
+                           aggs: Seq[(Var, Aggregate)], ctx: SPlan, lid: String): SPlan = {
+    var df = in.df
+    val env = ExprCompiler.envOf(in.vars.toSet)
+    keys.foreach {
+      case (v, Some(e)) => df = df.withColumn(v.name, ExprCompiler.term(e, env))
+      case _ =>
+    }
+    val argCols: Map[String, String] = aggs.collect {
+      case (v, Aggregate(_, _, Some(arg), _)) =>
+        val c = fresh("aggin")
+        df = df.withColumn(c, ExprCompiler.term(arg, env))
+        v.name -> c
+    }.toMap
+    val keyNames = lid +: keys.map(_._1.name)
+    val grouped =
+      if (aggs.isEmpty) df.select(keyNames.map(col): _*).dropDuplicates()
+      else {
+        val aggExprs = aggs.flatMap { case (v, a) => aggCols(v.name, a, argCols.get(v.name)) }
+        val g = df.groupBy(keyNames.map(col): _*).agg(aggExprs.head, aggExprs.tail: _*)
+        g.select(keyNames.map(col) ++ aggs.map { case (v, a) => aggFinal(v.name, a).as(v.name) }: _*)
+      }
+    val groupVars = keyNames.drop(1) ++ aggs.map(_._1.name)
+    // restore ctx vars not re-introduced as keys
+    val restore = ctx.vars.filterNot(v => groupVars.contains(v) || v == lid)
+    val ctxSide = ctx.df.select((lid +: restore).map(v => col(v).as("__c_" + v)): _*)
+    val joined = grouped.join(ctxSide, col(lid) === col("__c_" + lid))
+      .select((lid +: groupVars).map(col) ++ restore.map(v => col("__c_" + v).as(v)): _*)
+    val mu = ctx.maybeUnbound ++ aggs.collect { case (v, a) if a.name != "COUNT" => v.name } ++
+      keys.collect { case (v, Some(_)) => v.name }
+    SPlan(joined, (lid +: restore) ++ groupVars, mu)
+  }
+
+  /** Sub-SELECT per outer row: modifiers (DISTINCT / ORDER / LIMIT / OFFSET)
+    * apply within each outer row's partition — a window, not a global sort. */
+  private def lateralSelect(q: SelectQuery, ctx: SPlan, lid: String, scope: GraphScope): SPlan = {
+    import org.apache.spark.sql.expressions.Window
+    val plan = lateralPattern(q.where, ctx, lid, scope)
+    var df = plan.df
+    val env = ExprCompiler.envOf(plan.vars.toSet)
+    val projItems = if (q.projection.nonEmpty) q.projection
+                    else inScopeVars(q.where).map(v => ProjItem(v, None))
+    projItems.foreach {
+      case ProjItem(v, Some(e)) => df = df.withColumn(v.name, ExprCompiler.term(e, env))
+      case _ =>
+    }
+    val projNames = projItems.map(_.v.name)
+    val keep = (lid +: (ctx.vars.filterNot(_ == lid) ++ projNames).distinct)
+    df = df.select(keep.map(col): _*)
+    if (q.distinct || q.reduced) df = df.dropDuplicates(keep)
+    if (q.orderBy.nonEmpty || q.limit.isDefined || q.offset.isDefined) {
+      val orderKeys =
+        if (q.orderBy.nonEmpty) q.orderBy.map { c =>
+          val k = TermCols.sortKey(ExprCompiler.term(c.expr, ExprCompiler.envOf(keep.toSet)))
+          if (c.ascending) k.asc_nulls_first else k.desc_nulls_last
+        }
+        else Seq(monotonically_increasing_id().asc)
+      val w = Window.partitionBy(col(lid)).orderBy(orderKeys: _*)
+      val rn = fresh("rn")
+      df = df.withColumn(rn, row_number().over(w))
+      val lo = q.offset.getOrElse(0L)
+      df = df.filter(col(rn) > lo)
+      q.limit.foreach(n => df = df.filter(col(rn) <= lo + n))
+      df = df.drop(rn)
+    }
+    SPlan(df, keep, plan.maybeUnbound ++ projItems.collect { case ProjItem(v, Some(_)) => v.name })
+  }
+
+  private def existsJoin(in: SPlan, p: GraphPattern, negated: Boolean, scope: GraphScope): SPlan = {
+    val lid = fresh("lid")
+    val ctx = withRowId(in, lid)
+    val inner = lateralPattern(p, ctx, lid, scope)
+    val lids = inner.df.select(col(lid).as("__x_" + lid)).dropDuplicates()
+    val jt = if (negated) "left_anti" else "left_semi"
+    SPlan(ctx.df.join(lids, col(lid) === col("__x_" + lid), jt).drop(lid),
+      in.vars, in.maybeUnbound)
   }
 
   /** Replace nested EXISTS subexpressions with a boolean marker variable
@@ -296,27 +442,15 @@ final class Rewriter(spark: SparkSession, quads: DataFrame) {
   }
 
   private def existsMarker(in: SPlan, p: GraphPattern, marker: String, scope: GraphScope): SPlan = {
-    val inner = pattern(p, scope)
-    val shared = in.vars.filter(inner.vars.contains(_))
-    if (shared.isEmpty) {
-      val flag = !inner.df.isEmpty
-      return SPlan(in.df.withColumn(marker, ExprCompiler.termLit(Lit.boolean(flag))),
-        in.vars :+ marker, in.maybeUnbound)
-    }
-    val rr = inner.df.select(shared.map(v => col(v).as("__r_" + v)): _*)
-      .dropDuplicates().withColumn("__m", lit(true))
-    val cond = shared.map { v =>
-      if (!in.isNullable(v) && !inner.isNullable(v)) col(v) === col("__r_" + v)
-      else TermCols.isCompatible(col(v), col("__r_" + v))
-    }.reduce(_ && _)
-    val id = "__rowid_" + marker
-    val joined = in.df.withColumn(id, monotonically_increasing_id()).join(rr, cond, "left")
-    val aggExprs = in.vars.map(v => first(col(v)).as(v)) :+
-      TermCols.fromBoolean(coalesce(max(col("__m")), lit(false))).as(marker)
-    val agg = joined.groupBy(col(id))
-      .agg(aggExprs.head, aggExprs.tail: _*)
-      .drop(id)
-    SPlan(agg, in.vars :+ marker, in.maybeUnbound)
+    val lid = fresh("lid")
+    val ctx = withRowId(in, lid)
+    val inner = lateralPattern(p, ctx, lid, scope)
+    val lids = inner.df.select(col(lid).as("__x_" + lid)).dropDuplicates()
+      .withColumn("__m_" + lid, lit(true))
+    val joined = ctx.df.join(lids, col(lid) === col("__x_" + lid), "left")
+      .withColumn(marker, TermCols.fromBoolean(coalesce(col("__m_" + lid), lit(false))))
+      .drop(lid, "__x_" + lid, "__m_" + lid)
+    SPlan(joined, in.vars :+ marker, in.maybeUnbound)
   }
 
   // ------------------------------------------------------------- aggregation

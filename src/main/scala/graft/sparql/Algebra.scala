@@ -83,6 +83,9 @@ object Algebra {
   final case class GraphGraph(name: TermPattern, inner: GraphPattern) extends GraphPattern
   final case class Extend(inner: GraphPattern, v: Var, expr: Expr) extends GraphPattern
   final case class Minus(l: GraphPattern, r: GraphPattern) extends GraphPattern
+  /** SPARQL 1.2 LATERAL: evaluate `r` once per solution of `l` with l's
+    * bindings substituted (correlated join). */
+  final case class Lateral(l: GraphPattern, r: GraphPattern) extends GraphPattern
   final case class ValuesPattern(vars: Seq[Var], rows: Seq[Seq[Option[RdfTerm]]]) extends GraphPattern
   final case class Group(inner: GraphPattern, keys: Seq[(Var, Option[Expr])],
                          aggregates: Seq[(Var, Aggregate)]) extends GraphPattern
@@ -156,6 +159,7 @@ object Algebra {
       case GraphGraph(n, i) => tp(n); walk(i)
       case Extend(i, v, _) => walk(i); buf += v
       case Minus(l, _) => walk(l)
+      case Lateral(l, r) => walk(l); walk(r)
       case ValuesPattern(vs, _) => buf ++= vs
       case Group(i, keys, aggs) =>
         keys.foreach { case (v, _) => buf += v }; aggs.foreach { case (v, _) => buf += v }
