@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.encoding.TermCols
+import graft.engine.Graft
+import graft.model._
+import graft.sources.{NTriples, Turtle}
+
+/**
+ * Public store facade — the Spark counterpart of the reference's `Store`
+ * (/root/reference/lib/rdf-fusion/src/store.rs): load RDF files, persist to
+ * Parquet, run SPARQL, scan patterns, manage named graphs.
+ *
+ * Immutable-value style: mutating operations return a new QuadStore over the
+ * updated quads DataFrame (Spark DataFrames are immutable; "snapshot
+ * isolation" — mem_storage.rs:67-74 — falls out for free: each store value
+ * is one immutable snapshot).
+ *
+ * Persistence layout: Parquet sorted by (predicate, subject, object) lexical
+ * values — the virtual analogue of the reference's GSPO/GPOS/GOSP permutation
+ * indexes (lib/storage/src/memory/storage/quad_index.rs): one sorted copy
+ * gives selective min/max row-group pruning for the dominant access path
+ * (bound predicate), and the driver's column pruning handles the rest.
+ */
+final class QuadStore private (val quads: DataFrame) {
+
+  private def spark: SparkSession = quads.sparkSession
+  private lazy val engine = Graft(quads)
+
+  // ----------------------------------------------------------------- queries
+
+  /** Any SPARQL query form (reference store.rs:171-235). */
+  def query(sparql: String): DataFrame = engine.query(sparql)
+  def select(sparql: String): DataFrame = engine.select(sparql)
+  def ask(sparql: String): Boolean = engine.askBoolean(sparql)
+
+  /**
+   * Programmatic pattern scan (reference Store::quads_for_pattern,
+   * store.rs:272-307): None = wildcard. Field-level predicates keep parquet
+   * pushdown effective.
+   */
+  def quadsForPattern(graph: Option[Option[RdfTerm]] = None, subject: Option[RdfTerm] = None,
+                      predicate: Option[RdfTerm] = None, obj: Option[RdfTerm] = None): DataFrame = {
+    var df = quads
+    graph.foreach {
+      case None => df = df.filter(col("graph").isNull)
+      case Some(g) => df = df.filter(QuadStore.termEq(col("graph"), g))
+    }
+    subject.foreach(t => df = df.filter(QuadStore.termEq(col("subject"), t)))
+    predicate.foreach(t => df = df.filter(QuadStore.termEq(col("predicate"), t)))
+    obj.foreach(t => df = df.filter(QuadStore.termEq(col("object"), t)))
+    df
+  }
+
+  def count(): Long = quads.count()
+  def isEmpty: Boolean = quads.isEmpty
+
+  /** Distinct named-graph terms (reference Store::named_graphs). */
+  def namedGraphs(): DataFrame =
+    quads.filter(col("graph").isNotNull).select(col("graph")).dropDuplicates()
+
+  // ---------------------------------------------------------------- mutation
+
+  /** Add quads from another DataFrame (reference Store::extend). */
+  def union(other: DataFrame): QuadStore = new QuadStore(quads.unionByName(other))
+
+  def insert(qs: Seq[RdfQuad]): QuadStore =
+    union(Turtle.quadsToDF(spark, qs))
+
+  /** Remove all quads matching the given components (reference Store::remove
+    * / clear_graph / remove_named_graph). */
+  def remove(graph: Option[Option[RdfTerm]] = None, subject: Option[RdfTerm] = None,
+             predicate: Option[RdfTerm] = None, obj: Option[RdfTerm] = None): QuadStore = {
+    var cond: Column = lit(true)
+    graph.foreach {
+      case None => cond = cond && col("graph").isNull
+      case Some(g) => cond = cond && QuadStore.termEq(col("graph"), g)
+    }
+    subject.foreach(t => cond = cond && QuadStore.termEq(col("subject"), t))
+    predicate.foreach(t => cond = cond && QuadStore.termEq(col("predicate"), t))
+    obj.foreach(t => cond = cond && QuadStore.termEq(col("object"), t))
+    new QuadStore(quads.filter(!cond))
+  }
+
+  def clear(): QuadStore = new QuadStore(quads.limit(0))
+
+  // ------------------------------------------------------------- persistence
+
+  /** Persist as Parquet, sorted so row-group min/max stats prune pattern
+    * scans (reference parquet persistence: lib/storage/src/memory/
+    * persistence/parquet.rs:28-60 — flat PlainTerm quads file). */
+  def save(path: String, partitions: Int = 0): Unit = {
+    val base = if (partitions > 0) quads.repartition(partitions) else quads
+    base
+      .sortWithinPartitions(col("predicate.v"), col("subject.v"), col("object.v"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Serialise to N-Quads text files (reference Store::dump_to_writer). */
+  def dumpNQuads(path: String): Unit =
+    NTriples.toNQuadLines(quads).write.mode("overwrite").text(path)
+}
+
+object QuadStore {
+
+  def apply(quads: DataFrame): QuadStore = new QuadStore(quads)
+
+  def empty(spark: SparkSession): QuadStore =
+    new QuadStore(Turtle.quadsToDF(spark, Nil))
+
+  /** Restore from [[QuadStore#save]] output. */
+  def load(spark: SparkSession, path: String): QuadStore =
+    new QuadStore(spark.read.schema(NTriples.quadSchema).parquet(path))
+
+  /** Load RDF files by extension: .nt/.nq line-parallel, .ttl/.trig driver-
+    * parsed (reference Store::load_from_reader, store.rs:477-514). */
+  def loadFile(spark: SparkSession, path: String): QuadStore = {
+    val lower = path.toLowerCase
+    val df =
+      if (lower.endsWith(".ttl") || lower.endsWith(".trig")) Turtle.read(spark, path)
+      else NTriples.read(spark, path, quads = lower.endsWith(".nq"))
+    new QuadStore(df)
+  }
+
+  private[graft] def termEq(c: Column, t: RdfTerm): Column = t match {
+    case Iri(v) => c.getField("t") === TermType.Iri && c.getField("v") === v
+    case BNode(v) => c.getField("t") === TermType.BlankNode && c.getField("v") === v
+    case Lit(v, dt, lang) =>
+      val dtCanon = if (lang.isEmpty && (dt == null || dt == Xsd.string)) null
+                    else if (lang.isDefined) Rdf.langString else dt
+      c.getField("t") === TermType.Literal && c.getField("v") === v &&
+        c.getField("dt") <=> lit(dtCanon) && c.getField("lang") <=> lit(lang.orNull)
+  }
+}

