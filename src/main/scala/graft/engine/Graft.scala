@@ -112,10 +112,11 @@ final class Graft(val quads: DataFrame) {
   }
 
   private def termRowOf(t: RdfTerm): org.apache.spark.sql.Row = t match {
-    case Iri(v) => org.apache.spark.sql.Row(TermType.Iri, v, null, null)
-    case BNode(v) => org.apache.spark.sql.Row(TermType.BlankNode, v, null, null)
+    case Iri(v) => org.apache.spark.sql.Row(TermType.Iri, v, null, null, null)
+    case BNode(v) => org.apache.spark.sql.Row(TermType.BlankNode, v, null, null, null)
     case Lit(v, dt, lang) => org.apache.spark.sql.Row(TermType.Literal, v,
-      if (dt == Xsd.string && lang.isEmpty) null else dt, lang.orNull)
+      if (dt == Xsd.string && lang.isEmpty) null else dt, lang.orNull,
+      graft.sources.NTriples.numOf(v, dt))
   }
 }
 

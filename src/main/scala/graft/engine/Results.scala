@@ -1,0 +1,152 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.encoding.TermCols
+import graft.model.{Rdf, TermType, Xsd}
+
+/**
+ * SPARQL result serialisation — XML (SRX), JSON (SRJ), CSV, TSV — over a
+ * PlainTerm-struct result DataFrame. Mirrors the reference's result formats
+ * (query results surface lib/execution/src/results/, format test suites
+ * testsuite/tests/sparql.rs:72-92).
+ *
+ * CSV/TSV are row-parallel column expressions (`df.write.text`-ready);
+ * XML/JSON build the (small, user-facing) document on the driver via
+ * toLocalIterator — results at this point are the *output* of a query, not
+ * intermediate data.
+ */
+object Results {
+
+  // ---------------------------------------------------------------- escaping
+
+  private def xmlEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;").replace("\"", "&quot;")
+
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private final case class T(tpe: Byte, v: String, dt: String, lang: String)
+
+  private def termOf(r: Row, i: Int): Option[T] =
+    Option(r.getStruct(i)).map(st => T(st.getByte(0), st.getString(1), st.getString(2), st.getString(3)))
+
+  // --------------------------------------------------------------------- SRX
+
+  /** SPARQL Query Results XML (https://www.w3.org/TR/rdf-sparql-XMLres/). */
+  def toXml(df: DataFrame): String = {
+    val vars = df.columns
+    val sb = new StringBuilder
+    sb ++= "<?xml version=\"1.0\"?>\n<sparql xmlns=\"http://www.w3.org/2005/sparql-results#\">\n<head>"
+    vars.foreach(v => sb ++= s"""<variable name="${xmlEscape(v)}"/>""")
+    sb ++= "</head>\n<results>\n"
+    df.toLocalIterator().forEachRemaining { r =>
+      sb ++= "<result>"
+      vars.zipWithIndex.foreach { case (v, i) =>
+        termOf(r, i).foreach { t =>
+          sb ++= s"""<binding name="${xmlEscape(v)}">"""
+          t.tpe match {
+            case TermType.Iri => sb ++= s"<uri>${xmlEscape(t.v)}</uri>"
+            case TermType.BlankNode => sb ++= s"<bnode>${xmlEscape(t.v)}</bnode>"
+            case _ =>
+              if (t.lang != null) sb ++= s"""<literal xml:lang="${t.lang}">${xmlEscape(t.v)}</literal>"""
+              else if (t.dt != null && t.dt != Xsd.string)
+                sb ++= s"""<literal datatype="${xmlEscape(t.dt)}">${xmlEscape(t.v)}</literal>"""
+              else sb ++= s"<literal>${xmlEscape(t.v)}</literal>"
+          }
+          sb ++= "</binding>"
+        }
+      }
+      sb ++= "</result>\n"
+    }
+    sb ++= "</results>\n</sparql>\n"
+    sb.result()
+  }
+
+  def booleanXml(b: Boolean): String =
+    s"""<?xml version="1.0"?>\n<sparql xmlns="http://www.w3.org/2005/sparql-results#"><head/><boolean>$b</boolean></sparql>\n"""
+
+  // --------------------------------------------------------------------- SRJ
+
+  /** SPARQL Query Results JSON (https://www.w3.org/TR/sparql11-results-json/). */
+  def toJson(df: DataFrame): String = {
+    val vars = df.columns
+    val sb = new StringBuilder
+    sb ++= """{"head":{"vars":[""" + vars.map(v => "\"" + jsonEscape(v) + "\"").mkString(",") +
+      """]},"results":{"bindings":["""
+    var first = true
+    df.toLocalIterator().forEachRemaining { r =>
+      if (!first) sb += ','
+      first = false
+      sb += '{'
+      var firstB = true
+      vars.zipWithIndex.foreach { case (v, i) =>
+        termOf(r, i).foreach { t =>
+          if (!firstB) sb += ','
+          firstB = false
+          sb ++= "\"" + jsonEscape(v) + "\":{"
+          t.tpe match {
+            case TermType.Iri => sb ++= s""""type":"uri","value":"${jsonEscape(t.v)}""""
+            case TermType.BlankNode => sb ++= s""""type":"bnode","value":"${jsonEscape(t.v)}""""
+            case _ =>
+              sb ++= s""""type":"literal","value":"${jsonEscape(t.v)}""""
+              if (t.lang != null) sb ++= s""","xml:lang":"${t.lang}""""
+              else if (t.dt != null && t.dt != Xsd.string) sb ++= s""","datatype":"${jsonEscape(t.dt)}""""
+          }
+          sb += '}'
+        }
+      }
+      sb += '}'
+    }
+    sb ++= "]}}"
+    sb.result()
+  }
+
+  def booleanJson(b: Boolean): String = s"""{"head":{},"boolean":$b}"""
+
+  // ----------------------------------------------------------------- CSV/TSV
+
+  /** CSV (values only, RFC 4180 quoting) as a distributed single-column DF —
+    * write with `.write.text(...)`. Header row must be prepended by caller
+    * (or use [[csvString]] for a driver-side document). */
+  def toCsvLines(df: DataFrame): DataFrame = {
+    val cells = df.columns.map { c =>
+      val v = TermCols.value(col(c))
+      val needsQuote = v.contains(",") || v.contains("\"") || v.contains("\n")
+      when(col(c).isNull, lit(""))
+        .otherwise(when(needsQuote,
+          concat(lit("\""), regexp_replace(v, "\"", "\"\""), lit("\""))).otherwise(v))
+    }
+    df.select(concat_ws(",", cells: _*).as("value"))
+  }
+
+  /** TSV with full term syntax (SPARQL 1.1 TSV results format). */
+  def toTsvLines(df: DataFrame): DataFrame = {
+    def fmt(c: org.apache.spark.sql.Column) = {
+      val esc = regexp_replace(regexp_replace(regexp_replace(
+        TermCols.value(c), "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\n", "\\\\n")
+      when(c.isNull, lit(""))
+        .when(TermCols.isIri(c), concat(lit("<"), TermCols.value(c), lit(">")))
+        .when(TermCols.isBlank(c), concat(lit("_:"), TermCols.value(c)))
+        .when(TermCols.langTag(c).isNotNull,
+          concat(lit("\""), esc, lit("\"@"), TermCols.langTag(c)))
+        .when(TermCols.datatypeRaw(c).isNotNull && TermCols.datatypeRaw(c) =!= Xsd.string,
+          concat(lit("\""), esc, lit("\"^^<"), TermCols.datatypeRaw(c), lit(">")))
+        .otherwise(concat(lit("\""), esc, lit("\"")))
+    }
+    df.select(concat_ws("\t", df.columns.map(c => fmt(col(c))): _*).as("value"))
+  }
+
+  def csvString(df: DataFrame): String =
+    (df.columns.mkString(",") +: toCsvLines(df).collect().map(_.getString(0)).toSeq).mkString("\r\n") + "\r\n"
+
+  def tsvString(df: DataFrame): String =
+    (df.columns.map("?" + _).mkString("\t") +: toTsvLines(df).collect().map(_.getString(0)).toSeq).mkString("\n") + "\n"
+}

@@ -35,7 +35,15 @@ final class Rewriter(spark: SparkSession, quads: DataFrame) {
 
   def pattern(p: GraphPattern, scope: GraphScope): SPlan = p match {
     case Bgp(Nil) => unitPlan
-    case Bgp(ps) => ps.map(scanTriple(_, scope)).reduce(join(_, _, "inner", None, scope))
+    case Bgp(ps) =>
+      // BGP self-joins over the quad relation: sides are similar-sized slices
+      // of the same table, where Catalyst's static estimate (post-filter) is
+      // unreliable and tends to broadcast half the table. Hint shuffle-hash;
+      // genuinely small sides still end up broadcast via AQE when unhinted
+      // joins surround this, and shuffle-hash on small data is near-free.
+      ps.map(scanTriple(_, scope)).reduce { (a, b) =>
+        join(a, b.copy(df = b.df.hint("shuffle_hash")), "inner", None, scope)
+      }
     case PathPattern(s, path, o) => pathPattern(s, path, o, scope)
     case Join(l, r) => join(pattern(l, scope), pattern(r, scope), "inner", None, scope)
     case LeftJoin(l, r, f) => join(pattern(l, scope), pattern(r, scope), "left", f, scope)
@@ -201,6 +209,12 @@ final class Rewriter(spark: SparkSession, quads: DataFrame) {
   private def minus(l: SPlan, r: SPlan): SPlan = {
     val shared = l.vars.filter(r.vars.contains(_))
     if (shared.isEmpty) return l
+    // fast path: every shared var definitely bound on both sides →
+    // compat ≡ equality and the ≥1-bound-both condition is always true →
+    // plain equi anti-join (hash join, not the O(n·m) non-equi fallback)
+    if (shared.forall(v => !l.isNullable(v) && !r.isNullable(v)))
+      return SPlan(l.df.join(r.df.select(shared.map(col): _*), shared, "left_anti"),
+        l.vars, l.maybeUnbound)
     val rr = r.df.select(shared.map(v => col(v).as("__r_" + v)): _*)
     val compat = shared.map(v => TermCols.isCompatible(col(v), col("__r_" + v)))
     val anyBoth = shared.map(v => col(v).isNotNull && col("__r_" + v).isNotNull)
@@ -230,13 +244,14 @@ final class Rewriter(spark: SparkSession, quads: DataFrame) {
   }
 
   private def termRow(t: RdfTerm): Row = t match {
-    case Iri(v) => Row(TermType.Iri, v, null, null)
-    case BNode(v) => Row(TermType.BlankNode, v, null, null)
+    case Iri(v) => Row(TermType.Iri, v, null, null, null)
+    case BNode(v) => Row(TermType.BlankNode, v, null, null, null)
     case Lit(v, dt, lang) =>
       Row(TermType.Literal, v,
         if (dt == Xsd.string && lang.isEmpty) null
         else if (lang.isDefined) Rdf.langString else dt,
-        lang.orNull)
+        lang.orNull,
+        graft.sources.NTriples.numOf(v, dt))
   }
 
   // ------------------------------------------------------------------ filter
@@ -407,11 +422,26 @@ final class Rewriter(spark: SparkSession, quads: DataFrame) {
   }
 
   private def existsJoin(in: SPlan, p: GraphPattern, negated: Boolean, scope: GraphScope): SPlan = {
+    val jt = if (negated) "left_anti" else "left_semi"
+    // fast path: the pattern's expressions only use its own in-scope vars →
+    // no substitution needed beyond the shared pattern vars → direct
+    // semi/anti join (no row-id materialisation)
+    if (exprRefVars(p).map(_.name).subsetOf(inScopeVars(p).map(_.name).toSet)) {
+      val inner = pattern(p, scope)
+      val shared = in.vars.filter(inner.vars.contains(_))
+      if (shared.isEmpty)
+        return SPlan(in.df.join(inner.df.limit(1), lit(true), jt), in.vars, in.maybeUnbound)
+      if (shared.forall(v => !in.isNullable(v) && !inner.isNullable(v)))
+        return SPlan(in.df.join(inner.df.select(shared.map(col): _*), shared, jt),
+          in.vars, in.maybeUnbound)
+      val rr = inner.df.select(shared.map(v => col(v).as("__r_" + v)): _*)
+      val cond = shared.map(v => TermCols.isCompatible(col(v), col("__r_" + v))).reduce(_ && _)
+      return SPlan(in.df.join(rr, cond, jt), in.vars, in.maybeUnbound)
+    }
     val lid = fresh("lid")
     val ctx = withRowId(in, lid)
     val inner = lateralPattern(p, ctx, lid, scope)
     val lids = inner.df.select(col(lid).as("__x_" + lid)).dropDuplicates()
-    val jt = if (negated) "left_anti" else "left_semi"
     SPlan(ctx.df.join(lids, col(lid) === col("__x_" + lid), jt).drop(lid),
       in.vars, in.maybeUnbound)
   }
@@ -505,7 +535,12 @@ final class Rewriter(spark: SparkSession, quads: DataFrame) {
         Seq(c.as(s"__${out}_cnt"))
       case "SUM" | "AVG" =>
         val x = in.get
-        val dec = if (a.distinct) sum_distinct(numDecimal(x)) else sum(numDecimal(x))
+        // the exact-decimal sum is only consulted when the group contains NO
+        // double/float values (type ladder), so guard the expensive
+        // string→decimal parse to non-double rows — all-double groups never
+        // pay it (they use the pre-decoded num field via numDouble)
+        val decIn = when(!isDoubleTyped(x), numDecimal(x))
+        val dec = if (a.distinct) sum_distinct(decIn) else sum(decIn)
         val dbl = if (a.distinct) sum_distinct(numDouble(x)) else sum(numDouble(x))
         val cntNum = sum(when(isNumeric(x), 1L).otherwise(0L))
         Seq(dec.as(s"__${out}_dec"), dbl.as(s"__${out}_dbl"),

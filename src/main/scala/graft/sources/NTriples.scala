@@ -54,12 +54,19 @@ object NTriples {
       termRow(q.predicate), termRow(q.obj))
 
   private def termRow(t: RdfTerm): org.apache.spark.sql.Row = t match {
-    case Iri(v) => org.apache.spark.sql.Row(TermType.Iri, v, null, null)
-    case BNode(v) => org.apache.spark.sql.Row(TermType.BlankNode, v, null, null)
+    case Iri(v) => org.apache.spark.sql.Row(TermType.Iri, v, null, null, null)
+    case BNode(v) => org.apache.spark.sql.Row(TermType.BlankNode, v, null, null, null)
     case Lit(v, dt, lang) =>
       org.apache.spark.sql.Row(TermType.Literal, v,
-        if (dt == Xsd.string && lang.isEmpty) null else dt, lang.orNull)
+        if (dt == Xsd.string && lang.isEmpty) null else dt, lang.orNull,
+        numOf(v, dt))
   }
+
+  /** Pre-decoded numeric field (see TermCols.schema). */
+  private[graft] def numOf(v: String, dt: String): java.lang.Double =
+    if (dt != null && Xsd.numericTypes.contains(dt))
+      try java.lang.Double.valueOf(v.trim.toDouble) catch { case _: NumberFormatException => null }
+    else null
 
   /** Parse one N-Triples/N-Quads line → quad. Comments/blank lines → None.
     * Malformed lines raise (strict, like the reference's parser). */

@@ -139,6 +139,49 @@ object Algebra {
 
   // ------------------------------------------------------------------ helpers
 
+  /** Variables referenced inside a pattern's expressions (FILTER/BIND/
+    * HAVING/sub-select modifiers) — used to decide whether an EXISTS needs
+    * the correlated (substitution) evaluation or a plain semi-join. */
+  def exprRefVars(p: GraphPattern): Set[Var] = {
+    val buf = scala.collection.mutable.Set[Var]()
+    def expr(e: Expr): Unit = e match {
+      case EVar(v) => buf += v
+      case EBound(v) => buf += v
+      case EOr(l, r) => expr(l); expr(r)
+      case EAnd(l, r) => expr(l); expr(r)
+      case ENot(x) => expr(x)
+      case ECmp(_, l, r) => expr(l); expr(r)
+      case EIn(x, list, _) => expr(x); list.foreach(expr)
+      case EArith(_, l, r) => expr(l); expr(r)
+      case ENeg(x) => expr(x)
+      case EIf(c, t, f) => expr(c); expr(t); expr(f)
+      case ECoalesce(args) => args.foreach(expr)
+      case ECall(_, args) => args.foreach(expr)
+      case EExists(i, _) => buf ++= exprRefVars(i) ++ inScopeVars(i)
+      case EAgg(a) => a.arg.foreach(expr)
+      case ETerm(_) =>
+    }
+    def walk(g: GraphPattern): Unit = g match {
+      case Filter(e, i) => expr(e); walk(i)
+      case Extend(i, _, e) => expr(e); walk(i)
+      case Join(l, r) => walk(l); walk(r)
+      case LeftJoin(l, r, f) => walk(l); walk(r); f.foreach(expr)
+      case Union(l, r) => walk(l); walk(r)
+      case Minus(l, r) => walk(l); walk(r)
+      case Lateral(l, r) => walk(l); walk(r)
+      case GraphGraph(_, i) => walk(i)
+      case Group(i, keys, aggs) =>
+        walk(i); keys.foreach(_._2.foreach(expr)); aggs.foreach(_._2.arg.foreach(expr))
+      case SubSelect(q) =>
+        walk(q.where); q.projection.foreach(_.expr.foreach(expr))
+        q.orderBy.foreach(o => expr(o.expr)); q.having.foreach(expr)
+      case Service(_, i, _) => walk(i)
+      case Bgp(_) | PathPattern(_, _, _) | ValuesPattern(_, _) =>
+    }
+    walk(p)
+    buf.toSet
+  }
+
   /** In-scope variables of a pattern (used for nullability bookkeeping and
     * SELECT * expansion — reference computes the same per-node schema,
     * lib/logical/src/patterns/mod.rs). */
