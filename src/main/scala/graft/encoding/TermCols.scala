@@ -70,7 +70,8 @@ object TermCols {
     * is not a valid cast.) */
   def literal(v: Column, dt: Column, lang: Column): Column =
     mk(lit(TermType.Literal), v, dt, lang,
-      when(dt.isin(Xsd.numericTypes: _*), v.cast(StringType).cast(DoubleType)).otherwise(nullNum))
+      when(coalesce(dt.isin(Xsd.numericTypes: _*), lit(false)),
+        v.cast(StringType).try_cast(DoubleType)).otherwise(nullNum))
 
   def typedLit(v: Column, dt: String): Column = literal(v, lit(dt), nullStr)
 
@@ -86,12 +87,14 @@ object TermCols {
   def fromBoolean(b: Column): Column =
     when(b.isNull, nullTerm).otherwise(typedLit(when(b, "true").otherwise("false"), Xsd.boolean))
 
-  def fromLong(c: Column): Column =
-    mk(lit(TermType.Literal), c.cast(StringType), lit(Xsd.integer), nullStr, c.cast(DoubleType))
-  def fromDouble(c: Column): Column =
-    mk(lit(TermType.Literal), dblToLexical(c), lit(Xsd.double), nullStr, c.cast(DoubleType))
-  def fromDecimal(c: Column): Column =
-    mk(lit(TermType.Literal), decToLexical(c), lit(Xsd.decimal), nullStr, c.cast(DoubleType))
+  // NULL input (e.g. an unparseable operand) propagates to the unbound/error
+  // term, never to a literal struct with a NULL value
+  def fromLong(c: Column): Column = when(c.isNull, nullTerm).otherwise(
+    mk(lit(TermType.Literal), c.cast(StringType), lit(Xsd.integer), nullStr, c.cast(DoubleType)))
+  def fromDouble(c: Column): Column = when(c.isNull, nullTerm).otherwise(
+    mk(lit(TermType.Literal), dblToLexical(c), lit(Xsd.double), nullStr, c.cast(DoubleType)))
+  def fromDecimal(c: Column): Column = when(c.isNull, nullTerm).otherwise(
+    mk(lit(TermType.Literal), decToLexical(c), lit(Xsd.decimal), nullStr, c.cast(DoubleType)))
 
   /** Decimal(36,16) → canonical lexical form: strip trailing zeros ("3.5000…0"
     * → "3.5", "4.0000…0" → "4"). */
@@ -125,9 +128,11 @@ object TermCols {
       .otherwise(coalesce(datatypeRaw(c),
         when(langTag(c).isNotNull, Rdf.langString).otherwise(Xsd.string)))
 
-  /** True when the literal's datatype is in the numeric promotion ladder. */
+  /** True when the literal's datatype is in the numeric promotion ladder.
+    * NB coalesce: `isin` over a NULL datatype (simple literal) is NULL, not
+    * false. */
   def isNumeric(c: Column): Column =
-    isLiteral(c) && datatypeRaw(c).isin(Xsd.numericTypes: _*)
+    isLiteral(c) && coalesce(datatypeRaw(c).isin(Xsd.numericTypes: _*), lit(false))
 
   /** Numeric value as double; NULL when not numeric or unparsable.
     * Cross-type numeric comparison and most arithmetic run on this view;
@@ -137,20 +142,20 @@ object TermCols {
   /** Numeric value as Decimal(36,16) — the reference's exact-decimal scale
     * (lib/model/src/xsd/decimal.rs:26-27). */
   def numDecimal(c: Column): Column =
-    when(isNumeric(c), value(c).cast(DecimalType(36, 16)))
+    when(isNumeric(c), value(c).try_cast(DecimalType(36, 16)))
       .otherwise(lit(null).cast(DecimalType(36, 16)))
 
   /** True when the datatype is integer-family (no decimal/float/double). */
   def isIntegerTyped(c: Column): Column =
-    isLiteral(c) && datatypeRaw(c).isin(
+    isLiteral(c) && coalesce(datatypeRaw(c).isin(
       Seq(Xsd.integer, Xsd.int, Xsd.long, Xsd.short, Xsd.byte_,
         Xsd.nonNegativeInteger, Xsd.nonPositiveInteger, Xsd.negativeInteger,
         Xsd.positiveInteger, Xsd.unsignedLong, Xsd.unsignedInt,
-        Xsd.unsignedShort, Xsd.unsignedByte): _*)
+        Xsd.unsignedShort, Xsd.unsignedByte): _*), lit(false))
 
   def isDecimalTyped(c: Column): Column = isLiteral(c) && datatypeRaw(c) === Xsd.decimal
   def isDoubleTyped(c: Column): Column =
-    isLiteral(c) && datatypeRaw(c).isin(Xsd.double, Xsd.float)
+    isLiteral(c) && coalesce(datatypeRaw(c).isin(Xsd.double, Xsd.float), lit(false))
 
   /** Boolean value of an xsd:boolean literal; NULL otherwise. */
   def boolValue(c: Column): Column =

@@ -368,16 +368,16 @@ object ExprCompiler {
         .when(isSimpleString(c) && value(c).isin("false", "0"), fromBoolean(lit(false)))
         .otherwise(nullTerm)
     case t if t == Xsd.double || t == Xsd.float =>
-      val v = when(isNumeric(c) || isSimpleString(c), value(c).cast(DoubleType))
+      val v = when(isNumeric(c) || isSimpleString(c), value(c).try_cast(DoubleType))
         .when(boolValue(c).isNotNull, boolValue(c).cast(DoubleType))
       when(v.isNotNull, TermCols.typedLit(dblLex(v), t)).otherwise(nullTerm)
     case t if t == Xsd.decimal =>
-      val v = when(isNumeric(c) || isSimpleString(c), value(c).cast(DecimalType(36, 16)))
+      val v = when(isNumeric(c) || isSimpleString(c), value(c).try_cast(DecimalType(36, 16)))
         .when(boolValue(c).isNotNull, boolValue(c).cast(DecimalType(36, 16)))
       when(v.isNotNull, fromDecimal(v)).otherwise(nullTerm)
     case t if t == Xsd.integer || t == Xsd.int || t == Xsd.long =>
       // "1.5" → error; "1"/bool/int-valued numerics fine; double 1.9 truncates per XPath
-      val fromStr = when(value(c).rlike("^[+-]?\\d+$"), value(c).cast(LongType))
+      val fromStr = when(value(c).rlike("^[+-]?\\d+$"), value(c).try_cast(LongType))
       val v = when(isSimpleString(c), fromStr)
         .when(isNumeric(c), numDecimal(c).cast(LongType))
         .when(boolValue(c).isNotNull, boolValue(c).cast(LongType))
