@@ -219,6 +219,23 @@ object SparkEntry {
   private def fingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")
 
+  private def embNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+      minCosine = 0.3, nPlanes = 8).orderBy("id_a", "id_b")
+
+  private def rollingFp(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.rollingFingerprints(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("id", "band")
+
+  private def qualityScore(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text")
+      .select("doc_id", "score").orderBy("doc_id")
+
+  private def frameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+      Multimodal.syntheticMedia(t(s, dir, "documents"), "doc_id"), n = 4)
+      .orderBy("media_id", "frame_index")
+
   private def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(
       Multimodal.syntheticMedia(t(s, dir, "documents"), "doc_id"))
@@ -252,6 +269,10 @@ object SparkEntry {
     "lang_id" -> langId,
     "token_stats" -> tokenStats,
     "fingerprint" -> fingerprint,
+    "rolling_fp" -> rollingFp,
+    "quality_score" -> qualityScore,
+    "emb_near_dup" -> embNearDup,
+    "frame_sample" -> frameSample,
     "multimodal_features" -> multimodalFeatures)
 
   /** DuckDB oracle SQL (same column names/types as the Spark results).

@@ -21,20 +21,24 @@ final class Graft(val quads: DataFrame) {
 
   /** SELECT → DataFrame of PlainTerm structs, one column per variable. */
   def select(text: String): DataFrame = SparqlParser.parse(text) match {
-    case q: SelectQuery => new Rewriter(spark, quads).select(q, defaultScope(q.fromDefault)).df
+    case q: SelectQuery =>
+      new Rewriter(spark, quads, q.fromNamed.map(_.value)).select(q, defaultScope(q.fromDefault)).df
     case other => throw new IllegalArgumentException(s"not a SELECT query: ${other.getClass.getSimpleName}")
   }
 
   /** Any query form, dispatched. */
   def query(text: String): DataFrame = SparqlParser.parse(text) match {
-    case q: SelectQuery => new Rewriter(spark, quads).select(q, defaultScope(q.fromDefault)).df
+    case q: SelectQuery =>
+      new Rewriter(spark, quads, q.fromNamed.map(_.value)).select(q, defaultScope(q.fromDefault)).df
     case q: AskQuery => ask(q)
     case q: ConstructQuery => construct(q)
     case q: DescribeQuery => describe(q)
   }
 
   def askBoolean(text: String): Boolean = SparqlParser.parse(text) match {
-    case q: AskQuery => !new Rewriter(spark, quads).pattern(q.where, defaultScope(q.fromDefault)).df.isEmpty
+    case q: AskQuery =>
+      !new Rewriter(spark, quads, q.fromNamed.map(_.value))
+        .pattern(q.where, defaultScope(q.fromDefault)).df.isEmpty
     case other => throw new IllegalArgumentException(s"not an ASK query: $other")
   }
 
@@ -55,7 +59,7 @@ final class Graft(val quads: DataFrame) {
    * Template blank nodes are scoped per-solution via a row id.
    */
   private def construct(q: ConstructQuery): DataFrame = {
-    val rewriter = new Rewriter(spark, quads)
+    val rewriter = new Rewriter(spark, quads, q.fromNamed.map(_.value))
     val plan = rewriter.select(
       SelectQuery(Nil, distinct = false, reduced = false, q.where, Nil, None,
         q.orderBy, q.offset, q.limit, q.fromDefault, q.fromNamed, q.base, q.prefixes),
@@ -82,7 +86,7 @@ final class Graft(val quads: DataFrame) {
     * (reference eval.rs:87-131). The bnode frontier shrinks each round, so
     * the loop is bounded by the deepest bnode chain. */
   private def describe(q: DescribeQuery): DataFrame = {
-    val rewriter = new Rewriter(spark, quads)
+    val rewriter = new Rewriter(spark, quads, q.fromNamed.map(_.value))
     val targets0: DataFrame = q.where match {
       case Some(w) =>
         val p = rewriter.pattern(w, defaultScope(q.fromDefault))

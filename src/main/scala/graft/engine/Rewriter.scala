@@ -24,7 +24,8 @@ import graft.sparql.Algebra._
  * Pattern filters are field-level predicates (`subject.v = …`) so parquet
  * row-group pruning and pushdown apply.
  */
-final class Rewriter(spark: SparkSession, quads: DataFrame) {
+final class Rewriter(spark: SparkSession, quads: DataFrame,
+                     fromNamed: Seq[String] = Nil) {
 
   import GraphScope._
 
@@ -86,8 +87,14 @@ final class Rewriter(spark: SparkSession, quads: DataFrame) {
   private def scopedQuads(scope: GraphScope): (DataFrame, Option[String]) = scope match {
     case DefaultGraph => (quads.filter(col("graph").isNull), None)
     case Named(iri) =>
-      (quads.filter(col("graph.t") === TermType.Iri && col("graph.v") === iri), None)
-    case NamedVar(v) => (quads.filter(col("graph").isNotNull), Some(v))
+      // with FROM NAMED, GRAPH <iri> only matches listed graphs
+      val ok = fromNamed.isEmpty || fromNamed.contains(iri)
+      (quads.filter(lit(ok) && col("graph.t") === TermType.Iri && col("graph.v") === iri), None)
+    case NamedVar(v) =>
+      val base = quads.filter(col("graph").isNotNull)
+      val df = if (fromNamed.isEmpty) base
+               else base.filter(col("graph.v").isin(fromNamed: _*))
+      (df, Some(v))
     case UnionOf(iris) =>
       // FROM merge semantics: triples from any listed graph, deduplicated
       (quads.filter(col("graph.t") === TermType.Iri && col("graph.v").isin(iris: _*))
