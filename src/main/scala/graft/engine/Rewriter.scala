@@ -604,7 +604,30 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
   private def pathPattern(s: TermPattern, path: PropertyPath, o: TermPattern,
                           scope: GraphScope): SPlan = {
     val (df0, gvar) = scopedQuads(scope)
-    val paths = pathDF(path, df0) // columns: g, src, tgt
+    // bound-endpoint closures grow from the seed instead of materialising the
+    // full transitive closure — the difference between O(reachable-from-x)
+    // and O(all-paths) work at scale. A bound object seeds the reversed walk.
+    val paths = (path, s, o) match {
+      case (PathOneOrMore(i), TermPat(t), _) =>
+        closure(pathDF(i, df0), Some(seedDF(df0, t)))
+      case (PathOneOrMore(i), _, TermPat(t)) =>
+        closure(pathDF(i, df0).select(col("g"), col("tgt").as("src"), col("src").as("tgt")),
+            Some(seedDF(df0, t)))
+          .select(col("g"), col("tgt").as("src"), col("src").as("tgt"))
+      case (PathZeroOrMore(i), TermPat(t), _) =>
+        val seed = seedDF(df0, t)
+        val zero = seed.select(col("g"), col("n").as("src"), col("n").as("tgt"))
+        zero.unionAll(closure(pathDF(i, df0), Some(seed))).dropDuplicates()
+      case (PathZeroOrMore(i), _, TermPat(t)) =>
+        val seed = seedDF(df0, t)
+        val zero = seed.select(col("g"), col("n").as("src"), col("n").as("tgt"))
+        zero.unionAll(
+            closure(pathDF(i, df0).select(col("g"), col("tgt").as("src"), col("src").as("tgt")),
+                Some(seed))
+              .select(col("g"), col("tgt").as("src"), col("src").as("tgt")))
+          .dropDuplicates()
+      case _ => pathDF(path, df0)
+    }
     var df = paths
     s match { case TermPat(t) => df = df.filter(termFilter(col("src"), t)); case _ => }
     o match { case TermPat(t) => df = df.filter(termFilter(col("tgt"), t)); case _ => }
@@ -676,11 +699,24 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
    * distributed hash join; localCheckpoint cuts lineage so plans stay flat.
    * Scales with cluster size where the reference is single-node here.
    */
-  private def closure(edges0: DataFrame): DataFrame = {
+  /** Seed nodes (g, n) for a bound-endpoint closure walk. */
+  private def seedDF(scoped: DataFrame, t: RdfTerm): DataFrame =
+    scoped.select(col("graph").as("g"), col("subject").as("n"))
+      .unionAll(scoped.select(col("graph").as("g"), col("object").as("n")))
+      .filter(termFilter(col("n"), t)).dropDuplicates()
+
+  private def closure(edges0: DataFrame, seeds: Option[DataFrame] = None): DataFrame = {
     val edges = edges0.dropDuplicates().localCheckpoint()
-    var all = edges
-    var delta = edges
-    var iterating = true
+    var all = seeds match {
+      case None => edges
+      case Some(sd) =>
+        // only edges leaving a seed node start the walk
+        val s = sd.select(col("g").as("sg"), col("n"))
+        edges.join(s, col("src") === col("n") && (col("g") <=> col("sg")))
+          .select(col("g"), col("src"), col("tgt")).dropDuplicates().localCheckpoint()
+    }
+    var delta = all
+    var iterating = !delta.isEmpty
     while (iterating) {
       val d = delta.select(col("g").as("dg"), col("src").as("dsrc"), col("tgt").as("dtgt"))
       val next = d.join(edges, col("dtgt") === col("src") && (col("dg") <=> col("g")))

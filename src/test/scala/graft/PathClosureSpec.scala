@@ -1,0 +1,75 @@
+package graft
+
+import graft.engine.Graft
+import graft.sources.NTriples
+
+/** Transitive-closure paths: seeded walks, cycles, deep chains, nested
+  * EXISTS, custom function registry. */
+class PathClosureSpec extends SparkSpec {
+
+  private val EX = "http://ex.org/"
+
+  test("bound-start p+ only explores reachable nodes (seeded closure)") {
+    val g = Graft(NTriples.fromString(spark,
+      (1 to 30).map(i => s"<${EX}n$i> <${EX}next> <${EX}n${i + 1}> .").mkString("\n") +
+        s"\n<${EX}other1> <${EX}next> <${EX}other2> .\n"))
+    val df = g.select(s"SELECT ?y WHERE { <${EX}n25> <${EX}next>+ ?y }")
+    assert(lex(df, "y") == (26 to 31).map(i => s"${EX}n$i").sorted)
+  }
+
+  test("bound-end p+ walks backwards from the object") {
+    val g = Graft(NTriples.fromString(spark,
+      (1 to 10).map(i => s"<${EX}n$i> <${EX}next> <${EX}n${i + 1}> .").mkString("\n")))
+    val df = g.select(s"SELECT ?x WHERE { ?x <${EX}next>+ <${EX}n3> }")
+    assert(lex(df, "x") == Seq(s"${EX}n1", s"${EX}n2"))
+  }
+
+  test("bound-start p* includes the zero-length path") {
+    val g = Graft(NTriples.fromString(spark,
+      s"""<${EX}a> <${EX}p> <${EX}b> .
+         |<${EX}b> <${EX}p> <${EX}c> .
+         |""".stripMargin))
+    val df = g.select(s"SELECT ?y WHERE { <${EX}a> <${EX}p>* ?y }")
+    assert(lex(df, "y") == Seq(s"${EX}a", s"${EX}b", s"${EX}c"))
+  }
+
+  test("closure terminates on cycles") {
+    val g = Graft(NTriples.fromString(spark,
+      s"""<${EX}a> <${EX}p> <${EX}b> .
+         |<${EX}b> <${EX}p> <${EX}c> .
+         |<${EX}c> <${EX}p> <${EX}a> .
+         |""".stripMargin))
+    val df = g.select(s"SELECT ?y WHERE { <${EX}a> <${EX}p>+ ?y }")
+    assert(lex(df, "y") == Seq(s"${EX}a", s"${EX}b", s"${EX}c"))
+  }
+
+  test("deep chain closure (120 hops) does not blow the lineage") {
+    val n = 120
+    val g = Graft(NTriples.fromString(spark,
+      (1 to n).map(i => s"<${EX}c$i> <${EX}next> <${EX}c${i + 1}> .").mkString("\n")))
+    val df = g.select(s"SELECT (COUNT(?y) AS ?c) WHERE { <${EX}c1> <${EX}next>+ ?y }")
+    assert(lex(df, "c") == Seq(n.toString))
+  }
+
+  test("nested EXISTS inside expressions (marker path)") {
+    val g = Graft(NTriples.fromString(spark,
+      s"""<${EX}a> <${EX}name> "A" .
+         |<${EX}a> <${EX}knows> <${EX}b> .
+         |<${EX}b> <${EX}name> "B" .
+         |""".stripMargin))
+    val df = g.select(
+      s"""SELECT ?n ?r WHERE { ?x <${EX}name> ?n .
+         |BIND(IF(EXISTS { ?x <${EX}knows> ?y }, "yes", "no") AS ?r) } ORDER BY ?n""".stripMargin)
+    assert(rows(df, "n", "r") == Set(Seq("A", "yes"), Seq("B", "no")))
+  }
+
+  test("custom function registry by IRI") {
+    import org.apache.spark.sql.functions._
+    graft.engine.ExprCompiler.Registry.register(s"${EX}reverse",
+      args => graft.encoding.TermCols.str(reverse(graft.encoding.TermCols.value(args(0)))))
+    val g = Graft(NTriples.fromString(spark, s"""<${EX}a> <${EX}name> "abc" ."""))
+    val df = g.select(
+      s"""SELECT ?r WHERE { ?x <${EX}name> ?n . BIND(<${EX}reverse>(?n) AS ?r) }""")
+    assert(lex(df, "r") == Seq("cba"))
+  }
+}
