@@ -707,26 +707,58 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
 
   private def closure(edges0: DataFrame, seeds: Option[DataFrame] = None): DataFrame = {
     val edges = edges0.dropDuplicates().localCheckpoint()
-    var all = seeds match {
-      case None => edges
+    seeds match {
       case Some(sd) =>
-        // only edges leaving a seed node start the walk
+        // seeded walk: the frontier only ever holds nodes reachable from the
+        // seeds — rounds are linear in path depth but each round touches
+        // O(frontier) data, not the whole graph
         val s = sd.select(col("g").as("sg"), col("n"))
-        edges.join(s, col("src") === col("n") && (col("g") <=> col("sg")))
+        var all = edges.join(s, col("src") === col("n") && (col("g") <=> col("sg")))
           .select(col("g"), col("src"), col("tgt")).dropDuplicates().localCheckpoint()
+        var delta = all
+        var rounds = 0
+        // linear BFS rounds are O(frontier) work but pay fixed driver/job
+        // overhead per hop — right for shallow graphs; past maxLinear hops a
+        // deep structure is cheaper to finish with one path-doubled closure
+        // composed onto the reach so far (log(diameter) further rounds)
+        val maxLinear = 16
+        while (!delta.isEmpty && rounds < maxLinear) {
+          rounds += 1
+          val d = delta.select(col("g").as("dg"), col("src").as("dsrc"), col("tgt").as("dtgt"))
+          val next = d.join(edges, col("dtgt") === col("src") && (col("dg") <=> col("g")))
+            .select(col("dg").as("g"), col("dsrc").as("src"), col("tgt"))
+            .dropDuplicates()
+          delta = next.except(all).localCheckpoint()
+          if (!delta.isEmpty) all = all.unionAll(delta).localCheckpoint()
+        }
+        if (!delta.isEmpty) {
+          val full = closure(edges, None)
+          val a = all.select(col("g").as("ag"), col("src").as("asrc"), col("tgt").as("atgt"))
+          all = a.join(full, col("atgt") === col("src") && (col("ag") <=> col("g")))
+            .select(col("ag").as("g"), col("asrc").as("src"), col("tgt"))
+            .unionAll(all).dropDuplicates().localCheckpoint()
+        }
+        all
+      case None =>
+        // full closure: path doubling — T ∪ T∘T per round, log(diameter)
+        // rounds instead of the reference's single-partition linear loop
+        // (lib/physical/src/paths/kleene_plus/physical.rs:246-290)
+        var all = edges
+        var grew = true
+        var size = all.count()
+        while (grew) {
+          val a = all.select(col("g").as("ag"), col("src").as("asrc"), col("tgt").as("atgt"))
+          val next = a.join(all, col("atgt") === col("src") && (col("ag") <=> col("g")))
+            .select(col("ag").as("g"), col("asrc").as("src"), col("tgt"))
+            .unionAll(all)
+            .dropDuplicates().localCheckpoint()
+          val n2 = next.count()
+          grew = n2 > size
+          size = n2
+          all = next
+        }
+        all
     }
-    var delta = all
-    var iterating = !delta.isEmpty
-    while (iterating) {
-      val d = delta.select(col("g").as("dg"), col("src").as("dsrc"), col("tgt").as("dtgt"))
-      val next = d.join(edges, col("dtgt") === col("src") && (col("dg") <=> col("g")))
-        .select(col("dg").as("g"), col("dsrc").as("src"), col("tgt"))
-        .dropDuplicates()
-      delta = next.except(all).localCheckpoint()
-      if (delta.isEmpty) iterating = false
-      else all = all.unionAll(delta).localCheckpoint() // delta ∩ all = ∅ → union stays distinct
-    }
-    all
   }
 
   // ===================================================================== query
