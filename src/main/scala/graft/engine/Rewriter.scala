@@ -660,10 +660,11 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
         Some(q.filter(!col("predicate.v").isin(rev.map(_.value): _*))
           .select(col("graph").as("g"), col("object").as("src"), col("subject").as("tgt")))
       else None
+      // bag semantics: !(…) is a predicate test on a single triple match
       (f, r) match {
-        case (Some(a), Some(b)) => a.unionAll(b).dropDuplicates()
-        case (Some(a), None) => a.dropDuplicates()
-        case (None, Some(b)) => b.dropDuplicates()
+        case (Some(a), Some(b)) => a.unionAll(b)
+        case (Some(a), None) => a
+        case (None, Some(b)) => b
         case _ => throw new IllegalArgumentException("empty negated property set")
       }
     case PathReverse(i) =>
@@ -673,11 +674,13 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
       // the same checkpointed DataFrame)
       val l = pathDF(a, q).select(col("g").as("lg"), col("src").as("lsrc"), col("tgt").as("ltgt"))
       val r = pathDF(b, q)
+      // bag semantics: p1/p2 ≡ { ?s p1 ?mid . ?mid p2 ?o } (one row per
+      // intermediate witness, SPARQL 18.4 path translation) — no dedup,
+      // and one less shuffle per step
       l.join(r, col("ltgt") === col("src") && (col("lg") <=> col("g")))
         .select(col("lg").as("g"), col("lsrc").as("src"), col("tgt"))
-        .dropDuplicates()
-    case PathAlternative(a, b) =>
-      pathDF(a, q).unionAll(pathDF(b, q)).dropDuplicates()
+    case PathAlternative(a, b) => // bag semantics (UNION translation)
+      pathDF(a, q).unionAll(pathDF(b, q))
     case PathZeroOrOne(i) => zeroLength(q).unionAll(pathDF(i, q)).dropDuplicates()
     case PathZeroOrMore(i) => zeroLength(q).unionAll(closure(pathDF(i, q))).dropDuplicates()
     case PathOneOrMore(i) => closure(pathDF(i, q))
