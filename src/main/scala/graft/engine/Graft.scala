@@ -90,7 +90,9 @@ final class Graft(val quads: DataFrame) {
     val targets0: DataFrame = q.where match {
       case Some(w) =>
         val p = rewriter.pattern(w, defaultScope(q.fromDefault))
-        val cols = q.targets.collect { case VarPat(v) if p.vars.contains(v.name) => col(v.name) }
+        // DESCRIBE * = all in-scope variables
+        val wanted = if (q.targets.isEmpty) p.vars.map(Var(_)).map(VarPat(_)) else q.targets
+        val cols = wanted.collect { case VarPat(v) if p.vars.contains(v.name) => col(v.name) }
         if (cols.isEmpty) throw new IllegalArgumentException("DESCRIBE vars not in WHERE")
         cols.map(c => p.df.select(c.as("node"))).reduce(_ unionAll _).dropDuplicates()
       case None =>
