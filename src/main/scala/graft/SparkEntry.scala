@@ -110,6 +110,31 @@ object SparkEntry {
       .orderBy("flag")
   }
 
+  /** Windfarm-style time-series-over-RDF: aggregate sensor-ish values per
+    * type through the SPARQL engine (reference bench/src/benchmarks/windfarm
+    * shape — grouped production aggregation). */
+  private def sparqlEventsAgg(s: SparkSession, dir: String): DataFrame = {
+    val res = graftOver(s, dir, "events").select(
+      """SELECT ?type (COUNT(?e) AS ?n) (SUM(?v) AS ?total) (MAX(?v) AS ?vmax) WHERE {
+        |  ?e <urn:g:events#event_type> ?type .
+        |  ?e <urn:g:events#value> ?v .
+        |} GROUP BY ?type ORDER BY ?type""".stripMargin)
+    Graft.decode(res, Map("n" -> LongType, "total" -> DoubleType, "vmax" -> DoubleType))
+      .select(col("type"), col("n"), round(col("total"), 2).as("total"),
+        round(col("vmax"), 2).as("vmax"))
+      .orderBy("type")
+  }
+
+  /** DISTINCT aggregates + SAMPLE through the engine. */
+  private def sparqlDistinctAgg(s: SparkSession, dir: String): DataFrame = {
+    val res = graftOver(s, dir, "orders", "customer").select(
+      """SELECT ?status (COUNT(DISTINCT ?c) AS ?custs) (COUNT(?o) AS ?orders) WHERE {
+        |  ?o <urn:g:orders#o_orderstatus> ?status .
+        |  ?o <urn:g:orders#ref_customer> ?c .
+        |} GROUP BY ?status ORDER BY ?status""".stripMargin)
+    Graft.decode(res, Map("custs" -> LongType, "orders" -> LongType)).orderBy("status")
+  }
+
   // -------------------------------------------------------- relational / OLAP
 
   private def q1LineitemAgg(s: SparkSession, dir: String): DataFrame =
@@ -254,6 +279,8 @@ object SparkEntry {
     "sparql_path_seq" -> sparqlPathSeq,
     "sparql_exists" -> sparqlExists,
     "sparql_bind_sum" -> sparqlBindSum,
+    "sparql_events_agg" -> sparqlEventsAgg,
+    "sparql_distinct_agg" -> sparqlDistinctAgg,
     "q1_lineitem_agg" -> q1LineitemAgg,
     "q3_top_revenue" -> q3TopRevenue,
     "q5_region_revenue" -> q5RegionRevenue,
@@ -313,6 +340,14 @@ object SparkEntry {
       """SELECT l_returnflag AS flag,
         |       CAST(round(sum(l_extendedprice * (1 - l_discount)), 0) AS BIGINT) AS revenue
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sparql_events_agg" ->
+      """SELECT event_type AS type, count(*) AS n,
+        |       round(sum(value), 2) AS total, round(max(value), 2) AS vmax
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sparql_distinct_agg" ->
+      """SELECT o_orderstatus AS status, count(DISTINCT o_custkey) AS custs,
+        |       count(*) AS orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q1_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,
