@@ -89,12 +89,18 @@ object TermCols {
 
   // NULL input (e.g. an unparseable operand) propagates to the unbound/error
   // term, never to a literal struct with a NULL value
-  def fromLong(c: Column): Column = when(c.isNull, nullTerm).otherwise(
-    mk(lit(TermType.Literal), c.cast(StringType), lit(Xsd.integer), nullStr, c.cast(DoubleType)))
-  def fromDouble(c: Column): Column = when(c.isNull, nullTerm).otherwise(
-    mk(lit(TermType.Literal), dblToLexical(c), lit(Xsd.double), nullStr, c.cast(DoubleType)))
-  def fromDecimal(c: Column): Column = when(c.isNull, nullTerm).otherwise(
-    mk(lit(TermType.Literal), decToLexical(c), lit(Xsd.decimal), nullStr, c.cast(DoubleType)))
+  def fromLong(c: Column): Column = when(c.isNull, nullTerm).otherwise(fromLongRaw(c))
+  def fromDouble(c: Column): Column = when(c.isNull, nullTerm).otherwise(fromDoubleRaw(c))
+  def fromDecimal(c: Column): Column = when(c.isNull, nullTerm).otherwise(fromDecimalRaw(c))
+
+  /** Unguarded constructors for bulk mapping paths where NULL source rows
+    * are filtered separately — skips a per-term branch in codegen. */
+  def fromLongRaw(c: Column): Column =
+    mk(lit(TermType.Literal), c.cast(StringType), lit(Xsd.integer), nullStr, c.cast(DoubleType))
+  def fromDoubleRaw(c: Column): Column =
+    mk(lit(TermType.Literal), dblToLexical(c), lit(Xsd.double), nullStr, c.cast(DoubleType))
+  def fromDecimalRaw(c: Column): Column =
+    mk(lit(TermType.Literal), decToLexical(c), lit(Xsd.decimal), nullStr, c.cast(DoubleType))
 
   /** Decimal(36,16) → canonical lexical form: strip trailing zeros ("3.5000…0"
     * → "3.5", "4.0000…0" → "4"). */

@@ -33,11 +33,13 @@ object RdbToRdf {
 
   def predIri(table: String, colName: String): String = s"$Base$table#$colName"
 
-  /** Literal term from a native column, typed by its Spark type. */
+  /** Literal term from a native column, typed by its Spark type. NULL cells
+    * are filtered by tableToQuads, so the raw (unguarded) constructors
+    * apply. */
   def litTerm(c: Column, dt: DataType): Column = dt match {
-    case ByteType | ShortType | IntegerType | LongType => TermCols.fromLong(c)
-    case FloatType | DoubleType => TermCols.fromDouble(c)
-    case _: DecimalType => TermCols.fromDecimal(c)
+    case ByteType | ShortType | IntegerType | LongType => TermCols.fromLongRaw(c)
+    case FloatType | DoubleType => TermCols.fromDoubleRaw(c)
+    case _: DecimalType => TermCols.fromDecimalRaw(c)
     case BooleanType => TermCols.fromBoolean(c)
     case TimestampType => TermCols.fromTimestamp(c)
     case DateType => TermCols.typedLit(date_format(c, "yyyy-MM-dd"), graft.model.Xsd.date)
