@@ -221,6 +221,39 @@ class EngineSpec extends SparkSpec {
     assert(rows(df, "d", "i") == Set(Seq("30", "7")))
   }
 
+  test("REDUCED permits deduplication") {
+    val df = g.select(s"""SELECT REDUCED ?p WHERE { ?s ?p ?o }""")
+    assert(df.count() == 3) // our REDUCED = full dedup (permitted by spec)
+  }
+
+  test("CONSTRUCT with bnode template scopes bnodes per solution") {
+    val df = g.query(
+      s"""CONSTRUCT { ?a <${EX}via> _:x . _:x <${EX}to> ?b } WHERE { ?a <${EX}knows> ?b }""")
+    assert(df.count() == 6) // 3 solutions × 2 template triples
+    // the 3 _:x bnodes must be distinct across solutions
+    val bnodes = df.select("object.v").where("object.t = 1").collect().map(_.getString(0)).toSet
+    assert(bnodes.size == 3)
+  }
+
+  test("FROM NAMED restricts GRAPH matching") {
+    val q1 = g.select(
+      s"""SELECT ?g FROM NAMED <${EX}graph1> WHERE { GRAPH ?g { ?s ?p ?o } }""")
+    assert(lex(q1, "g") == Seq(s"${EX}graph1"))
+    val q2 = g.select(
+      s"""SELECT ?g FROM NAMED <${EX}other> WHERE { GRAPH ?g { ?s ?p ?o } }""")
+    assert(q2.count() == 0)
+    val q3 = g.select(
+      s"""SELECT ?o FROM NAMED <${EX}other> WHERE { GRAPH <${EX}graph1> { ?s ?p ?o } }""")
+    assert(q3.count() == 0) // graph1 not in the named list
+  }
+
+  test("queries over an empty store") {
+    val empty = Graft(NTriples.fromString(spark, ""))
+    assert(empty.select("SELECT ?s WHERE { ?s ?p ?o }").count() == 0)
+    assert(!empty.askBoolean("ASK { ?s ?p ?o }"))
+    assert(lex(empty.select("SELECT (COUNT(?s) AS ?c) WHERE { ?s ?p ?o }"), "c") == Seq("0"))
+  }
+
   test("HAVING") {
     val df = g.select(
       s"""SELECT ?a (COUNT(?b) AS ?c) WHERE { ?a <${EX}knows> ?b } GROUP BY ?a HAVING(COUNT(?b) > 1)""")
