@@ -18,12 +18,17 @@ object Bench {
       spark.read.parquet(s"$sfDir/region.parquet").count()
     } catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink consumes every row + column (count() would let Catalyst
-      // prune the computed columns — dishonest timing)
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      // two samples, report the min (criterion-style noise floor — host-level
+      // jitter on shared VMs swings single runs by ±30%+)
+      val samples = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        // noop sink consumes every row + column (count() would let Catalyst
+        // prune the computed columns — dishonest timing)
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> samples.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
