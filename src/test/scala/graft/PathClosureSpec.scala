@@ -51,6 +51,21 @@ class PathClosureSpec extends SparkSpec {
     assert(lex(df, "c") == Seq(n.toString))
   }
 
+  test("paths under GRAPH ?g stay within one graph and bind the graph var") {
+    val g = Graft(NTriples.fromString(spark,
+      s"""<${EX}a> <${EX}p> <${EX}b> <${EX}g1> .
+         |<${EX}b> <${EX}p> <${EX}c> <${EX}g1> .
+         |<${EX}b> <${EX}p> <${EX}d> <${EX}g2> .
+         |""".stripMargin))
+    // closure must not cross graphs: a→b (g1), b→d (g2) must NOT yield a→d
+    val df = g.select(s"SELECT ?gr ?y WHERE { GRAPH ?gr { <${EX}a> <${EX}p>+ ?y } }")
+    assert(rows(df, "gr", "y") ==
+      Set(Seq(s"${EX}g1", s"${EX}b"), Seq(s"${EX}g1", s"${EX}c")))
+    // bound graph scoping
+    val df2 = g.select(s"SELECT ?y WHERE { GRAPH <${EX}g2> { ?x <${EX}p>+ ?y } }")
+    assert(lex(df2, "y") == Seq(s"${EX}d"))
+  }
+
   test("nested EXISTS inside expressions (marker path)") {
     val g = Graft(NTriples.fromString(spark,
       s"""<${EX}a> <${EX}name> "A" .
