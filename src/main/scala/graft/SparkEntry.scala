@@ -228,6 +228,10 @@ object SparkEntry {
   private def annCosine(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineTopK(t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L, k = 10)
 
+  private def annIvf(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+      queryId = 0L, k = 10, nClusters = 16, nProbe = 4)
+
   private def annLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.annTopK(t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L, k = 10,
       nPlanes = 6, probeHamming = 1)
@@ -292,6 +296,7 @@ object SparkEntry {
     "dedup_simhash" -> dedupSimhash,
     "ann_cosine" -> annCosine,
     "ann_lsh" -> annLsh,
+    "ann_ivf" -> annIvf,
     "text_quality" -> textQuality,
     "lang_id" -> langId,
     "token_stats" -> tokenStats,

@@ -79,6 +79,55 @@ object Similarity {
       .limit(k)
   }
 
+  // ------------------------------------------------------------------- IVF
+
+  /**
+   * IVF (inverted-file) index: KMeans centroids (deterministic seed) +
+   * per-vector cluster assignment. Returns (centroids, indexed DF with a
+   * `cluster` column). At scale the index build is one MLlib job and the
+   * assignment a broadcast map-side pass; searches then touch only
+   * `nProbe`/`k` of the corpus.
+   */
+  def ivfIndex(emb: DataFrame, idCol: String, vecCol: String,
+               nClusters: Int = 16, seed: Long = 42L): (Array[Array[Double]], DataFrame) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = emb.select(col(idCol), toDouble(col(vecCol)).as("v"))
+      .withColumn("features", array_to_vector(col("v")))
+    val model = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(20).fit(feat)
+    val centroids = model.clusterCenters.map(_.toArray)
+    val indexed = model.transform(feat)
+      .select(col(idCol), col("v"), col("prediction").as("cluster"))
+    (centroids, indexed)
+  }
+
+  /** Nearest `nProbe` centroids to a query vector (driver-side — the
+    * centroid table is tiny). */
+  private def nearestClusters(centroids: Array[Array[Double]], q: Array[Double],
+                              nProbe: Int): Seq[Int] =
+    centroids.zipWithIndex.map { case (c, i) =>
+      val d = c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
+      (i, d)
+    }.sortBy(_._2).take(nProbe).map(_._1).toSeq
+
+  /**
+   * IVF approximate top-k: probe the closest `nProbe` inverted lists and
+   * re-rank exactly by cosine — the cluster filter is a partition-prunable
+   * predicate, so only nProbe/k of the corpus is read.
+   */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
+              k: Int, nClusters: Int = 16, nProbe: Int = 4): DataFrame = {
+    val (centroids, indexed) = ivfIndex(emb, idCol, vecCol, nClusters)
+    val qvec = indexed.where(col(idCol) === queryId).select(col("v"))
+      .collect()(0).getSeq[Double](0).toArray
+    val probes = nearestClusters(centroids, qvec, nProbe)
+    val qlit = typedlit(qvec.toSeq)
+    indexed.where(col("cluster").isin(probes: _*) && col(idCol) =!= queryId)
+      .select(col(idCol), round(cosine(col("v"), qlit), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /**
    * All-pairs within-bucket near neighbours (embedding near-dup candidates):
    * bucket by LSH signature, self-join inside buckets only.

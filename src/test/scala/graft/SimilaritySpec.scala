@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+/** Similarity search: exact vs approximate recall on real embeddings. */
+class SimilaritySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select("vec_id").collect().map(_.getLong(0)).toSeq
+
+  test("exact cosine top-k is ordered and excludes the query") {
+    val top = Similarity.cosineTopK(emb, "vec_id", "embedding", queryId = 0L, k = 10)
+    val rows = top.collect()
+    assert(rows.length == 10)
+    assert(!ids(top).contains(0L))
+    val sims = rows.map(_.getAs[Double]("sim"))
+    assert(sims.sameElements(sims.sorted.reverse))
+  }
+
+  test("IVF top-k has reasonable recall vs exact") {
+    val exact = ids(Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 10)).toSet
+    val ivf = ids(Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 10,
+      nClusters = 8, nProbe = 4)).toSet
+    assert(ivf.size == 10)
+    assert((exact & ivf).size >= 5, s"recall too low: ${(exact & ivf).size}/10")
+  }
+
+  test("LSH ANN returns k candidates") {
+    val ann = Similarity.annTopK(emb, "vec_id", "embedding", 0L, 10, nPlanes = 6)
+    assert(ann.count() == 10)
+  }
+}
