@@ -24,8 +24,10 @@ object SparkEntry {
     * materialise the whole virtual quad union, destroying the per-predicate
     * branch pruning + column pruning that make pattern scans read only the
     * needed parquet columns (measured 3× slower cached). */
-  private def graftOver(s: SparkSession, dir: String, tables: String*): Graft =
-    Graft(RdbToRdf.tpchQuads(s, dir, tables))
+  private def graftOver(s: SparkSession, dir: String, tables: String*): Graft = {
+    val m = RdbToRdf.mapping(s, dir, tables)
+    Graft(m.quads, m) // star source: same-subject BGPs fuse to one table scan
+  }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -25,7 +25,8 @@ import graft.sparql.Algebra._
  * row-group pruning and pushdown apply.
  */
 final class Rewriter(spark: SparkSession, quads: DataFrame,
-                     fromNamed: Seq[String] = Nil) {
+                     fromNamed: Seq[String] = Nil,
+                     star: Option[StarSource] = None) {
 
   import GraphScope._
 
@@ -42,7 +43,7 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
       // unreliable and tends to broadcast half the table. Hint shuffle-hash;
       // genuinely small sides still end up broadcast via AQE when unhinted
       // joins surround this, and shuffle-hash on small data is near-free.
-      ps.map(scanTriple(_, scope)).reduce { (a, b) =>
+      bgpPlans(ps, scope).reduce { (a, b) =>
         join(a, b.copy(df = b.df.hint("shuffle_hash")), "inner", None, scope)
       }
     case PathPattern(s, path, o) => pathPattern(s, path, o, scope)
@@ -145,6 +146,82 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     }
     val outVars = varSlots.map(_._1).distinct
     val proj = varSlots.groupBy(_._1).view.mapValues(_.head._2).toMap
+    SPlan(df.select(outVars.map(v => col(proj(v)).as(v)): _*), outVars, Set.empty)
+  }
+
+  // ------------------------------------------------------------- star fusion
+
+  /**
+   * BGP → per-pattern plans, with same-subject star fusion: patterns that
+   * share a subject variable, have a bound IRI predicate, and whose
+   * predicates co-locate in one base relation of the [[StarSource]] compile
+   * to ONE scan of that relation instead of N quad scans + N−1 subject
+   * joins. Output order preserves each pattern/group's first occurrence so
+   * the surrounding join fold keeps its shape.
+   *
+   * Semantics: the star scan is exactly the inner same-subject join of the
+   * group's patterns (StarSource contract), so fusing is join-associativity,
+   * nothing more. Fusion only applies in the default graph — named-graph
+   * scopes fall back to quad scans.
+   */
+  private def bgpPlans(ps: Seq[TriplePattern], scope: GraphScope): Seq[SPlan] = {
+    val src = star match {
+      case Some(s) if scope == DefaultGraph => s
+      case _ => return ps.map(scanTriple(_, scope))
+    }
+    def fusible(tp: TriplePattern): Option[(String, String)] = (tp.p, varName(tp.s)) match {
+      case (TermPat(Iri(p)), Some(sv)) => Some((sv, p))
+      case _ => None
+    }
+    // group key: subject variable; only groups of ≥2 fusible patterns where
+    // the source answers the star become fused
+    val groups: Map[String, Seq[TriplePattern]] =
+      ps.flatMap(tp => fusible(tp).map { case (sv, _) => sv -> tp })
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val fused = scala.collection.mutable.Map.empty[String, SPlan]
+    for ((sv, group) <- groups if group.size >= 2) {
+      val preds = group.map(tp => fusible(tp).get._2)
+      src.starScan(preds).foreach { case (df, names) =>
+        fused(sv) = starPlan(df, names, sv, group)
+      }
+    }
+    // emit: fused plan at its group's first pattern, others individually
+    val emitted = scala.collection.mutable.Set.empty[String]
+    ps.flatMap { tp =>
+      fusible(tp).map(_._1).filter(fused.contains) match {
+        case Some(sv) =>
+          if (emitted.add(sv)) Some(fused(sv)) else None
+        case None => Some(scanTriple(tp, scope))
+      }
+    }
+  }
+
+  /** Build the SPlan for one fused star group over the star-scan DataFrame
+    * (columns: subject + one term column per predicate). Bound objects become
+    * filters; repeated variables (incl. subject-as-object) become equality
+    * filters — same treatment as scanTriple. */
+  private def starPlan(df0: DataFrame, predCol: Map[String, String],
+                       subjVar: String, group: Seq[TriplePattern]): SPlan = {
+    var df = df0
+    val objSlots: Seq[(String, String)] = group.flatMap { tp =>
+      val ocol = tp.p match {
+        case TermPat(Iri(p)) => predCol(p)
+        case other => throw new IllegalStateException(s"unfusible pattern $other")
+      }
+      tp.o match {
+        case TermPat(t) => df = df.filter(termFilter(col(ocol), t)); None
+        case other => varName(other).map(v => v -> ocol)
+      }
+    }
+    val slots = (subjVar -> "subject") +: objSlots
+    slots.groupBy(_._1).foreach { case (_, occ) =>
+      occ.map(_._2).sliding(2).foreach {
+        case Seq(c1, c2) => df = df.filter(col(c1) === col(c2))
+        case _ =>
+      }
+    }
+    val outVars = slots.map(_._1).distinct
+    val proj = slots.groupBy(_._1).view.mapValues(_.head._2).toMap
     SPlan(df.select(outVars.map(v => col(proj(v)).as(v)): _*), outVars, Set.empty)
   }
 
@@ -314,7 +391,7 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
                              scope: GraphScope): SPlan = p match {
     case Bgp(Nil) => ctx
     case Bgp(ps) =>
-      ps.foldLeft(ctx)((acc, tp) => join(acc, scanTriple(tp, scope), "inner", None, scope))
+      bgpPlans(ps, scope).foldLeft(ctx)((acc, p) => join(acc, p, "inner", None, scope))
     case PathPattern(s, pa, o) => join(ctx, pathPattern(s, pa, o, scope), "inner", None, scope)
     case ValuesPattern(vs, rows) => join(ctx, values(vs, rows), "inner", None, scope)
     case Service(_, inner, _) => join(ctx, pattern(Service(null, inner, silent = true), scope), "inner", None, scope)

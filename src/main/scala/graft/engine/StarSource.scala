@@ -1,0 +1,32 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+
+/**
+ * Optional capability of a quad source: serve a whole same-subject "star" of
+ * bound-predicate patterns from ONE scan of an underlying base relation (the
+ * classic RDF property-table access path, cf. S2RDF/Jena property tables).
+ *
+ * Why it matters at scale: a BGP star of k patterns over the generic quad
+ * relation costs k scans + (k-1) shuffle joins on the subject key. When the
+ * quads are a virtual mapping over a relational table (sources/RdbToRdf), the
+ * same star is a single narrow scan — no shuffle at all — and Catalyst can
+ * prune the subject-key computation entirely when the subject variable is
+ * dead downstream (e.g. aggregations over the star's values). For row-hash
+ * subjects that also removes the read-every-column hash input.
+ *
+ * The reference engine has no analogue (its quads are physical); this is a
+ * Spark-first optimization enabled by the mapped storage layout.
+ */
+trait StarSource {
+
+  /**
+   * A DataFrame with column `subject` plus one PlainTerm column per distinct
+   * predicate IRI in `predIris` (column names given by the returned map),
+   * containing exactly the subjects of the DEFAULT graph that carry ALL the
+   * given predicates — i.e. the inner same-subject join of the patterns.
+   * Returns None when the predicates do not co-locate in a single base
+   * relation of this source (caller falls back to per-pattern quad scans).
+   */
+  def starScan(predIris: Seq[String]): Option[(DataFrame, Map[String, String])]
+}

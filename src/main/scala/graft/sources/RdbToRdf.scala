@@ -53,13 +53,17 @@ object RdbToRdf {
    * Map a table to quads. `graph` = named graph IRI (None → default graph).
    * Column quads for NULL cells are dropped (RDF has no nulls).
    */
+  /** Primary-key expression: >2 pk columns = "no real key" marker →
+    * row-content hash subject (declared keys may be non-unique in synthetic
+    * data; full rows must be); xxhash64, not md5 — 8-byte hash, no hex-string
+    * materialisation. */
+  def pkExpr(df: DataFrame, pkCols: Seq[String]): Column =
+    if (pkCols.size > 2) conv(xxhash64(df.columns.map(col): _*).cast(StringType), 10, 16)
+    else concat_ws("-", pkCols.map(c => col(c).cast(StringType)): _*)
+
   def tableToQuads(df: DataFrame, table: String, pkCols: Seq[String],
                    fks: Seq[Fk] = Nil, graph: Option[String] = None): DataFrame = {
-    // >2 pk columns = "no real key" marker → row-content hash subject
-    // (declared keys may be non-unique in synthetic data; full rows must be);
-    // xxhash64, not md5 — 8-byte hash, no hex-string materialisation
-    val pk = if (pkCols.size > 2) conv(xxhash64(df.columns.map(col): _*).cast(StringType), 10, 16)
-             else concat_ws("-", pkCols.map(c => col(c).cast(StringType)): _*)
+    val pk = pkExpr(df, pkCols)
     val subj = subjectIri(table, pk)
 
     val g = graph match {
@@ -92,13 +96,75 @@ object RdbToRdf {
    * urn:g:graph/<table>.
    */
   def tpchQuads(spark: org.apache.spark.sql.SparkSession, sfDir: String,
-                tables: Seq[String] = AllTables, namedGraphs: Boolean = false): DataFrame = {
-    val parts = tables.map { t =>
-      val df = spark.read.parquet(s"$sfDir/$t.parquet")
+                tables: Seq[String] = AllTables, namedGraphs: Boolean = false): DataFrame =
+    mapping(spark, sfDir, tables, namedGraphs).quads
+
+  /** The mapping as an object that can also serve star scans (engine
+    * StarSource) — pass both to [[graft.engine.Graft]] so same-subject BGP
+    * stars compile to one base-table scan instead of self-joins. */
+  def mapping(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+              tables: Seq[String] = AllTables, namedGraphs: Boolean = false): RdbMapping =
+    new RdbMapping(spark, sfDir, tables, namedGraphs)
+
+  /**
+   * A concrete relational→RDF mapping over the driver's parquet directory.
+   *
+   * `quads` is the virtual quad union (one branch per predicate — see
+   * tableToQuads); `starScan` answers same-table predicate stars with a
+   * single scan of the base parquet table, with the per-predicate NULL-cell
+   * drops expressed as raw-column IS NOT NULL predicates so they reach the
+   * parquet reader as pushed filters.
+   */
+  final class RdbMapping(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                         tables: Seq[String], namedGraphs: Boolean)
+      extends graft.engine.StarSource {
+
+    lazy val quads: DataFrame = tables.map { t =>
       val g = if (namedGraphs) Some(s"${Base}graph/$t") else None
-      tableToQuads(df, t, pkOf(t), fksOf(t), g)
+      tableToQuads(tableDF(t), t, pkOf(t), fksOf(t), g)
+    }.reduce(_ unionByName _)
+
+    private def tableDF(t: String): DataFrame = spark.read.parquet(s"$sfDir/$t.parquet")
+
+    /** predicate IRI → (table, column-or-ref name), if it follows the
+      * mapping's IRI scheme. */
+    private def parsePred(iri: String): Option[(String, String)] =
+      if (!iri.startsWith(Base)) None
+      else iri.stripPrefix(Base).split("#", 2) match {
+        case Array(t, c) if tables.contains(t) => Some((t, c))
+        case _ => None
+      }
+
+    override def starScan(predIris: Seq[String]): Option[(DataFrame, Map[String, String])] = {
+      if (namedGraphs) return None // star quads live in named graphs, not default
+      val parsed = predIris.distinct.map(p => parsePred(p).map(p -> _))
+      if (parsed.exists(_.isEmpty)) return None
+      val byTable = parsed.flatten.groupBy(_._2._1)
+      if (byTable.size != 1) return None
+      val table = byTable.keys.head
+      val df = tableDF(table)
+      val fieldTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
+      val fkByName = fksOf(table).map(fk => ("ref_" + fk.target) -> fk).toMap
+
+      val resolvedOpt: Seq[Option[(String, String, Column)]] =
+        byTable(table).zipWithIndex.map { case ((iri, (_, cname)), i) =>
+          val termAndRaw: Option[(Column, String)] = fkByName.get(cname) match {
+            case Some(fk) =>
+              Some((subjectIri(fk.target, col(fk.column).cast(StringType)), fk.column))
+            case None => fieldTypes.get(cname).map(dt => (litTerm(col(cname), dt), cname))
+          }
+          termAndRaw.map { case (term, raw) => (iri, raw, term.as(s"__p_$i")) }
+        }
+      if (resolvedOpt.exists(_.isEmpty)) return None // predicate not in this table's mapping
+      val resolved = resolvedOpt.flatten
+      // NULL cells have no quad → the star (inner same-subject join) drops
+      // the row; as raw-column predicates these reach the parquet scan
+      val nonNull = resolved.map(_._2).distinct.map(col(_).isNotNull)
+        .reduceOption(_ && _).getOrElse(lit(true))
+      val subj = subjectIri(table, pkExpr(df, pkOf(table))).as("subject")
+      val names = resolved.zipWithIndex.map { case ((iri, _, _), i) => iri -> s"__p_$i" }.toMap
+      Some((df.filter(nonNull).select(subj +: resolved.map(_._3): _*), names))
     }
-    parts.reduce(_ unionByName _)
   }
 
   val AllTables = Seq("region", "nation", "customer", "supplier", "part",
