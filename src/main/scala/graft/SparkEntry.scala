@@ -310,8 +310,10 @@ object SparkEntry {
     "multimodal_features" -> multimodalFeatures)
 
   /** DuckDB oracle SQL (same column names/types as the Spark results).
-    * Omitted for approximate / engine-specific-hash ops (`dedup_minhash`,
-    * `dedup_simhash`, `ann_lsh`, `multimodal_features`) → rows-only check. */
+    * Every query is oracled: approximate/hash-based ops use portable
+    * (md5-derived) hashes the oracle recomputes in SQL, so even the LSH
+    * bucketing machinery is verified end-to-end; ann_ivf/ann_lsh achieve
+    * full recall on the gate corpus, so the exact result is their oracle. */
   def oracleSql: Map[String, String] = Map(
     "sparql_region_nations" ->
       """SELECT r_name AS rname, count(*) AS nations
@@ -459,5 +461,116 @@ object SparkEntry {
       """SELECT doc_id,
         |       md5(array_to_string(list_filter(string_split_regex(lower(text), '\s+'),
         |                                       x -> len(x) > 0), ' ')) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "quality_score" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS INT) AS n_tokens,
+        |    round(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) / greatest(length(text), 1), 6) AS punct_ratio,
+        |    round(len(list_filter(string_split_regex(text, '\s+'),
+        |          x -> lower(x) IN ('the','a','an','of','to','and','in','is','it','that')))
+        |          / greatest(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)), 1), 6) AS stopword_ratio
+        |  FROM documents)
+        |SELECT doc_id, round(least(1.0,
+        |         (least(n_tokens, 100) / 100.0) * 0.5
+        |         + (1.0 - least(punct_ratio * 5, 1.0)) * 0.25
+        |         + least(stopword_ratio * 4, 1.0) * 0.25), 6) AS score
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "frame_sample" ->
+      """SELECT doc_id AS media_id, CAST(i AS INT) AS frame_index,
+        |       CAST(octet_length(unhex(repeat(sha256(CAST(doc_id AS VARCHAR)), 4))) * i / 4 AS BIGINT) AS byte_offset
+        |FROM documents, range(0, 4) t(i) ORDER BY 1, 2""".stripMargin,
+    "multimodal_features" ->
+      """WITH hx AS (SELECT doc_id, repeat(sha256(CAST(doc_id AS VARCHAR)), 4) AS h FROM documents),
+        |b AS (SELECT doc_id, unnest(list_transform(range(0, 128), i ->
+        |        16 * (strpos('0123456789abcdef', substr(h, 2*i+1, 1)) - 1)
+        |           + (strpos('0123456789abcdef', substr(h, 2*i+2, 1)) - 1))) AS v
+        |      FROM hx),
+        |cnt AS (SELECT doc_id, v, count(*) AS c FROM b GROUP BY 1, 2),
+        |ent AS (SELECT doc_id,
+        |          list_sum(list(-(c/128.0) * ln(c/128.0) / ln(2) ORDER BY v)) AS entropy,
+        |          sum(v * c) AS tot
+        |        FROM cnt GROUP BY 1)
+        |SELECT doc_id AS media_id, CAST(128 AS BIGINT) AS n_bytes,
+        |       round(tot / 128.0, 4) AS byte_mean, round(entropy, 4) AS byte_entropy
+        |FROM ent ORDER BY media_id""".stripMargin,
+    "rolling_fp" ->
+      """WITH 
+        |w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+        |                                 x -> len(x) > 0) AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, greatest(len(ws) - 3, 1)),
+        |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS shingle
+        |       FROM w WHERE len(ws) >= 5),
+        |h AS (SELECT doc_id AS id, md5(shingle) AS h FROM sh)
+        |SELECT id, CAST(((strpos('0123456789abcdef', substr(h, 1, 1))-1) % 8) AS INT) AS band, min(h) AS fp_hash
+        |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "dedup_minhash" ->
+      """WITH 
+        |w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+        |                                 x -> len(x) > 0) AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+        |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS tok
+        |       FROM w WHERE len(ws) >= 3),
+        |th AS (SELECT doc_id, CAST(list_sum(list_transform(range(1,16), j -> (strpos('0123456789abcdef', substr(md5(tok),j,1))-1)::BIGINT * ([72057594037927936,4503599627370496,281474976710656,17592186044416,1099511627776,68719476736,4294967296,268435456,16777216,1048576,65536,4096,256,16,1])[j])) AS BIGINT) % 1073741789 AS hm FROM sh),
+        |mh AS (SELECT doc_id, i,
+        |         min((hm * ((1103515245 * (i+1)) % 2147483629) + ((12345 * (i+1)) % 2147483647)) % 2147483647) AS m
+        |       FROM th, range(0, 32) t(i) GROUP BY 1, 2),
+        |sigs AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY 1),
+        |bd AS (SELECT doc_id, sig, b,
+        |         md5(array_to_string(sig[b*4+1:b*4+4], ',') || '#' || b) AS bh
+        |       FROM sigs, range(0, 8) t(b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, a.sig AS sig_a, c.doc_id AS id_b, c.sig AS sig_b
+        |         FROM bd a JOIN bd c ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id)
+        |SELECT id_a, id_b,
+        |       round(len(list_filter(range(1, 33), i -> sig_a[i] = sig_b[i])) / 32.0, 6) AS est_jaccard
+        |FROM cand
+        |WHERE round(len(list_filter(range(1, 33), i -> sig_a[i] = sig_b[i])) / 32.0, 6) >= 0.3
+        |ORDER BY 1, 2""".stripMargin,
+    "dedup_simhash" ->
+      """WITH tk AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+        |                                  x -> len(x) > 0)) AS tok FROM documents),
+        |th AS (SELECT doc_id, CAST(list_sum(list_transform(range(1,16), j -> (strpos('0123456789abcdef', substr(md5(tok),j,1))-1)::BIGINT * ([72057594037927936,4503599627370496,281474976710656,17592186044416,1099511627776,68719476736,4294967296,268435456,16777216,1048576,65536,4096,256,16,1])[j])) AS BIGINT) AS h FROM tk),
+        |votes AS (SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |          FROM th, range(0, 60) t(i) GROUP BY 1, 2),
+        |shh AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS s
+        |        FROM votes GROUP BY 1),
+        |ch AS (SELECT doc_id, s, c, (s >> CAST(c*15 AS INT)) & 32767 AS ck FROM shh, range(0, 4) t(c)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, a.s AS sa, b.doc_id AS id_b, b.s AS sb
+        |         FROM ch a JOIN ch b ON a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS dist
+        |FROM cand WHERE bit_count(xor(sa, sb)) <= 16 ORDER BY 1, 2""".stripMargin,
+    "ann_ivf" ->
+      """SELECT vec_id,
+        |       round(list_cosine_similarity(embedding::DOUBLE[],
+        |             (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) AS sim
+        |FROM embeddings WHERE vec_id != 0
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "ann_lsh" ->
+      """WITH planes AS (SELECT p, list_transform(range(0, 64), i -> CASE WHEN ((strpos('0123456789abcdef', substr(md5(p || '_' || i), 32, 1))-1) % 2) = 0 THEN 1.0 ELSE -1.0 END) AS s FROM range(0, 6) t(p)),
+        |projs AS (SELECT e.vec_id, pl.p,
+        |            list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * pl.s[i])) AS proj
+        |          FROM embeddings e, planes pl),
+        |sigs AS (SELECT vec_id, CAST(sum(CASE WHEN proj >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS sig
+        |         FROM projs GROUP BY 1),
+        |q AS (SELECT sig AS qsig FROM sigs WHERE vec_id = 0),
+        |probes AS (SELECT DISTINCT xor(qsig, m) AS sig
+        |           FROM q, (SELECT unnest([0,1,2,4,8,16,32]) AS m)),
+        |qv AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id, round(list_cosine_similarity(e.embedding::DOUBLE[], qv.qvec), 6) AS sim
+        |FROM embeddings e JOIN sigs s ON s.vec_id = e.vec_id JOIN probes p ON s.sig = p.sig, qv
+        |WHERE e.vec_id != 0
+        |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin,
+    "emb_near_dup" ->
+      """WITH planes AS (SELECT p, list_transform(range(0, 64), i -> CASE WHEN ((strpos('0123456789abcdef', substr(md5(p || '_' || i), 32, 1))-1) % 2) = 0 THEN 1.0 ELSE -1.0 END) AS s FROM range(0, 8) t(p)),
+        |projs AS (SELECT e.vec_id, pl.p,
+        |            list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * pl.s[i])) AS proj
+        |          FROM embeddings e, planes pl),
+        |sigs AS (SELECT vec_id, CAST(sum(CASE WHEN proj >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS sig
+        |         FROM projs GROUP BY 1),
+        |j AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |        round(list_cosine_similarity(
+        |          (SELECT embedding::DOUBLE[] FROM embeddings x WHERE x.vec_id = a.vec_id),
+        |          (SELECT embedding::DOUBLE[] FROM embeddings y WHERE y.vec_id = b.vec_id)), 6) AS sim
+        |      FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, sim FROM j WHERE sim >= 0.3 ORDER BY 1, 2""".stripMargin)
 }

@@ -63,8 +63,26 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Deterministic per-seed token hash for MinHash. */
-  private def seededHash(tok: Column, seed: Int): Column = xxhash64(tok, lit(seed))
+  /**
+   * Portable 60-bit token hash: the first 15 hex digits of md5, parsed as an
+   * integer. md5 is available bit-identically in every engine (Spark, DuckDB,
+   * Trino, Postgres…), so pipelines built on this hash are reproducible — and
+   * oracle-checkable — across engines, unlike engine-private hashes
+   * (xxhash64 seeds differ between implementations).
+   */
+  def portableHash(tok: Column): Column =
+    conv(substring(md5(tok), 1, 15), 16, 10).cast(LongType)
+
+  /** MinHash family h_i = (a_i·hm + b_i) mod p over the portable hash
+    * reduced to 30 bits (`hm`) — products stay < 2^61, so the arithmetic is
+    * exact in any 64-bit engine (no wrapping-overflow semantics to match).
+    * The base hash is computed once per token; the 32 family members are
+    * cheap affine transforms of it. */
+  private def affineHash(hm: Column, seed: Int): Column = {
+    val a = (1103515245L * (seed + 1)) % 2147483629L
+    val b = (12345L * (seed + 1)) % 2147483647L
+    (hm * a + b) % 2147483647L
+  }
 
   /**
    * MinHash signatures: one row per doc, `sig` = array of numHashes minima.
@@ -76,8 +94,10 @@ object Dedup {
                         numHashes: Int = 32, shingleK: Int = 3): DataFrame = {
     val sets = (if (shingleK <= 1) tokenSet(df, idCol, textCol)
                 else shingles(df, idCol, textCol, shingleK).withColumnRenamed("shingle", "tok"))
-    val mins = (0 until numHashes).map(i => min(seededHash(col("tok"), i)).as(s"h$i"))
-    sets.groupBy("id").agg(mins.head, mins.tail: _*)
+    // one md5 per token, then numHashes cheap affine transforms of it
+    val withBase = sets.withColumn("hm", portableHash(col("tok")) % 1073741789L)
+    val mins = (0 until numHashes).map(i => min(affineHash(col("hm"), i)).as(s"h$i"))
+    withBase.groupBy("id").agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
@@ -93,9 +113,12 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleK)
+    // band bucket key: md5 of the band's minhash run — portable (the bucket
+    // join is on string equality, any engine agrees on md5 of the same text)
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * lit(r) + 1, lit(r)), b))))
+        b => md5(concat(concat_ws(",", slice(col("sig"), b * lit(r) + 1, lit(r))),
+          lit("#"), b.cast(StringType))))))
       .select(col("id"), col("sig"), col("pos").as("band"), col("col").as("bh"))
     val a = banded.select(col("band"), col("bh"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bh"), col("id").as("id_b"), col("sig").as("sig_b"))
@@ -109,28 +132,30 @@ object Dedup {
   }
 
   /**
-   * 64-bit SimHash per document: token hashes vote ±1 per bit position,
+   * 60-bit SimHash per document: token hashes vote ±1 per bit position,
    * weighted by term frequency; sign of the sum becomes the bit. One explode
-   * + one grouped agg (64 conditional sums — map-side combinable).
+   * + one grouped agg (60 conditional sums — map-side combinable). 60 bits
+   * (not 64) because the portable md5-prefix hash yields 60 exact bits —
+   * cross-engine reproducible, negligible quality difference.
    */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokens(df, idCol, textCol).withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { i =>
+    val toks = tokens(df, idCol, textCol).withColumn("h", portableHash(col("tok")))
+    val bitSums = (0 until 60).map { i =>
       sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0L, 1).otherwise(-1)).as(s"b$i")
     }
     toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("id"),
-        (0 until 64).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
+        (0 until 60).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
           .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, candidates via
-    * 4×16-bit chunk equality (pigeonhole: dist ≤ 3 ⇒ some chunk equal). */
+    * 4×15-bit chunk equality (pigeonhole: dist ≤ 3 ⇒ some chunk equal). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
     val sh = simhash(df, idCol, textCol)
     val chunked = sh.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
-        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)))
+        shiftright(col("simhash"), c * 15).bitwiseAND(0x7FFFL)): _*)))
       .select(col("id"), col("simhash"), col("pos").as("chunk"), col("col").as("ch"))
     val a = chunked.select(col("chunk"), col("ch"), col("id").as("id_a"), col("simhash").as("sh_a"))
     val b = chunked.select(col("chunk"), col("ch"), col("id").as("id_b"), col("simhash").as("sh_b"))

@@ -43,18 +43,33 @@ object Similarity {
       .limit(k)
   }
 
-  /** Deterministic Rademacher (±1) hyperplane component for (plane, dim) —
-    * reproducible across engines and runs, no RNG state to ship. */
-  private def planeSign(plane: Int, d: Column): Column =
-    when(xxhash64(lit(plane), d).bitwiseAND(1L) === 0L, lit(1.0)).otherwise(lit(-1.0))
+  /** md5 hex (lowercase) of a string — driver-side, for precomputing plane
+    * signs. */
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
 
-  /** nPlanes-bit LSH signature of a (double) vector column. */
-  def lshSignature(vec: Column, nPlanes: Int = 16): Column =
+  /** Deterministic Rademacher (±1) hyperplane component for (plane, dim):
+    * parity of the last md5 hex digit of "plane_dim" — reproducible across
+    * engines and runs (the DuckDB oracle recomputes the identical signs in
+    * SQL), no RNG state to ship. */
+  def planeSign(plane: Int, dim: Int): Double =
+    if (Integer.parseInt(md5hex(s"${plane}_$dim").takeRight(1), 16) % 2 == 0) 1.0 else -1.0
+
+  /** nPlanes-bit LSH signature of a (double) vector column. The sign vectors
+    * are precomputed literal arrays — no per-row hashing in the projection. */
+  def lshSignature(vec: Column, nPlanes: Int, dims: Int): Column =
     (0 until nPlanes).map { p =>
-      val proj = aggregate(zip_with(vec, sequence(lit(0), size(vec) - 1),
-        (x, i) => x * planeSign(p, i)), lit(0.0d), (acc, x) => acc + x)
+      val signs = typedlit((0 until dims).map(i => planeSign(p, i)))
+      val proj = aggregate(zip_with(vec, signs, (x, s) => x * s),
+        lit(0.0d), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << p)).otherwise(0L)
     }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Vector width, read from the first row (one tiny job; embedding width is
+    * constant per corpus). */
+  private def dimsOf(emb: DataFrame, vecCol: String): Int =
+    emb.select(size(col(vecCol))).head().getInt(0)
 
   /**
    * Approximate top-k: candidates = rows whose signature is within
@@ -64,8 +79,9 @@ object Similarity {
    */
   def annTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryId: Long, k: Int, nPlanes: Int = 16, probeHamming: Int = 1): DataFrame = {
+    val dims = dimsOf(emb, vecCol)
     val withSig = emb.select(col(idCol), toDouble(col(vecCol)).as("v"))
-      .withColumn("sig", lshSignature(col("v"), nPlanes))
+      .withColumn("sig", lshSignature(col("v"), nPlanes, dims))
     val q = withSig.where(col(idCol) === queryId)
       .select(col("v").as("qvec"), col("sig").as("qsig"))
     // probe signatures: exact + all 1-bit flips (multi-probe)
@@ -134,8 +150,9 @@ object Similarity {
    */
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                    minCosine: Double, nPlanes: Int = 12): DataFrame = {
+    val dims = dimsOf(emb, vecCol)
     val withSig = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
-      .withColumn("sig", lshSignature(col("v"), nPlanes))
+      .withColumn("sig", lshSignature(col("v"), nPlanes, dims))
     val a = withSig.select(col("sig"), col("id").as("id_a"), col("v").as("va"))
     val b = withSig.select(col("sig"), col("id").as("id_b"), col("v").as("vb"))
     a.join(b, Seq("sig")).where(col("id_a") < col("id_b"))

@@ -96,10 +96,14 @@ object TextAnalysis {
    */
   def rollingFingerprints(df: DataFrame, idCol: String, textCol: String,
                           k: Int = 5, bandSize: Int = 8): DataFrame = {
+    // md5 as the window hash: bit-identical across engines (oracle-checkable),
+    // and min-per-band over the hex string is plain ASCII ordering everywhere
     val grams = Dedup.shingles(df, idCol, textCol, k)
-      .withColumn("h", xxhash64(col("shingle")))
-    // band = hash-space partition; min-hash per band = winnowing selection
-    grams.withColumn("band", pmod(col("h"), lit(bandSize)))
+      .withColumn("h", md5(col("shingle")))
+    // band = hash-space partition (leading hex digit); min per band =
+    // winnowing selection
+    grams.withColumn("band",
+        (conv(substring(col("h"), 1, 1), 16, 10).cast(IntegerType) % bandSize))
       .groupBy("id", "band").agg(min(col("h")).as("fp_hash"))
   }
 }
