@@ -14,7 +14,8 @@ import org.apache.spark.sql.DataFrame
  * join, broadcast-able, shuffle on key) is semantics-preserving — that is the
  * fast path we want Catalyst to see at 100 TB.
  */
-final case class SPlan(df: DataFrame, vars: Seq[String], maybeUnbound: Set[String]) {
+final case class SPlan(df: DataFrame, vars: Seq[String], maybeUnbound: Set[String],
+                       kinds: Map[String, Int] = Map.empty) {
   def isNullable(v: String): Boolean = maybeUnbound.contains(v)
 }
 

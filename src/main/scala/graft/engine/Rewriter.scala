@@ -54,9 +54,10 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     case Extend(i, v, e) =>
       val in = pattern(i, scope)
       val (expr2, plan2) = rewriteExists(e, in, scope)
-      val env = ExprCompiler.envOf(plan2.vars.toSet)
+      val env = ExprCompiler.envOf(plan2.vars.toSet, plan2.kinds)
       SPlan(plan2.df.withColumn(v.name, ExprCompiler.term(expr2, env)),
-        in.vars :+ v.name, in.maybeUnbound + v.name)
+        in.vars :+ v.name, in.maybeUnbound + v.name,
+        plan2.kinds ++ ExprCompiler.staticKind(expr2, env).map(v.name -> _))
     case Minus(l, r) => minus(pattern(l, scope), pattern(r, scope))
     case ValuesPattern(vars, rows) => values(vars, rows)
     case GraphGraph(name, inner) => name match {
@@ -146,7 +147,14 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     }
     val outVars = varSlots.map(_._1).distinct
     val proj = varSlots.groupBy(_._1).view.mapValues(_.head._2).toMap
-    SPlan(df.select(outVars.map(v => col(proj(v)).as(v)): _*), outVars, Set.empty)
+    // static numeric kind of the object var, when the source can vouch for
+    // every object of a bound predicate (relational mapping column type)
+    val kinds = (tp.p, varName(tp.o)) match {
+      case (TermPat(Iri(p)), Some(ov)) if varName(tp.s) != varName(tp.o) =>
+        star.flatMap(_.predKind(p)).map(k => Map(ov -> k)).getOrElse(Map.empty)
+      case _ => Map.empty[String, Int]
+    }
+    SPlan(df.select(outVars.map(v => col(proj(v)).as(v)): _*), outVars, Set.empty, kinds)
   }
 
   // ------------------------------------------------------------- star fusion
@@ -203,14 +211,18 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
   private def starPlan(df0: DataFrame, predCol: Map[String, String],
                        subjVar: String, group: Seq[TriplePattern]): SPlan = {
     var df = df0
+    val kinds = scala.collection.mutable.Map.empty[String, Int]
     val objSlots: Seq[(String, String)] = group.flatMap { tp =>
-      val ocol = tp.p match {
-        case TermPat(Iri(p)) => predCol(p)
+      val (ocol, pred) = tp.p match {
+        case TermPat(Iri(p)) => (predCol(p), p)
         case other => throw new IllegalStateException(s"unfusible pattern $other")
       }
       tp.o match {
         case TermPat(t) => df = df.filter(termFilter(col(ocol), t)); None
-        case other => varName(other).map(v => v -> ocol)
+        case other => varName(other).filter(_ != subjVar).foreach { v =>
+            star.flatMap(_.predKind(pred)).foreach(kinds(v) = _)
+          }
+          varName(other).map(v => v -> ocol)
       }
     }
     val slots = (subjVar -> "subject") +: objSlots
@@ -222,10 +234,27 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     }
     val outVars = slots.map(_._1).distinct
     val proj = slots.groupBy(_._1).view.mapValues(_.head._2).toMap
-    SPlan(df.select(outVars.map(v => col(proj(v)).as(v)): _*), outVars, Set.empty)
+    SPlan(df.select(outVars.map(v => col(proj(v)).as(v)): _*), outVars, Set.empty,
+      kinds.toMap)
   }
 
   // ------------------------------------------------------------------- joins
+
+  /** Static-kind merge across a join: a shared variable keeps its kind only
+    * when both sides vouch for the same one (join compatibility makes the
+    * values equal, so agreeing claims stay true); side-exclusive variables
+    * keep their side's kind. */
+  private def mergeKinds(l: SPlan, r: SPlan): Map[String, Int] = {
+    val ks = (l.kinds.keySet ++ r.kinds.keySet).flatMap { v =>
+      (l.kinds.get(v), r.kinds.get(v)) match {
+        case (Some(a), Some(b)) => if (a == b) Some(v -> a) else None
+        case (Some(a), None) => if (!r.vars.contains(v)) Some(v -> a) else None
+        case (None, Some(b)) => if (!l.vars.contains(v)) Some(v -> b) else None
+        case _ => None
+      }
+    }
+    ks.toMap
+  }
 
   /** SPARQL join (reference SparqlJoinLoweringRule,
     * lib/logical/src/join/rewrite.rs:23-361): equi-join when every shared
@@ -243,14 +272,14 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
         val df = if (joinType == "inner") l.df.crossJoin(r.df)
                  else l.df.join(r.df, lit(true), "left")
         val mu = l.maybeUnbound ++ (if (joinType == "left") r.vars.toSet else r.maybeUnbound)
-        return SPlan(df, outVars, mu)
+        return SPlan(df, outVars, mu, mergeKinds(l, r))
       }
       if (!needCompat && filter.isEmpty) {
         // fast path: plain equi-join; Catalyst picks broadcast/SMJ/shuffle-hash
         val df = l.df.join(r.df, shared, joinType)
         val mu0 = l.maybeUnbound ++ r.maybeUnbound -- shared
         val mu = if (joinType == "left") mu0 ++ rOnly else mu0
-        return SPlan(df, outVars, mu)
+        return SPlan(df, outVars, mu, mergeKinds(l, r))
       }
     }
 
@@ -284,7 +313,7 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     val mu = (l.maybeUnbound -- shared) ++ muShared ++
       (if (joinType == "left") rOnly.toSet
        else r.maybeUnbound.filter(rOnly.contains))
-    SPlan(joined.select(out: _*), outVars, mu)
+    SPlan(joined.select(out: _*), outVars, mu, mergeKinds(l, r))
   }
 
   /** MINUS (reference lib/logical/src/minus/rewrite.rs:51-136): anti join on
@@ -298,12 +327,12 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     // plain equi anti-join (hash join, not the O(n·m) non-equi fallback)
     if (shared.forall(v => !l.isNullable(v) && !r.isNullable(v)))
       return SPlan(l.df.join(r.df.select(shared.map(col): _*), shared, "left_anti"),
-        l.vars, l.maybeUnbound)
+        l.vars, l.maybeUnbound, l.kinds)
     val rr = r.df.select(shared.map(v => col(v).as("__r_" + v)): _*)
     val compat = shared.map(v => TermCols.isCompatible(col(v), col("__r_" + v)))
     val anyBoth = shared.map(v => col(v).isNotNull && col("__r_" + v).isNotNull)
     val cond = compat.reduce(_ && _) && anyBoth.reduce(_ || _)
-    SPlan(l.df.join(rr, cond, "left_anti"), l.vars, l.maybeUnbound)
+    SPlan(l.df.join(rr, cond, "left_anti"), l.vars, l.maybeUnbound, l.kinds)
   }
 
   /** SPARQL UNION = bag union with null-padding of missing vars
@@ -314,7 +343,15 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
       if (p.vars.contains(v)) col(v) else TermCols.nullTerm.as(v)): _*)
     val mu = l.maybeUnbound ++ r.maybeUnbound ++
       outVars.filter(v => !l.vars.contains(v) || !r.vars.contains(v))
-    SPlan(pad(l).unionAll(pad(r)), outVars, mu)
+    val ks = outVars.flatMap { v =>
+      (l.kinds.get(v), r.kinds.get(v)) match {
+        case (Some(a), Some(b)) if a == b => Some(v -> a)
+        case (Some(a), None) if !r.vars.contains(v) => Some(v -> a)
+        case (None, Some(b)) if !l.vars.contains(v) => Some(v -> b)
+        case _ => None
+      }
+    }.toMap
+    SPlan(pad(l).unionAll(pad(r)), outVars, mu, ks)
   }
 
   private def values(vars: Seq[Var], rows: Seq[Seq[Option[RdfTerm]]]): SPlan = {
@@ -350,11 +387,11 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
       case _ =>
     }
     val (e2, plan2) = rewriteExists(e, in, scope)
-    val env = ExprCompiler.envOf(plan2.vars.toSet)
+    val env = ExprCompiler.envOf(plan2.vars.toSet, plan2.kinds)
     val filtered = plan2.df.filter(ExprCompiler.ebv(e2, env))
     // drop any EXISTS marker columns again
     val df = if (plan2.vars == in.vars) filtered else filtered.select(in.vars.map(col): _*)
-    SPlan(df, in.vars, in.maybeUnbound)
+    SPlan(df, in.vars, in.maybeUnbound, in.kinds)
   }
 
   // ----------------------------------------------------- correlated patterns
@@ -376,7 +413,7 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     // branches that reference it (monotonically_increasing_id is
     // deterministic only for a fixed partition layout)
     SPlan(in.df.withColumn(lid, monotonically_increasing_id()).localCheckpoint(),
-      in.vars :+ lid, in.maybeUnbound)
+      in.vars :+ lid, in.maybeUnbound, in.kinds)
 
   private def lateral(l: SPlan, rp: GraphPattern, scope: GraphScope): SPlan = {
     val lid = fresh("lid")
@@ -514,20 +551,20 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
       val inner = pattern(p, scope)
       val shared = in.vars.filter(inner.vars.contains(_))
       if (shared.isEmpty)
-        return SPlan(in.df.join(inner.df.limit(1), lit(true), jt), in.vars, in.maybeUnbound)
+        return SPlan(in.df.join(inner.df.limit(1), lit(true), jt), in.vars, in.maybeUnbound, in.kinds)
       if (shared.forall(v => !in.isNullable(v) && !inner.isNullable(v)))
         return SPlan(in.df.join(inner.df.select(shared.map(col): _*), shared, jt),
-          in.vars, in.maybeUnbound)
+          in.vars, in.maybeUnbound, in.kinds)
       val rr = inner.df.select(shared.map(v => col(v).as("__r_" + v)): _*)
       val cond = shared.map(v => TermCols.isCompatible(col(v), col("__r_" + v))).reduce(_ && _)
-      return SPlan(in.df.join(rr, cond, jt), in.vars, in.maybeUnbound)
+      return SPlan(in.df.join(rr, cond, jt), in.vars, in.maybeUnbound, in.kinds)
     }
     val lid = fresh("lid")
     val ctx = withRowId(in, lid)
     val inner = lateralPattern(p, ctx, lid, scope)
     val lids = inner.df.select(col(lid).as("__x_" + lid)).dropDuplicates()
     SPlan(ctx.df.join(lids, col(lid) === col("__x_" + lid), jt).drop(lid),
-      in.vars, in.maybeUnbound)
+      in.vars, in.maybeUnbound, in.kinds)
   }
 
   /** Replace nested EXISTS subexpressions with a boolean marker variable
@@ -564,7 +601,7 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     val joined = ctx.df.join(lids, col(lid) === col("__x_" + lid), "left")
       .withColumn(marker, TermCols.fromBoolean(coalesce(col("__m_" + lid), lit(false))))
       .drop(lid, "__x_" + lid, "__m_" + lid)
-    SPlan(joined, in.vars :+ marker, in.maybeUnbound)
+    SPlan(joined, in.vars :+ marker, in.maybeUnbound, in.kinds)
   }
 
   // ------------------------------------------------------------- aggregation
@@ -577,13 +614,17 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
   private def group(in: SPlan, keys: Seq[(Var, Option[Expr])],
                     aggs: Seq[(Var, Aggregate)], scope: GraphScope): SPlan = {
     var df = in.df
-    val env = ExprCompiler.envOf(in.vars.toSet)
+    val env = ExprCompiler.envOf(in.vars.toSet, in.kinds)
     // computed keys
     keys.foreach {
       case (v, Some(e)) => df = df.withColumn(v.name, ExprCompiler.term(e, env))
       case _ =>
     }
-    // aggregate inputs
+    // aggregate inputs; static kinds let SUM/AVG skip the dynamic type ladder
+    val argKinds: Map[String, Int] = aggs.collect {
+      case (v, Aggregate(_, _, Some(arg), _)) =>
+        ExprCompiler.staticKind(arg, env).map(v.name -> _)
+    }.flatten.toMap
     val argCols: Map[String, String] = aggs.collect {
       case (v, Aggregate(_, _, Some(arg), _)) =>
         val c = fresh("aggin")
@@ -596,18 +637,38 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
       case (v, Some(_)) => v.name                       // computed key may error → NULL
       case (v, None) if in.isNullable(v.name) => v.name
     }.toSet ++ aggs.collect { case (v, a) if a.name != "COUNT" => v.name }
+    val keyKinds = in.kinds.filter { case (v, _) => keyNames.contains(v) }
+    val aggKinds = aggs.flatMap { case (v, a) =>
+      aggResultKind(a, argKinds.get(v.name)).map(v.name -> _) }.toMap
     if (aggs.isEmpty)
-      return SPlan(df.select(keyNames.map(col): _*).dropDuplicates(), keyNames, mu)
-    val aggExprs: Seq[Column] = aggs.flatMap { case (v, a) => aggCols(v.name, a, argCols.get(v.name)) }
+      return SPlan(df.select(keyNames.map(col): _*).dropDuplicates(), keyNames, mu, keyKinds)
+    val aggExprs: Seq[Column] = aggs.flatMap { case (v, a) =>
+      aggCols(v.name, a, argCols.get(v.name), argKinds.get(v.name)) }
     val grouped = df.groupBy(keyNames.map(col): _*).agg(aggExprs.head, aggExprs.tail: _*)
     // final projection turns raw aggregate buffers into terms
-    val finals = keyNames.map(col) ++ aggs.map { case (v, a) => aggFinal(v.name, a).as(v.name) }
+    val finals = keyNames.map(col) ++ aggs.map { case (v, a) =>
+      aggFinal(v.name, a, argKinds.get(v.name)).as(v.name) }
     val out = grouped.select(finals: _*)
-    SPlan(out, keyNames ++ aggs.map(_._1.name), mu)
+    SPlan(out, keyNames ++ aggs.map(_._1.name), mu, keyKinds ++ aggKinds)
   }
 
-  /** Raw aggregate buffer columns for one SPARQL aggregate. */
-  private def aggCols(out: String, a: Aggregate, argCol: Option[String]): Seq[Column] = {
+  /** Static kind of an aggregate result, when derivable from its input kind
+    * (mirrors the type ladder of the buffers below). */
+  private def aggResultKind(a: Aggregate, argKind: Option[Int]): Option[Int] = a.name match {
+    case "COUNT" => Some(1)
+    case "SUM" => argKind
+    case "AVG" => argKind.map(k => if (k == 3) 3 else 2)
+    case "MIN" | "MAX" | "SAMPLE" => argKind
+    case _ => None
+  }
+
+  /** Raw aggregate buffer columns for one SPARQL aggregate. `argKind` is the
+    * statically-known numeric kind of the input (see ExprCompiler.staticKind):
+    * a known all-double input needs just a running double sum + a seen flag —
+    * the 6-buffer dynamic type ladder (with its per-row datatype dispatch)
+    * collapses. */
+  private def aggCols(out: String, a: Aggregate, argCol: Option[String],
+                      argKind: Option[Int] = None): Seq[Column] = {
     import TermCols._
     val in = argCol.map(col)
     a.name match {
@@ -617,6 +678,16 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
           case Some(x) => if (a.distinct) count_distinct(x) else count(x)
         }
         Seq(c.as(s"__${out}_cnt"))
+      case "SUM" if argKind.contains(3) =>
+        val x = in.get
+        val dbl = if (a.distinct) sum_distinct(numDouble(x)) else sum(numDouble(x))
+        Seq(dbl.as(s"__${out}_dbl"),
+          max(when(x.isNotNull, 1).otherwise(0)).as(s"__${out}_any"))
+      case "AVG" if argKind.contains(3) =>
+        val x = in.get
+        val dbl = if (a.distinct) sum_distinct(numDouble(x)) else sum(numDouble(x))
+        Seq(dbl.as(s"__${out}_dbl"),
+          sum(when(x.isNotNull, 1L).otherwise(0L)).as(s"__${out}_n"))
       case "SUM" | "AVG" =>
         val x = in.get
         // the exact-decimal sum is only consulted when the group contains NO
@@ -651,10 +722,17 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
 
   /** Buffer columns → final PlainTerm result (the reference's
     * evaluate + int64→term cast, graph_pattern_rewriter.rs:367-404). */
-  private def aggFinal(out: String, a: Aggregate): Column = {
+  private def aggFinal(out: String, a: Aggregate, argKind: Option[Int] = None): Column = {
     import TermCols._
     a.name match {
       case "COUNT" => fromLong(col(s"__${out}_cnt"))
+      case "SUM" if argKind.contains(3) =>
+        // all-double input: empty/all-null group → SUM({}) = 0
+        when(col(s"__${out}_any") === 1, fromDouble(col(s"__${out}_dbl")))
+          .otherwise(fromLong(lit(0L)))
+      case "AVG" if argKind.contains(3) =>
+        val n = col(s"__${out}_n")
+        when(n === 0, fromLong(lit(0L))).otherwise(fromDouble(col(s"__${out}_dbl") / n))
       case "SUM" =>
         when(col(s"__${out}_bad") === 1, nullTerm)
           .when(col(s"__${out}_anydbl") === 1, fromDouble(col(s"__${out}_dbl")))

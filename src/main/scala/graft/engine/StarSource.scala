@@ -29,4 +29,14 @@ trait StarSource {
    * relation of this source (caller falls back to per-pattern quad scans).
    */
   def starScan(predIris: Seq[String]): Option[(DataFrame, Map[String, String])]
+
+  /**
+   * Statically-known numeric kind (1 = integer, 2 = decimal, 3 = double) of
+   * every object this source emits for the given predicate — derivable when
+   * the predicate maps a relational column of a fixed native type. Lets the
+   * expression compiler pre-dispatch arithmetic/aggregation (the datatype
+   * CASE trees constant-fold). Must only be answered if it holds for ALL
+   * quads of this predicate in the Graft's quad relation.
+   */
+  def predKind(predIri: String): Option[Int] = None
 }

@@ -124,7 +124,9 @@ object RdbToRdf {
       tableToQuads(tableDF(t), t, pkOf(t), fksOf(t), g)
     }.reduce(_ unionByName _)
 
-    private def tableDF(t: String): DataFrame = spark.read.parquet(s"$sfDir/$t.parquet")
+    private val dfCache = scala.collection.mutable.Map.empty[String, DataFrame]
+    private def tableDF(t: String): DataFrame =
+      dfCache.getOrElseUpdate(t, spark.read.parquet(s"$sfDir/$t.parquet"))
 
     /** predicate IRI → (table, column-or-ref name), if it follows the
       * mapping's IRI scheme. */
@@ -133,6 +135,17 @@ object RdbToRdf {
       else iri.stripPrefix(Base).split("#", 2) match {
         case Array(t, c) if tables.contains(t) => Some((t, c))
         case _ => None
+      }
+
+    override def predKind(predIri: String): Option[Int] =
+      parsePred(predIri).flatMap { case (table, cname) =>
+        if (cname.startsWith("ref_")) None // fk objects are IRIs
+        else tableDF(table).schema.fields.find(_.name == cname).map(_.dataType) match {
+          case Some(ByteType | ShortType | IntegerType | LongType) => Some(1)
+          case Some(_: DecimalType) => Some(2)
+          case Some(FloatType | DoubleType) => Some(3)
+          case _ => None
+        }
       }
 
     override def starScan(predIris: Seq[String]): Option[(DataFrame, Map[String, String])] = {
