@@ -703,6 +703,13 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
           max(when(isDoubleTyped(x), 1).otherwise(0)).as(s"__${out}_anydbl"),
           max(when(isDecimalTyped(x), 1).otherwise(0)).as(s"__${out}_anydec"),
           cntNum.as(s"__${out}_n"))
+      case "MIN" | "MAX" if argKind.contains(3) =>
+        // static all-double input: order by the pre-decoded num directly —
+        // equal nums are the same value, hence the same rendered term, so
+        // the term tie-break can never disagree with the sortable encoding
+        val x = col(argCol.get)
+        val buf = when(x.isNotNull, struct(numDouble(x).as("k"), x.as("t")))
+        Seq((if (a.name == "MIN") min(buf) else max(buf)).as(s"__${out}_mm"))
       case "MIN" =>
         Seq(min(when(col(argCol.get).isNotNull, struct(sortKey(col(argCol.get)).as("k"),
           col(argCol.get).as("t")))).as(s"__${out}_mm"))
