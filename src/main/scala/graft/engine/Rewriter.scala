@@ -444,9 +444,10 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     case Extend(i, v, e) =>
       val in = lateralPattern(i, ctx, lid, scope)
       val (expr2, plan2) = rewriteExists(e, in, scope)
-      val env = ExprCompiler.envOf(plan2.vars.toSet)
+      val env = ExprCompiler.envOf(plan2.vars.toSet, plan2.kinds)
       SPlan(plan2.df.withColumn(v.name, ExprCompiler.term(expr2, env)),
-        in.vars :+ v.name, in.maybeUnbound + v.name)
+        in.vars :+ v.name, in.maybeUnbound + v.name,
+        plan2.kinds ++ ExprCompiler.staticKind(expr2, env).map(v.name -> _))
     case Minus(a, b) =>
       val A = lateralPattern(a, ctx, lid, scope)
       val B = lateralPattern(b, ctx, lid, scope)
@@ -459,7 +460,7 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
         val compat = shared.map(v => TermCols.isCompatible(col(v), col("__r_" + v)))
         val anyBoth = shared.map(v => col(v).isNotNull && col("__r_" + v).isNotNull)
         val cond = (col(lid) === col("__r_" + lid)) && compat.reduce(_ && _) && anyBoth.reduce(_ || _)
-        SPlan(A.df.join(rr, cond, "left_anti"), A.vars, A.maybeUnbound)
+        SPlan(A.df.join(rr, cond, "left_anti"), A.vars, A.maybeUnbound, A.kinds)
       }
     case GraphGraph(name, inner) => name match {
       case TermPat(Iri(iri)) => lateralPattern(inner, ctx, lid, Named(iri))
@@ -477,11 +478,15 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
   private def lateralGroup(in: SPlan, keys: Seq[(Var, Option[Expr])],
                            aggs: Seq[(Var, Aggregate)], ctx: SPlan, lid: String): SPlan = {
     var df = in.df
-    val env = ExprCompiler.envOf(in.vars.toSet)
+    val env = ExprCompiler.envOf(in.vars.toSet, in.kinds)
     keys.foreach {
       case (v, Some(e)) => df = df.withColumn(v.name, ExprCompiler.term(e, env))
       case _ =>
     }
+    val argKinds: Map[String, Int] = aggs.collect {
+      case (v, Aggregate(_, _, Some(arg), _)) =>
+        ExprCompiler.staticKind(arg, env).map(v.name -> _)
+    }.flatten.toMap
     val argCols: Map[String, String] = aggs.collect {
       case (v, Aggregate(_, _, Some(arg), _)) =>
         val c = fresh("aggin")
@@ -492,9 +497,11 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     val grouped =
       if (aggs.isEmpty) df.select(keyNames.map(col): _*).dropDuplicates()
       else {
-        val aggExprs = aggs.flatMap { case (v, a) => aggCols(v.name, a, argCols.get(v.name)) }
+        val aggExprs = aggs.flatMap { case (v, a) =>
+          aggCols(v.name, a, argCols.get(v.name), argKinds.get(v.name)) }
         val g = df.groupBy(keyNames.map(col): _*).agg(aggExprs.head, aggExprs.tail: _*)
-        g.select(keyNames.map(col) ++ aggs.map { case (v, a) => aggFinal(v.name, a).as(v.name) }: _*)
+        g.select(keyNames.map(col) ++ aggs.map { case (v, a) =>
+          aggFinal(v.name, a, argKinds.get(v.name)).as(v.name) }: _*)
       }
     val groupVars = keyNames.drop(1) ++ aggs.map(_._1.name)
     // restore ctx vars not re-introduced as keys
