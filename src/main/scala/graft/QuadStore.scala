@@ -113,12 +113,17 @@ object QuadStore {
   def load(spark: SparkSession, path: String): QuadStore =
     new QuadStore(spark.read.schema(NTriples.quadSchema).parquet(path))
 
-  /** Load RDF files by extension: .nt/.nq line-parallel, .ttl/.trig driver-
-    * parsed (reference Store::load_from_reader, store.rs:477-514). */
+  /** Load RDF files by extension: .nt/.nq line-parallel, .ttl/.trig/.n3
+    * driver-parsed (.n3: Turtle-compatible subset — no formulas), .rdf/.owl
+    * RDF/XML via StAX (reference Store::load_from_reader, store.rs:477-514;
+    * formats via oxrdfio, Cargo.toml:82-85). */
   def loadFile(spark: SparkSession, path: String): QuadStore = {
     val lower = path.toLowerCase
     val df =
-      if (lower.endsWith(".ttl") || lower.endsWith(".trig")) Turtle.read(spark, path)
+      if (lower.endsWith(".ttl") || lower.endsWith(".trig") || lower.endsWith(".n3"))
+        Turtle.read(spark, path)
+      else if (lower.endsWith(".rdf") || lower.endsWith(".owl") || lower.endsWith(".xml"))
+        graft.sources.RdfXml.read(spark, path)
       else NTriples.read(spark, path, quads = lower.endsWith(".nq"))
     new QuadStore(df)
   }
