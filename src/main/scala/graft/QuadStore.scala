@@ -100,6 +100,26 @@ final class QuadStore private (val quads: DataFrame) {
   /** Serialise to N-Quads text files (reference Store::dump_to_writer). */
   def dumpNQuads(path: String): Unit =
     NTriples.toNQuadLines(quads).write.mode("overwrite").text(path)
+
+  /** Serialise the default graph to Turtle (errors if named graphs exist —
+    * Turtle is a triple format; same contract as the reference's dump). */
+  def dumpTurtle(path: String): Unit = {
+    require(quads.filter(col("graph").isNotNull).isEmpty,
+      "dataset has named graphs; use dumpTriG or dumpNQuads")
+    sources.RdfWriters.turtleLines(quads).write.mode("overwrite").text(path)
+  }
+
+  /** Serialise the full dataset to TriG. */
+  def dumpTriG(path: String): Unit =
+    sources.RdfWriters.trigLines(quads).write.mode("overwrite").text(path)
+
+  /** Serialise the default graph to RDF/XML (each partition file is a
+    * complete document with its own envelope). */
+  def dumpRdfXml(path: String): Unit = {
+    require(quads.filter(col("graph").isNotNull).isEmpty,
+      "dataset has named graphs; use dumpTriG or dumpNQuads")
+    sources.RdfWriters.rdfXmlLines(quads).write.mode("overwrite").text(path)
+  }
 }
 
 object QuadStore {

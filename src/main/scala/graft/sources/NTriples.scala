@@ -171,22 +171,24 @@ object NTriples {
   /** Serialise a quads DF to N-Quads lines (one string column), ready for
     * `df.write.text(...)` — distributed, no driver collection
     * (reference: Store::dump_to_writer, lib/rdf-fusion/src/store.rs:586-657). */
+  /** N-Triples text form of a term column (also valid Turtle/TriG). */
+  def termText(c: Column): Column = {
+    val esc = regexp_replace(regexp_replace(regexp_replace(
+      TermCols.value(c), "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\n", "\\\\n")
+    when(TermCols.isIri(c), concat(lit("<"), TermCols.value(c), lit(">")))
+      .when(TermCols.isBlank(c), concat(lit("_:"), TermCols.value(c)))
+      .when(TermCols.langTag(c).isNotNull,
+        concat(lit("\""), esc, lit("\"@"), TermCols.langTag(c)))
+      .when(TermCols.datatypeRaw(c).isNotNull && TermCols.datatypeRaw(c) =!= Xsd.string,
+        concat(lit("\""), esc, lit("\"^^<"), TermCols.datatypeRaw(c), lit(">")))
+      .otherwise(concat(lit("\""), esc, lit("\"")))
+  }
+
   def toNQuadLines(quads: DataFrame): DataFrame = {
-    def fmt(c: Column): Column = {
-      val esc = regexp_replace(regexp_replace(regexp_replace(
-        TermCols.value(c), "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\n", "\\\\n")
-      when(TermCols.isIri(c), concat(lit("<"), TermCols.value(c), lit(">")))
-        .when(TermCols.isBlank(c), concat(lit("_:"), TermCols.value(c)))
-        .when(TermCols.langTag(c).isNotNull,
-          concat(lit("\""), esc, lit("\"@"), TermCols.langTag(c)))
-        .when(TermCols.datatypeRaw(c).isNotNull && TermCols.datatypeRaw(c) =!= Xsd.string,
-          concat(lit("\""), esc, lit("\"^^<"), TermCols.datatypeRaw(c), lit(">")))
-        .otherwise(concat(lit("\""), esc, lit("\"")))
-    }
     // concat_ws skips NULL elements, so default-graph rows get no extra gap.
     quads.select(concat_ws(" ",
-      fmt(col("subject")), fmt(col("predicate")), fmt(col("object")),
-      when(col("graph").isNotNull, fmt(col("graph"))),
+      termText(col("subject")), termText(col("predicate")), termText(col("object")),
+      when(col("graph").isNotNull, termText(col("graph"))),
       lit(".")).as("value"))
   }
 }
