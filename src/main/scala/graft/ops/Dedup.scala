@@ -48,8 +48,13 @@ object Dedup {
    */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double, shingleK: Int = 1): DataFrame = {
+    // materialise the token sets once: they feed the sizes aggregation AND
+    // both sides of the inverted-index self-join — without this the
+    // tokenisation pipeline runs three times (at scale: persist/checkpoint
+    // the expensive derived relation before self-joining it)
     val sets = (if (shingleK <= 1) tokenSet(df, idCol, textCol)
                 else shingles(df, idCol, textCol, shingleK).withColumnRenamed("shingle", "tok"))
+      .localCheckpoint()
     val sizes = sets.groupBy("id").agg(count(lit(1)).as("sz"))
     val a = sets.withColumnRenamed("id", "id_a")
     val b = sets.withColumnRenamed("id", "id_b")
@@ -112,7 +117,8 @@ object Dedup {
                       shingleK: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleK)
+    // materialised: banded feeds both sides of the bucket self-join
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleK).localCheckpoint()
     // band bucket key: md5 of the band's minhash run — portable (the bucket
     // join is on string equality, any engine agrees on md5 of the same text)
     val banded = sigs.select(col("id"), col("sig"),
@@ -152,7 +158,8 @@ object Dedup {
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, candidates via
     * 4×15-bit chunk equality (pigeonhole: dist ≤ 3 ⇒ some chunk equal). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
-    val sh = simhash(df, idCol, textCol)
+    // materialised: chunked feeds both sides of the chunk self-join
+    val sh = simhash(df, idCol, textCol).localCheckpoint()
     val chunked = sh.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("simhash"), c * 15).bitwiseAND(0x7FFFL)): _*)))

@@ -154,8 +154,11 @@ object Similarity {
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                    minCosine: Double, nPlanes: Int = 12): DataFrame = {
     val dims = dimsOf(emb, vecCol)
+    // materialised: both sides of the bucket self-join reuse the signatures
+    // instead of recomputing the nPlanes×dims projections per side
     val withSig = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
       .withColumn("sig", lshSignature(col("v"), nPlanes, dims))
+      .localCheckpoint()
     val a = withSig.select(col("sig"), col("id").as("id_a"), col("v").as("va"))
     val b = withSig.select(col("sig"), col("id").as("id_b"), col("v").as("vb"))
     a.join(b, Seq("sig")).where(col("id_a") < col("id_b"))
