@@ -127,6 +127,10 @@ final class Graft(val quads: DataFrame, val star: Option[StarSource] = None) {
 }
 
 object Graft {
+  // extension functions ship registered (reference registers builtins at
+  // engine construction, lib/execution/src/engine.rs)
+  graft.geo.GeoFunctions.register()
+
   def apply(quads: DataFrame): Graft = new Graft(quads)
   def apply(quads: DataFrame, star: StarSource): Graft = new Graft(quads, Some(star))
 

@@ -18,7 +18,10 @@ class OxigraphFixtureSpec extends SparkSpec {
 
   private val roots = Seq(
     "/root/reference/testsuite/oxigraph-tests/sparql/manifest.ttl",
-    "/root/reference/testsuite/rdf-fusion-tests/sparql/manifest.ttl")
+    "/root/reference/testsuite/rdf-fusion-tests/sparql/manifest.ttl",
+    // GeoSPARQL: the reference IGNORES this suite ("not yet implemented",
+    // testsuite/tests/oxigraph.rs:26-33); we run and pass it (graft.geo)
+    "/root/reference/testsuite/oxigraph-tests/geosparql/manifest.ttl")
 
   /** Not-yet-supported features (documented gaps, mirroring the reference's
     * own ignore lists where applicable). */
