@@ -374,9 +374,12 @@ object ExprCompiler {
               value(a0).substr(pos + length(value(a1)), length(value(a0)))))
             .otherwise(str(lit("")))).otherwise(nullTerm)
       case "ENCODE_FOR_URI" =>
-        // url_encode is form-encoding: '+' for space; SPARQL wants %20
+        // url_encode is Java form-encoding; XPath fn:encode-for-uri differs:
+        // space is %20 (not '+'), '~' stays unescaped, '*' must be escaped
         when(isStringLit(a0),
-          str(regexp_replace(url_encode(value(a0)), "\\+", "%20"))).otherwise(nullTerm)
+          str(regexp_replace(regexp_replace(regexp_replace(
+            url_encode(value(a0)), "\\+", "%20"), "%7E", "~"), "\\*", "%2A")))
+          .otherwise(nullTerm)
       case "CONCAT" =>
         if (args.isEmpty) str(lit(""))
         else {

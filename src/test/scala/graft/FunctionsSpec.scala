@@ -33,6 +33,8 @@ class FunctionsSpec extends SparkSpec {
     assert(one("""STRBEFORE("abc", "")""") == "")
     assert(one("""CONCAT("a", "b", "c")""") == "abc")
     assert(one("""ENCODE_FOR_URI("Los Angeles")""") == "Los%20Angeles")
+    // XPath unreserved set: '~' kept, '*' escaped (unlike Java form-encoding)
+    assert(one("""ENCODE_FOR_URI("~a*b_c.d-e")""") == "~a%2Ab_c.d-e")
     assert(one("""REPLACE("banana", "a.", "o")""") == "booa")
     assert(one("""MD5("abc")""") == "900150983cd24fb0d6963f7d28e17f72")
     assert(one("""UCASE("aB")""") == "AB")
