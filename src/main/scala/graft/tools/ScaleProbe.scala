@@ -68,6 +68,31 @@ object ScaleProbe {
            |  OPTIONAL { ?x <${EX}age> ?a FILTER(?a > 80) }
            |  FILTER(!BOUND(?a)) }""".stripMargin).count())
 
+    // relational star-fusion probe: 20M-row base table mapped to quads;
+    // fused same-subject star (1 scan) vs per-pattern scans + subject joins
+    locally {
+      val dir = "/tmp/graft-scaleprobe"
+      val tbl = new java.io.File(s"$dir/events.parquet")
+      if (!tbl.exists()) {
+        spark.range(20000000L).select(
+            col("id").as("event_id"),
+            concat(lit("t"), col("id") % 20).as("event_type"),
+            ((col("id") % 10000).cast("double") / 100.0).as("value"),
+            (col("id") % 100000).as("user_id"))
+          .write.mode("overwrite").parquet(tbl.toString)
+      }
+      val m = graft.sources.RdbToRdf.mapping(spark, dir, Seq("events"))
+      val q =
+        s"""SELECT ?t (COUNT(?e) AS ?n) (SUM(?v) AS ?total) WHERE {
+           |  ?e <urn:g:events#event_type> ?t .
+           |  ?e <urn:g:events#value> ?v .
+           |} GROUP BY ?t""".stripMargin
+      time("star agg over 20M-row table, FUSED (1 scan + static kinds)")(
+        Graft(m.quads, m).select(q).count())
+      time("star agg over 20M-row table, unfused (2 scans + subject join)")(
+        Graft(m.quads).select(q).count())
+    }
+
     // chain restricted to 300 nodes: seeded walk is linear in depth
     val chainNodes = (0 to 300).map(i => EX + "p" + i).toSet
     val chain = quads.filter(col("predicate.v") === EX + "follows")
