@@ -75,14 +75,19 @@ object EventStreams {
     Session(userId, new Timestamp(s.start), new Timestamp(s.lastMs), s.events, s.total)
 
   /**
-   * Streaming exact-dedup by content key within the watermark horizon:
-   * `dropDuplicates` on the hash keeps bounded state with a watermark —
+   * Streaming exact-dedup by content key within the watermark horizon —
    * the streaming face of [[graft.ops.Dedup.exact]].
+   *
+   * `dropDuplicatesWithinWatermark`, NOT `dropDuplicates`: plain
+   * dropDuplicates only evicts state when the event-time column is part of
+   * the dedup key, so keying on the content hash alone would grow state
+   * without bound; the WithinWatermark variant dedups on the hash and still
+   * expires state at the watermark.
    */
   def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
                   watermark: String = "1 hour"): DataFrame =
     docs.withColumn("__h", md5(col(textCol)))
       .withWatermark(tsCol, watermark)
-      .dropDuplicates("__h")
+      .dropDuplicatesWithinWatermark("__h")
       .drop("__h")
 }
