@@ -967,7 +967,13 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     q.limit.foreach(l => df = df.limit(l.toInt))
     val mu = projItems.map(_.v.name).filter(v =>
       plan.isNullable(v) || projItems.exists(p => p.v.name == v && p.expr.isDefined)).toSet
-    SPlan(df, projNames, mu)
+    // kinds survive projection: plain vars keep theirs, computed items get
+    // the statically-derived kind (sub-SELECT consumers see them)
+    val ks = projItems.flatMap {
+      case ProjItem(v, None) => plan.kinds.get(v.name).map(v.name -> _)
+      case ProjItem(v, Some(e)) => ExprCompiler.staticKind(e, env).map(v.name -> _)
+    }.toMap
+    SPlan(df, projNames, mu, ks)
   }
 
   private def orderDf(df: DataFrame, conds: Seq[OrderCond], env: ExprCompiler.Env): DataFrame = {
