@@ -137,6 +137,33 @@ object SparkEntry {
     Graft.decode(res, Map("custs" -> LongType, "orders" -> LongType)).orderBy("status")
   }
 
+  /** Scalar string functions through the full engine (UCASE/SUBSTR/STRLEN/
+    * CONTAINS/REPLACE), oracled against DuckDB's string functions. */
+  private def sparqlStringFuncs(s: SparkSession, dir: String): DataFrame = {
+    val res = graftOver(s, dir, "customer").select(
+      """SELECT ?name ?up ?sub ?len ?repl WHERE {
+        |  ?c <urn:g:customer#c_name> ?name .
+        |  BIND(UCASE(?name) AS ?up)
+        |  BIND(SUBSTR(?name, 10, 5) AS ?sub)
+        |  BIND(STRLEN(?name) AS ?len)
+        |  BIND(REPLACE(?name, "Customer", "C") AS ?repl)
+        |  FILTER(CONTAINS(?name, "19") && STRSTARTS(?name, "Customer"))
+        |} ORDER BY ?name""".stripMargin)
+    Graft.decode(res, Map("len" -> LongType)).orderBy("name")
+  }
+
+  /** Date accessors over xsd:dateTime terms (YEAR/MONTH/DAY), grouped. */
+  private def sparqlDateFuncs(s: SparkSession, dir: String): DataFrame = {
+    val res = graftOver(s, dir, "orders").select(
+      """SELECT ?y ?m (COUNT(?o) AS ?n) WHERE {
+        |  ?o <urn:g:orders#o_orderdate> ?d .
+        |  BIND(YEAR(?d) AS ?y) BIND(MONTH(?d) AS ?m)
+        |  FILTER(?y >= 1995)
+        |} GROUP BY ?y ?m ORDER BY ?y ?m""".stripMargin)
+    Graft.decode(res, Map("y" -> LongType, "m" -> LongType, "n" -> LongType))
+      .orderBy("y", "m")
+  }
+
   // -------------------------------------------------------- relational / OLAP
 
   private def q1LineitemAgg(s: SparkSession, dir: String): DataFrame =
@@ -287,6 +314,8 @@ object SparkEntry {
     "sparql_bind_sum" -> sparqlBindSum,
     "sparql_events_agg" -> sparqlEventsAgg,
     "sparql_distinct_agg" -> sparqlDistinctAgg,
+    "sparql_string_funcs" -> sparqlStringFuncs,
+    "sparql_date_funcs" -> sparqlDateFuncs,
     "q1_lineitem_agg" -> q1LineitemAgg,
     "q3_top_revenue" -> q3TopRevenue,
     "q5_region_revenue" -> q5RegionRevenue,
@@ -357,6 +386,18 @@ object SparkEntry {
       """SELECT o_orderstatus AS status, count(DISTINCT o_custkey) AS custs,
         |       count(*) AS orders
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sparql_string_funcs" ->
+      """SELECT c_name AS name, upper(c_name) AS up, substr(c_name, 10, 5) AS sub,
+        |       CAST(length(c_name) AS BIGINT) AS len,
+        |       replace(c_name, 'Customer', 'C') AS repl
+        |FROM customer
+        |WHERE contains(c_name, '19') AND starts_with(c_name, 'Customer')
+        |ORDER BY name""".stripMargin,
+    "sparql_date_funcs" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+        |       CAST(month(o_orderdate) AS BIGINT) AS m, count(*) AS n
+        |FROM orders WHERE year(o_orderdate) >= 1995
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q1_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,

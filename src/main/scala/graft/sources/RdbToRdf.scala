@@ -41,7 +41,9 @@ object RdbToRdf {
     case FloatType | DoubleType => TermCols.fromDoubleRaw(c)
     case _: DecimalType => TermCols.fromDecimalRaw(c)
     case BooleanType => TermCols.fromBoolean(c)
-    case TimestampType => TermCols.fromTimestamp(c)
+    // Spark 4 reads non-UTC-adjusted parquet timestamps as NTZ — same
+    // lexical mapping to xsd:dateTime either way
+    case TimestampType | TimestampNTZType => TermCols.fromTimestamp(c)
     case DateType => TermCols.typedLit(date_format(c, "yyyy-MM-dd"), graft.model.Xsd.date)
     case _ => TermCols.str(c)
   }
