@@ -53,7 +53,8 @@ object ExprCompiler {
     case EOr(l, r) => fromBoolean(ebv(l, env) || ebv(r, env))
     case EAnd(l, r) => fromBoolean(ebv(l, env) && ebv(r, env))
     case ENot(x) => fromBoolean(!ebv(x, env))
-    case ECmp(op, l, r) => fromBoolean(cmp(op, term(l, env), term(r, env)))
+    case ECmp(op, l, r) =>
+      fromBoolean(cmpStatic(op, l, r, env).getOrElse(cmp(op, term(l, env), term(r, env))))
     case EIn(x, list, neg) =>
       val c = term(x, env)
       val anyEq = list.map(i => cmp("=", c, term(i, env))).reduceOption(_ || _)
@@ -96,7 +97,8 @@ object ExprCompiler {
     case EOr(l, r) => ebv(l, env) || ebv(r, env)
     case EAnd(l, r) => ebv(l, env) && ebv(r, env)
     case ENot(x) => !ebv(x, env)
-    case ECmp(op, l, r) => cmp(op, term(l, env), term(r, env))
+    case ECmp(op, l, r) =>
+      cmpStatic(op, l, r, env).getOrElse(cmp(op, term(l, env), term(r, env)))
     case EBound(v) => env(v.name).isNotNull
     case EIn(x, list, neg) =>
       val c = term(x, env)
@@ -163,6 +165,22 @@ object ExprCompiler {
       case _ => base.otherwise(lit(null).cast(BooleanType))
     }
   }
+
+  /**
+   * Statically-dispatched numeric comparison: when BOTH operands are
+   * statically numeric, SPARQL operator mapping is plain numeric comparison
+   * (value semantics; unbound/error operands yield NULL). The pay-off is
+   * plan size: the dynamic dispatch tree references each operand ~15×, and
+   * Catalyst's filter pushdown inlines the operand's defining expression per
+   * reference (measured 15 copies of a YEAR() extraction in one predicate).
+   */
+  private def cmpStatic(op: String, l: Expr, r: Expr, env: Env): Option[Column] =
+    (staticKind(l, env), staticKind(r, env)) match {
+      case (Some(lk), Some(rk)) =>
+        for ((ld, le, _) <- numericView(l, env); (rd, re, _) <- numericView(r, env))
+          yield if (lk == 3 || rk == 3) binOp(op, ld, rd) else binOp(op, le, re)
+      case _ => None
+    }
 
   private def binOp(op: String, l: Column, r: Column): Column = op match {
     case "=" => l === r
@@ -265,6 +283,14 @@ object ExprCompiler {
       for (lk <- staticKind(l, env); rk <- staticKind(r, env))
         yield math.max(math.max(lk, rk), if (op == "/") 2 else 1)
     case ENeg(x) => staticKind(x, env)
+    case ECall(name, args) => name match {
+      // accessors with fixed result types (error → unbound, kind still holds
+      // for bound results)
+      case "YEAR" | "MONTH" | "DAY" | "HOURS" | "MINUTES" | "STRLEN" => Some(1)
+      case "SECONDS" => Some(2)
+      case "ABS" | "CEIL" | "FLOOR" | "ROUND" => staticKind(args.head, env)
+      case _ => None
+    }
     case _ => None
   }
 
