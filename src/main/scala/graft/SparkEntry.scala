@@ -543,7 +543,8 @@ object SparkEntry {
         |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS shingle
         |       FROM w WHERE len(ws) >= 5),
         |h AS (SELECT doc_id AS id, md5(shingle) AS h FROM sh)
-        |SELECT id, CAST(((strpos('0123456789abcdef', substr(h, 1, 1))-1) % 8) AS INT) AS band, min(h) AS fp_hash
+        |SELECT id, CAST(((16 * (strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
+        |             + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 8) AS INT) AS band, min(h) AS fp_hash
         |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "dedup_minhash" ->
       """WITH 

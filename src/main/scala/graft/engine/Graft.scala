@@ -17,6 +17,7 @@ import graft.sparql.Algebra._
  * schema (graph | subject | predicate | object as PlainTerm structs).
  */
 final class Graft(val quads: DataFrame, val star: Option[StarSource] = None) {
+  graft.geo.GeoFunctions.register() // idempotent; `new Graft` must work too
   private val spark: SparkSession = quads.sparkSession
 
   /** SELECT → DataFrame of PlainTerm structs, one column per variable. */

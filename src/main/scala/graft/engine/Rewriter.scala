@@ -520,7 +520,7 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     import org.apache.spark.sql.expressions.Window
     val plan = lateralPattern(q.where, ctx, lid, scope)
     var df = plan.df
-    val env = ExprCompiler.envOf(plan.vars.toSet)
+    val env = ExprCompiler.envOf(plan.vars.toSet, plan.kinds)
     val projItems = if (q.projection.nonEmpty) q.projection
                     else inScopeVars(q.where).map(v => ProjItem(v, None))
     projItems.foreach {
@@ -693,8 +693,9 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
       case "AVG" if argKind.contains(3) =>
         val x = in.get
         val dbl = if (a.distinct) sum_distinct(numDouble(x)) else sum(numDouble(x))
-        Seq(dbl.as(s"__${out}_dbl"),
-          sum(when(x.isNotNull, 1L).otherwise(0L)).as(s"__${out}_n"))
+        val n = if (a.distinct) count_distinct(numDouble(x))
+                else sum(when(x.isNotNull, 1L).otherwise(0L))
+        Seq(dbl.as(s"__${out}_dbl"), n.as(s"__${out}_n"))
       case "SUM" | "AVG" =>
         val x = in.get
         // the exact-decimal sum is only consulted when the group contains NO
@@ -704,7 +705,13 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
         val decIn = when(!isDoubleTyped(x), numDecimal(x))
         val dec = if (a.distinct) sum_distinct(decIn) else sum(decIn)
         val dbl = if (a.distinct) sum_distinct(numDouble(x)) else sum(numDouble(x))
-        val cntNum = sum(when(isNumeric(x), 1L).otherwise(0L))
+        // AVG(DISTINCT) divides by the DISTINCT value cardinality; the
+        // canonical value key prefers the exact decimal and falls back to the
+        // double rendering (doubles outside decimal(36,16) range)
+        val cntNum =
+          if (a.distinct) count_distinct(when(isNumeric(x),
+            coalesce(numDecimal(x).cast(StringType), numDouble(x).cast(StringType))))
+          else sum(when(isNumeric(x), 1L).otherwise(0L))
         Seq(dec.as(s"__${out}_dec"), dbl.as(s"__${out}_dbl"),
           max(when(x.isNotNull && !isNumeric(x), 1).otherwise(0)).as(s"__${out}_bad"),
           max(when(isDoubleTyped(x), 1).otherwise(0)).as(s"__${out}_anydbl"),
@@ -941,7 +948,7 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
       if (q.fromDefault.nonEmpty) GraphScope.UnionOf(q.fromDefault.map(_.value))
       else outerScope
     var plan = pattern(q.where, scope)
-    val env = ExprCompiler.envOf(plan.vars.toSet)
+    val env = ExprCompiler.envOf(plan.vars.toSet, plan.kinds)
 
     // computed projection items become columns first (visible to ORDER BY)
     val projItems = if (q.projection.nonEmpty) q.projection

@@ -203,9 +203,12 @@ object Geo {
   // ----------------------------------------------- interaction classification
 
   /** Interaction flags between two geometries: interiors intersect (ii),
-    * any-closure intersection (any), A-interior ∩ B-exterior (ie), and the
-    * mirror (ei). Everything each predicate needs. */
-  private final case class Rel(ii: Boolean, any: Boolean, ie: Boolean, ei: Boolean)
+    * any-closure intersection (any), A-interior ∩ B-exterior (ie), the
+    * mirror (ei), and — for curve/curve pairs — whether the interior
+    * intersection is 1-dimensional (ii1: a shared collinear run, not just
+    * crossing points). Everything each predicate needs. */
+  private final case class Rel(ii: Boolean, any: Boolean, ie: Boolean, ei: Boolean,
+                               ii1: Boolean = false)
 
   private def relate(a: Geom, b: Geom): Rel = (a, b) match {
     case (GPoint(p, _), GPoint(q, _)) =>
@@ -237,9 +240,12 @@ object Geo {
             !Seq(lb.head, lb.last).exists(samePt(_, x))) } }
       val anyX = lineSegments(la).exists { case (s1, s2) => segsB.exists { case (t1, t2) =>
         segIntersections(s1, s2, t1, t2).nonEmpty } }
+      // dimension of the interior meet: a subsegment midpoint lying ON the
+      // other line means a collinear run (1-dim); crossings alone are 0-dim
       Rel(ii = ii, any = anyX,
         ie = midsA.exists(m => !onPolyline(lb, m)),
-        ei = midsB.exists(m => !onPolyline(la, m)))
+        ei = midsB.exists(m => !onPolyline(la, m)),
+        ii1 = midsA.exists(onPolyline(lb, _)))
 
     case (GLine(pts, _), GPolygon(ring, _)) =>
       val mids = splitMidpoints(pts, ringSegments(ring))
@@ -273,7 +279,7 @@ object Geo {
   }
 
   private implicit class RelOps(private val r: Rel) extends AnyVal {
-    def mirror: Rel = Rel(r.ii, r.any, r.ei, r.ie)
+    def mirror: Rel = Rel(r.ii, r.any, r.ei, r.ie, r.ii1)
   }
 
   /** Point-set equality. */
@@ -306,11 +312,15 @@ object Geo {
       case "sfContains" => r.ii && !r.ei
       case "sfWithin" => r.ii && !r.ie
       case "sfCrosses" =>
-        if (dim(a) == dim(b) && dim(a) == 1) r.ii && r.ie && r.ei // line/line: 0-dim interior meet
+        // line/line: OGC requires dim(I∩I) = 0 — crossing points only
+        if (dim(a) == dim(b) && dim(a) == 1) r.ii && !r.ii1 && r.ie && r.ei
         else if (dim(a) < dim(b)) r.ii && r.ie
         else if (dim(a) > dim(b)) r.ii && r.ei
         else false
-      case "sfOverlaps" => dim(a) == dim(b) && r.ii && r.ie && r.ei
+      case "sfOverlaps" =>
+        // curve/curve overlap requires a 1-dim shared run (dim(I∩I) = 1)
+        if (dim(a) == dim(b) && dim(a) == 1) r.ii1 && r.ie && r.ei
+        else dim(a) == dim(b) && r.ii && r.ie && r.ei
       case other => throw new IllegalArgumentException(s"unknown predicate $other")
     })
   }

@@ -67,9 +67,10 @@ object Similarity {
     }.reduce((a, b) => a.bitwiseOR(b))
 
   /** Vector width, read from the first row (one tiny job; embedding width is
-    * constant per corpus). */
+    * constant per corpus). Empty corpus → 1 (any width works: every
+    * downstream result is empty anyway). */
   private def dimsOf(emb: DataFrame, vecCol: String): Int =
-    emb.select(size(col(vecCol))).head().getInt(0)
+    emb.select(size(col(vecCol))).take(1).headOption.map(_.getInt(0)).getOrElse(1)
 
   /**
    * Approximate top-k: candidates = rows whose signature is within

@@ -100,10 +100,11 @@ object TextAnalysis {
     // and min-per-band over the hex string is plain ASCII ordering everywhere
     val grams = Dedup.shingles(df, idCol, textCol, k)
       .withColumn("h", md5(col("shingle")))
-    // band = hash-space partition (leading hex digit); min per band =
-    // winnowing selection
+    // band = hash-space partition (leading byte, 0-255 — supports up to 256
+    // bands with near-uniform spread); min per band = winnowing selection
+    require(bandSize <= 256, "bandSize must be <= 256 (one leading hash byte)")
     grams.withColumn("band",
-        (conv(substring(col("h"), 1, 1), 16, 10).cast(IntegerType) % bandSize))
+        (conv(substring(col("h"), 1, 2), 16, 10).cast(IntegerType) % bandSize))
       .groupBy("id", "band").agg(min(col("h")).as("fp_hash"))
   }
 }

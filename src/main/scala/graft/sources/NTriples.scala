@@ -173,8 +173,8 @@ object NTriples {
     * (reference: Store::dump_to_writer, lib/rdf-fusion/src/store.rs:586-657). */
   /** N-Triples text form of a term column (also valid Turtle/TriG). */
   def termText(c: Column): Column = {
-    val esc = regexp_replace(regexp_replace(regexp_replace(
-      TermCols.value(c), "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\n", "\\\\n")
+    val esc = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      TermCols.value(c), "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\n", "\\\\n"), "\r", "\\\\r")
     when(TermCols.isIri(c), concat(lit("<"), TermCols.value(c), lit(">")))
       .when(TermCols.isBlank(c), concat(lit("_:"), TermCols.value(c)))
       .when(TermCols.langTag(c).isNotNull,

@@ -49,8 +49,12 @@ object RdfWriters {
   private val NCNameRest = NCNameStart + "0-9\\-\\u00B7"
 
   private def xmlEsc(c: Column): Column =
-    regexp_replace(regexp_replace(regexp_replace(c,
-      "&", "&amp;"), "<", "&lt;"), "\"", "&quot;")
+    // CR as a character reference: raw #xD is normalised away by every
+    // conforming XML reader, silently changing the literal. (C0 controls
+    // other than TAB/LF/CR are unrepresentable in XML 1.0 at all — such
+    // literals cannot round-trip through this format.)
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(c,
+      "&", "&amp;"), "<", "&lt;"), "\"", "&quot;"), "\r", "&#13;")
 
   /**
    * RDF/XML `rdf:Description` blocks, one per subject. Property-element
