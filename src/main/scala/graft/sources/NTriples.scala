@@ -121,6 +121,7 @@ object NTriples {
             var k = i + 1
             while (k < s.length && (s(k).isLetterOrDigit || s(k) == '-')) k += 1
             val lang = s.substring(i + 1, k); i = k
+            require(wellFormedLangTag(lang), s"ill-formed language tag '@$lang'")
             Some(Lit(lex, Rdf.langString, Some(lang.toLowerCase)))
           } else if (i + 1 < s.length && s(i) == '^' && s(i + 1) == '^') {
             i += 2
@@ -140,6 +141,23 @@ object NTriples {
     }
   }
 
+  /** Exactly n hex digits (parseInt alone would accept a '+' sign). */
+  private def hexDigits(v: String, at: Int, n: Int): String = {
+    val sub = v.substring(at, at + n)
+    require(sub.forall(c => Character.digit(c, 16) >= 0), s"bad unicode escape '$sub'")
+    sub
+  }
+
+  /** BCP47 well-formedness (as far as Turtle/N-Triples require): subtags of
+    * 1-8 alphanumerics, primary subtag alphabetic (oxigraph validates via
+    * oxilangtag and rejects e.g. 14-letter primary tags). */
+  private[graft] def wellFormedLangTag(t: String): Boolean = {
+    val parts = t.split("-", -1)
+    parts.nonEmpty && parts.head.nonEmpty && parts.head.length <= 8 &&
+      parts.head.forall(_.isLetter) &&
+      parts.tail.forall(p => p.nonEmpty && p.length <= 8 && p.forall(_.isLetterOrDigit))
+  }
+
   private[graft] def unescape(v: String): String = {
     if (v.indexOf('\\') < 0) return v
     val sb = new StringBuilder(v.length)
@@ -156,10 +174,11 @@ object NTriples {
           case '"' => sb.append('"'); i += 2
           case '\'' => sb.append('\''); i += 2
           case '\\' => sb.append('\\'); i += 2
-          case 'u' => sb.append(Integer.parseInt(v.substring(i + 2, i + 6), 16).toChar); i += 6
+          case 'u' => sb.append(Integer.parseInt(hexDigits(v, i + 2, 4), 16).toChar); i += 6
           case 'U' =>
-            sb.appendAll(Character.toChars(Integer.parseInt(v.substring(i + 2, i + 10), 16))); i += 10
-          case other => sb.append(other); i += 2
+            sb.appendAll(Character.toChars(Integer.parseInt(hexDigits(v, i + 2, 8), 16))); i += 10
+          case other =>
+            throw new IllegalArgumentException(s"illegal escape sequence '\\$other'")
         }
       } else { sb.append(c); i += 1 }
     }

@@ -65,11 +65,11 @@ object Turtle {
         val p = until(':'); i += 1; ws()
         val iri = iriRef(); ws()
         if (atForm) expect('.')
-        prefixes += (p.trim -> iri)
+        prefixes += (p.trim -> resolve(iri)) // prefix IRIs resolve against BASE
       } else if (peekKeyword("@base") || peekKeyword("BASE")) {
         val atForm = s(i) == '@'
         i += (if (atForm) "@base".length else "BASE".length); ws()
-        base = Some(iriRef()); ws()
+        base = Some(resolve(iriRef())); ws()
         if (atForm) expect('.')
       } else if (peekKeyword("GRAPH")) { // TriG
         i += 5; ws()
@@ -82,7 +82,24 @@ object Turtle {
         i += 1; ws()
         while (i < s.length && s(i) != '}') { triples(); ws() }
         expect('}')
-      } else triples()
+      } else {
+        // TriG labeled graph block WITHOUT the GRAPH keyword: `label { … }`
+        val save = i
+        val label =
+          try {
+            val t = term(); ws()
+            if (i < s.length && s(i) == '{') Some(t) else { i = save; None }
+          } catch { case _: Exception => i = save; None }
+        label match {
+          case Some(g) =>
+            i += 1; ws()
+            graph = Some(g)
+            while (i < s.length && s(i) != '}') { triples(); ws() }
+            expect('}')
+            graph = None
+          case None => triples()
+        }
+      }
     }
 
     private def triples(): Unit = {
@@ -178,13 +195,17 @@ object Turtle {
     }
 
     private def name(): String = {
-      val st = i
-      while (i < s.length && (isNameChar(s(i)) || s(i) == '%' || s(i) == '\\')) i += 1
-      // trailing '.' is a statement terminator, not part of the name
-      var e = i
-      while (e > st && s(e - 1) == '.') e -= 1
-      i = e
-      s.substring(st, e)
+      // PN_LOCAL with PN_LOCAL_ESC: '\.' etc. contribute the escaped char
+      val buf = scala.collection.mutable.ArrayBuffer[(Char, Boolean)]()
+      while (i < s.length && (isNameChar(s(i)) || s(i) == '%' || s(i) == '\\')) {
+        if (s(i) == '\\' && i + 1 < s.length) { buf += ((s(i + 1), true)); i += 2 }
+        else { buf += ((s(i), false)); i += 1 }
+      }
+      // trailing UNESCAPED '.' is the statement terminator, not name chars
+      var e = buf.length
+      while (e > 0 && buf(e - 1)._1 == '.' && !buf(e - 1)._2) e -= 1
+      i -= buf.length - e
+      buf.take(e).map(_._1).mkString
     }
 
     private def literal(): Lit = {
@@ -200,6 +221,8 @@ object Turtle {
           i += 1
           val sb = new StringBuilder
           while (s(i) != q) {
+            if (s(i) == '\n' || s(i) == '\r')
+              err("raw line break in single-quoted string (use triple quotes or \\n)")
             if (s(i) == '\\') { sb.append(s(i)).append(s(i + 1)); i += 2 }
             else { sb.append(s(i)); i += 1 }
           }
@@ -210,7 +233,9 @@ object Turtle {
         i += 1
         val st = i
         while (i < s.length && (s(i).isLetterOrDigit || s(i) == '-')) i += 1
-        Lit(lex, Rdf.langString, Some(s.substring(st, i).toLowerCase))
+        val tag = s.substring(st, i)
+        if (!NTriples.wellFormedLangTag(tag)) err(s"ill-formed language tag '@$tag'")
+        Lit(lex, Rdf.langString, Some(tag.toLowerCase))
       } else if (i + 1 < s.length && s(i) == '^' && s(i + 1) == '^') {
         i += 2
         val dt = term() match {
@@ -274,7 +299,13 @@ object Turtle {
         else i += 1
       }
     }
-    private def peekKeyword(k: String): Boolean = s.regionMatches(true, i, k, 0, k.length)
+    private def peekKeyword(k: String): Boolean =
+      s.regionMatches(true, i, k, 0, k.length) && {
+        // keyword boundary: "prefix:" / "base:" are legal PREFIXED NAMES,
+        // not directives (oxigraph keyword_vs_prefix fixtures)
+        val next = charAt(i + k.length)
+        !(isNameChar(next) || next == ':')
+      }
     private def until(c: Char): String = {
       val st = i
       while (i < s.length && s(i) != c && !s(i).isWhitespace) i += 1
