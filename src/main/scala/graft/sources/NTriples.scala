@@ -28,11 +28,15 @@ object NTriples {
     StructField("predicate", TermCols.schema, nullable = false),
     StructField("object", TermCols.schema, nullable = false)))
 
-  /** Read an N-Triples (or N-Quads when `quads=true`) file into a quads DF. */
-  def read(spark: SparkSession, path: String, quads: Boolean = false): DataFrame = {
+  /** Read an N-Triples (or N-Quads when `quads=true`) file into a quads DF.
+    * `lenient=true` recovers line-wise (the reference's parser-recovery
+    * semantics): malformed lines are dropped, and a line whose terms parse
+    * but lacks the final dot is kept. */
+  def read(spark: SparkSession, path: String, quads: Boolean = false,
+           lenient: Boolean = false): DataFrame = {
     val lines = spark.read.textFile(path)
     val parsed = lines.rdd.mapPartitions { it =>
-      it.flatMap(parseLine)
+      if (lenient) it.flatMap(parseLineRecovering) else it.flatMap(parseLine(_))
     }
     import org.apache.spark.sql.Row
     val rows = parsed.map { q =>
@@ -45,7 +49,7 @@ object NTriples {
   def fromString(spark: SparkSession, text: String): DataFrame = {
     import scala.jdk.CollectionConverters._
     val rows: java.util.List[org.apache.spark.sql.Row] =
-      text.linesIterator.flatMap(parseLine).map(quadRow).toList.asJava
+      text.linesIterator.flatMap(parseLine(_)).map(quadRow).toList.asJava
     spark.createDataFrame(rows, quadSchema)
   }
 
@@ -69,8 +73,10 @@ object NTriples {
     else null
 
   /** Parse one N-Triples/N-Quads line → quad. Comments/blank lines → None.
-    * Malformed lines raise (strict, like the reference's parser). */
-  def parseLine(raw: String): Option[RdfQuad] = {
+    * Malformed lines raise (strict, like the reference's parser);
+    * `requireDot=false` accepts a complete triple missing its final dot
+    * (recovery semantics). */
+  def parseLine(raw: String, requireDot: Boolean = true): Option[RdfQuad] = {
     val line = raw.trim
     if (line.isEmpty || line.startsWith("#")) return None
     val p = new NtParser(line)
@@ -81,9 +87,15 @@ object NTriples {
     }
     val o = p.term()
     val g = p.optTerm()
-    p.expectDot()
+    if (requireDot) p.expectDot()
     Some(RdfQuad(g, s, pr, o))
   }
+
+  /** Line-wise recovery (reference oxigraph-tests/parser-recovery): bad
+    * lines → None; complete triples without the final dot are kept. */
+  def parseLineRecovering(raw: String): Option[RdfQuad] =
+    try parseLine(raw, requireDot = false)
+    catch { case _: Exception => None }
 
   /** Hand-rolled single-line scanner — no regex backtracking in the hot loop. */
   private final class NtParser(s: String) {
@@ -101,13 +113,17 @@ object NTriples {
       s(i) match {
         case '<' =>
           val e = s.indexOf('>', i)
+          require(e > 0, s"unterminated IRI at $i")
           val v = s.substring(i + 1, e); i = e + 1
+          require(v.forall(validIriChar), s"illegal character in IRI <$v>")
           Some(Iri(unescape(v)))
         case '_' =>
           require(i + 1 < s.length && s(i + 1) == ':', s"bad bnode at $i")
           var j = i + 2
           while (j < s.length && !Character.isWhitespace(s(j))) j += 1
           val v = s.substring(i + 2, j); i = j
+          require(v.nonEmpty && v.forall(c => c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
+            s"illegal blank node label '_:$v'")
           Some(BNode(v))
         case '"' =>
           var j = i + 1
@@ -140,6 +156,12 @@ object NTriples {
       require(i < s.length && s(i) == '.', s"expected '.' at $i in: $s")
     }
   }
+
+  /** N-Triples IRIREF character set: no controls/space and none of
+    * <>"{}|^` (backslash only introduces \u escapes, checked later). */
+  private[graft] def validIriChar(c: Char): Boolean =
+    c > ' ' && c != '<' && c != '>' && c != '"' && c != '{' && c != '}' &&
+      c != '|' && c != '^' && c != '`'
 
   /** Exactly n hex digits (parseInt alone would accept a '+' sign). */
   private def hexDigits(v: String, at: Int, n: Int): String = {

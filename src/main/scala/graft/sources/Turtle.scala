@@ -277,6 +277,7 @@ object Turtle {
       val e = s.indexOf('>', i)
       if (e < 0) err("unterminated IRI")
       val v = s.substring(i, e); i = e + 1
+      if (!v.forall(NTriples.validIriChar)) err(s"illegal character in IRI <$v>")
       NTriples.unescape(v)
     }
 

@@ -22,7 +22,7 @@ class RdfXmlSpec extends SparkSpec {
   private def expected(name: String): Set[(RdfTerm, String, RdfTerm)] = {
     val lines = java.nio.file.Files.readAllLines(
       java.nio.file.Paths.get(s"$fixtureDir/$name.nt")).toArray.map(_.toString)
-    lines.flatMap(NTriples.parseLine).map(q => (q.subject, q.predicate.value, q.obj)).toSet
+    lines.flatMap(NTriples.parseLine(_)).map(q => (q.subject, q.predicate.value, q.obj)).toSet
   }
 
   for (name <- Seq("literal_value_space", "xml_entities", "xml_nested_entities")) {
