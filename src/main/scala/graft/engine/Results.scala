@@ -149,4 +149,93 @@ object Results {
 
   def tsvString(df: DataFrame): String =
     (df.columns.map("?" + _).mkString("\t") +: toTsvLines(df).collect().map(_.getString(0)).toSeq).mkString("\n") + "\n"
+
+  // ------------------------------------------------------------------ readers
+
+  /** Parsed result document: either an ASK boolean or (vars, solutions). */
+  sealed trait ReadResult
+  final case class ReadBoolean(value: Boolean) extends ReadResult
+  final case class ReadSolutions(vars: Seq[String],
+                                 rows: Seq[Map[String, graft.model.RdfTerm]]) extends ReadResult
+
+  private def requireDistinctVars(vars: Seq[String]): Unit =
+    require(vars.distinct.size == vars.size,
+      s"duplicated variable names in result head: ${vars.mkString(", ")}")
+
+  /**
+   * SPARQL Results JSON reader (the sparesults counterpart of [[toJson]]).
+   * Tolerates unknown keys and a head that follows the results (tree parse);
+   * rejects duplicated variable names; accepts the legacy "typed-literal"
+   * term type.
+   */
+  def readJson(text: String): ReadResult = {
+    import graft.model._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(text)
+    if (root.has("boolean")) return ReadBoolean(root.get("boolean").asBoolean)
+    val head = root.get("head")
+    require(head != null && head.has("vars"), "missing head.vars")
+    val vars = (0 until head.get("vars").size).map(head.get("vars").get(_).asText)
+    requireDistinctVars(vars)
+    val bindings = Option(root.get("results")).flatMap(r => Option(r.get("bindings")))
+      .getOrElse(throw new IllegalArgumentException("missing results.bindings"))
+    val rows = (0 until bindings.size).map { i =>
+      val b = bindings.get(i)
+      val names = b.fieldNames()
+      var m = Map.empty[String, RdfTerm]
+      while (names.hasNext) {
+        val n = names.next()
+        val t = b.get(n)
+        val v = t.get("value").asText
+        val term: RdfTerm = t.get("type").asText match {
+          case "uri" => Iri(v)
+          case "bnode" => BNode(v)
+          case "literal" | "typed-literal" =>
+            val lang = Option(t.get("xml:lang")).map(_.asText)
+            val dt = Option(t.get("datatype")).map(_.asText)
+            Lit(v, if (lang.isDefined) Rdf.langString else dt.getOrElse(Xsd.string), lang)
+          case other => throw new IllegalArgumentException(s"unknown term type '$other'")
+        }
+        m += (n -> term)
+      }
+      m
+    }
+    ReadSolutions(vars, rows)
+  }
+
+  /** SPARQL Results TSV reader: header of ?vars (duplicates rejected), one
+    * N-Triples-syntax term per cell, empty cell = unbound. */
+  def readTsv(text: String): ReadResult = {
+    import graft.model._
+    val lines = text.linesIterator.toSeq
+    require(lines.nonEmpty, "empty TSV results document")
+    val vars = lines.head.split("\t", -1).toSeq.map { cell =>
+      require(cell.startsWith("?") || cell.startsWith("$"),
+        s"TSV header cell must be a variable: '$cell'")
+      val v = cell.substring(1)
+      require(v.nonEmpty && !v.exists(c => c.isWhitespace || c == '?' || c == '$'),
+        s"invalid variable name '$cell'")
+      v
+    }
+    requireDistinctVars(vars)
+    val rows = lines.tail.filter(_.nonEmpty).map { line =>
+      val cells = line.split("\t", -1).toSeq
+      vars.zip(cells).collect {
+        case (v, cell) if cell.nonEmpty => v -> parseTsvTerm(cell)
+      }.toMap
+    }
+    ReadSolutions(vars, rows)
+  }
+
+  private def parseTsvTerm(cell: String): graft.model.RdfTerm = {
+    import graft.model._
+    val c = cell.trim
+    if (c.startsWith("<") || c.startsWith("_:") || c.startsWith("\""))
+      graft.sources.NTriples.parseTermString(c)
+    else if (c == "true" || c == "false") Lit(c, Xsd.boolean, None)
+    else if (c.matches("[+-]?\\d+")) Lit(c, Xsd.integer, None)
+    else if (c.matches("[+-]?\\d*\\.\\d+")) Lit(c, Xsd.decimal, None)
+    else if (c.matches("[+-]?\\d[\\d.]*[eE][+-]?\\d+")) Lit(c, Xsd.double, None)
+    else Lit(c, Xsd.string, None)
+  }
 }

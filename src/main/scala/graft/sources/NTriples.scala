@@ -97,6 +97,10 @@ object NTriples {
     try parseLine(raw, requireDot = false)
     catch { case _: Exception => None }
 
+  /** One term in N-Triples syntax (for TSV result cells etc.). */
+  def parseTermString(s: String): RdfTerm =
+    new NtParser(s.trim).term()
+
   /** Hand-rolled single-line scanner — no regex backtracking in the hot loop. */
   private final class NtParser(s: String) {
     private var i = 0

@@ -89,6 +89,8 @@ object TestSuite {
       return ExpectedBoolean(booleans.item(0).getTextContent.trim.toBoolean)
     val vars = nodeList(doc.getElementsByTagName("variable")).map(
       _.getAttributes.getNamedItem("name").getNodeValue)
+    require(vars.distinct.size == vars.size,
+      s"duplicated variable names in result head: ${vars.mkString(", ")}")
     val rows = nodeList(doc.getElementsByTagName("result")).map { r =>
       nodeList(r.getChildNodes).filter(_.getNodeName == "binding").map { b =>
         val name = b.getAttributes.getNamedItem("name").getNodeValue
