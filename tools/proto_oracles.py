@@ -84,7 +84,9 @@ FROM ent ORDER BY media_id"""
 ORACLES["rolling_fp"] = f"""
 WITH {SHINGLE5},
 h AS (SELECT doc_id AS id, md5(shingle) AS h FROM sh)
-SELECT id, CAST((({HEXPOS}substr(h, 1, 1))-1) % 8) AS INT) AS band, min(h) AS fp_hash
+SELECT id, CAST(((16 * (strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
+            + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 8) AS INT) AS band,
+       min(h) AS fp_hash
 FROM h GROUP BY 1, 2 ORDER BY 1, 2"""
 
 ORACLES["dedup_minhash"] = f"""
