@@ -39,6 +39,18 @@ object Turtle {
 
   def parse(text: String): Seq[RdfQuad] = new Parser(text).document()
 
+  /**
+   * Statement-level recovery (the reference's oxttl recovery semantics,
+   * oxigraph-tests/parser-recovery): on a parse error, skip to the next
+   * top-level '.' and continue with the following statement. A statement
+   * that fails BEFORE its object is parsed contributes nothing; one that
+   * fails after (e.g. only its final dot is missing) keeps the triples
+   * already emitted — matching the reference's recovered outputs. The
+   * resync point is a heuristic (a '.' inside a malformed quoted string can
+   * mis-anchor); strict [[parse]] remains the default.
+   */
+  def parseRecovering(text: String): Seq[RdfQuad] = new Parser(text).documentRecovering()
+
   // ------------------------------------------------------------------ parser
 
   private final class Parser(s: String) {
@@ -53,6 +65,23 @@ object Turtle {
       ws()
       while (i < s.length) {
         directiveOrTriples()
+        ws()
+      }
+      out.toSeq
+    }
+
+    def documentRecovering(): Seq[RdfQuad] = {
+      ws()
+      while (i < s.length) {
+        val before = i
+        try directiveOrTriples()
+        catch {
+          case _: Exception =>
+            // resync: past the next statement terminator (always advance)
+            if (i <= before) i = before + 1
+            while (i < s.length && s(i) != '.') i += 1
+            if (i < s.length) i += 1
+        }
         ws()
       }
       out.toSeq

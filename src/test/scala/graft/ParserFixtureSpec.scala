@@ -67,6 +67,7 @@ class ParserFixtureSpec extends SparkSpec {
       text.linesIterator.flatMap(NTriples.parseLine(_)).toSeq
     case "TestNTripleRecovery" | "TestNQuadRecovery" =>
       text.linesIterator.flatMap(NTriples.parseLineRecovering).toSeq
+    case "TestTurtleRecovery" | "TestN3Recovery" => Turtle.parseRecovering(text)
     case other => throw new IllegalArgumentException(s"unhandled test type $other")
   }
 
@@ -85,9 +86,6 @@ class ParserFixtureSpec extends SparkSpec {
         case Some(reason) => cancel(reason)
         case None =>
       }
-      if (tpe == "TestTurtleRecovery" || tpe == "TestN3Recovery")
-        cancel("statement-level Turtle/N3 recovery not implemented " +
-          "(our Turtle parser is strict per-file; the reference's oxttl is a resumable push parser)")
       val text = fileText(dir, action)
       if (tpe.contains("NegativeSyntax")) {
         intercept[Exception](parseBy(tpe, text))
