@@ -236,6 +236,8 @@ object Results {
     else if (c.matches("[+-]?\\d+")) Lit(c, Xsd.integer, None)
     else if (c.matches("[+-]?\\d*\\.\\d+")) Lit(c, Xsd.decimal, None)
     else if (c.matches("[+-]?\\d[\\d.]*[eE][+-]?\\d+")) Lit(c, Xsd.double, None)
-    else Lit(c, Xsd.string, None)
+    // anything else is not a valid Turtle-syntax term — reject, matching the
+    // reference's sparesults TSV reader (a bare word is NOT a string literal)
+    else throw new IllegalArgumentException(s"invalid TSV term: '$cell'")
   }
 }

@@ -705,12 +705,19 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
         val decIn = when(!isDoubleTyped(x), numDecimal(x))
         val dec = if (a.distinct) sum_distinct(decIn) else sum(decIn)
         val dbl = if (a.distinct) sum_distinct(numDouble(x)) else sum(numDouble(x))
-        // AVG(DISTINCT) divides by the DISTINCT value cardinality; the
-        // canonical value key prefers the exact decimal and falls back to the
-        // double rendering (doubles outside decimal(36,16) range)
+        // AVG(DISTINCT) divides by the DISTINCT value cardinality. The key's
+        // equivalence classes must match the dedup the sums perform:
+        // double-typed values dedup by their exact double (sum_distinct over
+        // numDouble), so key them by the double rendering FIRST — the
+        // decimal(36,16) canonicalisation would merge doubles that differ
+        // only beyond 16 fraction digits, counting once what was summed
+        // twice. Non-double numerics keep the exact-decimal key (falling
+        // back to double only outside decimal(36,16) range), matching the
+        // decimal sum's dedup.
         val cntNum =
           if (a.distinct) count_distinct(when(isNumeric(x),
-            coalesce(numDecimal(x).cast(StringType), numDouble(x).cast(StringType))))
+            coalesce(when(isDoubleTyped(x), numDouble(x).cast(StringType)),
+              numDecimal(x).cast(StringType), numDouble(x).cast(StringType))))
           else sum(when(isNumeric(x), 1L).otherwise(0L))
         Seq(dec.as(s"__${out}_dec"), dbl.as(s"__${out}_dbl"),
           max(when(x.isNotNull && !isNumeric(x), 1).otherwise(0)).as(s"__${out}_bad"),

@@ -48,13 +48,25 @@ object RdfWriters {
   private val NCNameStart = "A-Za-z_\\u00C0-\\u02FF\\u0370-\\u1FFF"
   private val NCNameRest = NCNameStart + "0-9\\-\\u00B7"
 
-  private def xmlEsc(c: Column): Column =
+  /** Chars with no XML 1.0 representation, not even as character refs. */
+  private val XmlUnrepresentable = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+
+  private def xmlEsc(c: Column): Column = {
     // CR as a character reference: raw #xD is normalised away by every
-    // conforming XML reader, silently changing the literal. (C0 controls
-    // other than TAB/LF/CR are unrepresentable in XML 1.0 at all — such
-    // literals cannot round-trip through this format.)
-    regexp_replace(regexp_replace(regexp_replace(regexp_replace(c,
-      "&", "&amp;"), "<", "&lt;"), "\"", "&quot;"), "\r", "&#13;")
+    // conforming XML reader, silently changing the literal. '>' escaped so
+    // ']]>' can never appear in content (XML 1.0 §2.4 forbids it raw).
+    val esc = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(c,
+        "&", "&amp;"), "<", "&lt;"), ">", "&gt;"), "\"", "&quot;"), "\r", "&#13;")
+    // C0 controls other than TAB/LF/CR are unrepresentable in XML 1.0 at
+    // all — fail the dump loudly (same contract as dumpTurtle's named-graph
+    // require) instead of writing a document no conforming parser, including
+    // our own RdfXml reader, could read back.
+    when(regexp_like(c, lit(XmlUnrepresentable)),
+      raise_error(concat(lit("RDF/XML cannot represent C0 control characters; "
+        + "offending lexical form: "), c)))
+      .otherwise(esc)
+  }
 
   /**
    * RDF/XML `rdf:Description` blocks, one per subject. Property-element

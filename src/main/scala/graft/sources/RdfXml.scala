@@ -35,8 +35,7 @@ object RdfXml {
     "parseType", "RDF", "Description", "li", "aboutEach", "aboutEachPrefix", "bagID")
 
   def read(spark: SparkSession, path: String): DataFrame = {
-    val text = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
-      java.nio.charset.StandardCharsets.UTF_8)
+    val text = FileText.read(spark, path)
     Turtle.quadsToDF(spark, parse(text, "file://" + path))
   }
 
@@ -90,8 +89,10 @@ object RdfXml {
     /** Inherited context: (base IRI, language). */
     private case class Ctx(base: String, lang: Option[String])
     private def ctx(se: StartElement, base: String, lang: Option[String]): Ctx = {
+      // XML Base §4.2: a nested (possibly relative) xml:base resolves
+      // against the base in scope, it does not replace it verbatim
       val b = Option(se.getAttributeByName(new javax.xml.namespace.QName(XmlNs, "base")))
-        .map(_.getValue).getOrElse(base)
+        .map(v => resolve(base, v.getValue)).getOrElse(base)
       val l = Option(se.getAttributeByName(new javax.xml.namespace.QName(XmlNs, "lang")))
         .map(_.getValue.toLowerCase).filter(_.nonEmpty).orElse(lang)
       Ctx(b, l)

@@ -18,11 +18,8 @@ import graft.model._
  */
 object Turtle {
 
-  def read(spark: SparkSession, path: String): DataFrame = {
-    val text = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
-      java.nio.charset.StandardCharsets.UTF_8)
-    quadsToDF(spark, parse(text))
-  }
+  def read(spark: SparkSession, path: String): DataFrame =
+    quadsToDF(spark, parse(FileText.read(spark, path)))
 
   /** Parse many files distributed: one task per file. */
   def readAll(spark: SparkSession, pathGlob: String): DataFrame = {

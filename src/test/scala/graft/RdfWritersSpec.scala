@@ -55,6 +55,34 @@ class RdfWritersSpec extends SparkSpec {
     assert(tripleSet(back) == tripleSet(store.quads))
   }
 
+  test("RDF/XML dump escapes ']]>' and round-trips it") {
+    val s = QuadStore.empty(spark).insert(Seq(
+      RdfQuad(None, Iri("http://ex.org/s"), Iri("http://ex.org/p"),
+        Lit("cdata ]]> end > also", Xsd.string, None))))
+    val dir = java.nio.file.Files.createTempDirectory("rdfxmlgt").toString + "/out"
+    s.dumpRdfXml(dir)
+    val text = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).toArray
+      .map(_.toString).filter(p => p.contains("part-") && !p.endsWith(".crc"))
+      .map(p => new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8"))
+      .mkString("\n")
+    assert(!text.contains("]]>"), "raw ]]> must never appear in XML content")
+    val back = RdfXml.readAll(spark, dir + "/part-*")
+    assert(tripleSet(back) == tripleSet(s.quads))
+  }
+
+  test("RDF/XML dump fails loudly on XML-1.0-unrepresentable control chars") {
+    val s = QuadStore.empty(spark).insert(Seq(
+      RdfQuad(None, Iri("http://ex.org/s"), Iri("http://ex.org/p"),
+        Lit("bad " + '' + " ctrl", Xsd.string, None))))
+    val dir = java.nio.file.Files.createTempDirectory("rdfxmlbad").toString + "/out"
+    val e = intercept[Throwable](s.dumpRdfXml(dir))
+    // raise_error surfaces as SparkRuntimeException (direct) or wrapped in
+    // SparkException depending on where in the task it fires
+    def chain(t: Throwable): List[Throwable] =
+      t :: Option(t.getCause).map(chain).getOrElse(Nil)
+    assert(chain(e).exists(_.getMessage != null))
+  }
+
   test("dumpTurtle refuses datasets with named graphs") {
     val g = Iri("http://ex.org/g1")
     val withGraphs = store.insert(Seq(
