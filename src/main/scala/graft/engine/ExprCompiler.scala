@@ -27,12 +27,22 @@ object ExprCompiler {
 
   /**
    * Resolve a variable name to its column; unknown variables are unbound.
-   * `kind` optionally reports a statically-known numeric kind of the
-   * variable's BOUND values (1 = integer, 2 = decimal, 3 = double) — known
-   * e.g. when the var is bound from a relational mapping column of a fixed
-   * native type. A static kind lets the arithmetic/aggregation compilers
-   * emit pre-dispatched code: Catalyst constant-folds the datatype CASE
-   * trees away (measured ~6× on numeric BIND+SUM hot paths).
+   * `kind` optionally reports a statically-known kind of the variable's
+   * BOUND values (1 = integer, 2 = decimal, 3 = double, 4 = dateTime with
+   * the fixed `yyyy-MM-ddTHH:mm:ss` lexical shape, 5 = date `yyyy-MM-dd`) —
+   * known e.g. when the var is bound from a relational mapping column of a
+   * fixed native type. A static kind lets the arithmetic/aggregation/
+   * comparison compilers emit pre-dispatched code: Catalyst constant-folds
+   * the datatype CASE trees away (measured ~6× on numeric BIND+SUM hot
+   * paths); temporal kinds turn YEAR()-style accessors into substrings of
+   * the fixed-shape lexical and comparisons into plain string compares.
+   *
+   * INVARIANT: a kind recorded in a plan's kinds map vouches that every
+   * bound value is CANONICALLY rendered (mapping columns and computed
+   * arithmetic render canonically; BIND of a raw literal only claims a kind
+   * when its lexical form is canonical — see [[bindKind]]). This is what
+   * allows group keys and MIN/MAX buffers to collapse to narrow native
+   * values and reconstruct the term afterwards.
    */
   trait Env extends (String => Column) {
     def kind(name: String): Option[Int] = None
@@ -81,7 +91,13 @@ object ExprCompiler {
       val cc = ebv(c, env)
       when(cc, term(t, env)).when(!cc, term(f, env)).otherwise(nullTerm)
     case ECoalesce(args) => coalesce(args.map(term(_, env)): _*)
-    case ECall(name, args) => call(name, args.map(term(_, env)), env)
+    case e @ ECall(name, args) =>
+      // date-part accessors over statically-temporal args render via the
+      // numeric fast path (substring, no regexp)
+      numericView(e, env) match {
+        case Some((d, dec, k)) => renderNumeric(d, dec, k)
+        case None => call(name, args.map(term(_, env)), env)
+      }
     case EExists(_, _) =>
       throw new IllegalStateException("EXISTS must be rewritten before expression compilation")
     case EAgg(_) =>
@@ -176,10 +192,14 @@ object ExprCompiler {
    */
   private def cmpStatic(op: String, l: Expr, r: Expr, env: Env): Option[Column] =
     (staticKind(l, env), staticKind(r, env)) match {
-      case (Some(lk), Some(rk)) =>
+      case (Some(lk), Some(rk)) if lk <= 3 && rk <= 3 =>
         for ((ld, le, _) <- numericView(l, env); (rd, re, _) <- numericView(r, env))
           yield if (lk == 3 || rk == 3) binOp(op, ld, rd) else binOp(op, le, re)
-      case _ => None
+      case (Some(lk), Some(rk)) if lk == rk => // both dateTime or both date
+        // fixed equal-length lexical shape ⇒ string order ≡ temporal order
+        for ((lv, _) <- temporalLex(l, env); (rv, _) <- temporalLex(r, env))
+          yield binOp(op, lv, rv)
+      case _ => None // mixed numeric/temporal or date vs dateTime → generic
     }
 
   private def binOp(op: String, l: Column, r: Column): Column = op match {
@@ -206,11 +226,19 @@ object ExprCompiler {
     case EVar(v) =>
       val c = env(v.name)
       env.kind(v.name) match {
-        case Some(k) =>
+        case Some(k) if k <= 3 =>
           // static kind: a NULL value (unbound) still renders as error via
-          // the null num/decimal, so the literal kind is safe
-          val dec = if (k == 3) lit(null).cast(DecimalType(36, 16)) else numDecimal(c)
+          // the null num/decimal, so the literal kind is safe. The
+          // isNumeric datatype guard inside numDecimal is statically true
+          // here — parse the lexical unguarded so no INSET datatype test
+          // survives into the plan
+          val dec = if (k == 3) lit(null).cast(DecimalType(36, 16))
+                    else value(c).try_cast(DecimalType(36, 16))
           Some((numDouble(c), dec, lit(k)))
+        case Some(_) =>
+          // statically temporal: never numeric — arithmetic on it is a
+          // type error regardless of the runtime value
+          Some((lit(null).cast(DoubleType), lit(null).cast(DecimalType(36, 16)), lit(0)))
         case None =>
           val kind = when(!coalesce(isNumeric(c), lit(false)), lit(0))
             .when(isDoubleTyped(c), lit(3))
@@ -258,6 +286,51 @@ object ExprCompiler {
       }
     case ENeg(x) =>
       numericView(x, env).map { case (d, dec, k) => (-d, -dec, k) }
+    case ECall(name @ ("YEAR" | "MONTH" | "DAY" | "HOURS" | "MINUTES" | "SECONDS"),
+               Seq(a)) =>
+      // statically-temporal argument: the lexical shape is fixed
+      // (yyyy-MM-ddTHH:mm:ss / yyyy-MM-dd, Spark timestamps are years
+      // 0001–9999 so the year field is always exactly 4 digits), so the
+      // date-part accessors are plain substrings — no regexp, and the
+      // copies that filter pushdown inlines stay cheap
+      temporalLex(a, env).flatMap { case (v, tk) =>
+        val pos = name match {
+          case "YEAR" => Some(1 -> 4)
+          case "MONTH" => Some(6 -> 2)
+          case "DAY" => Some(9 -> 2)
+          case "HOURS" if tk == 4 => Some(12 -> 2)
+          case "MINUTES" if tk == 4 => Some(15 -> 2)
+          case "SECONDS" if tk == 4 => Some(18 -> 2)
+          case _ => None // time-of-day accessor on xsd:date = type error
+        }
+        pos.map { case (p, len) =>
+          val l = substring(v, p, len).cast(LongType)
+          val kind = if (name == "SECONDS") 2 else 1
+          (l.cast(DoubleType), l.cast(DecimalType(36, 16)), lit(kind))
+        }
+      }
+    case _ => None
+  }
+
+  /**
+   * Fixed-shape temporal lexical view: the lexical-form column plus the
+   * temporal kind (4 = dateTime `yyyy-MM-ddTHH:mm:ss`, 5 = date
+   * `yyyy-MM-dd`) when the expression is statically known to carry it —
+   * a var whose kind the mapping vouches for, or a literal whose lexical
+   * form matches the shape exactly. Fixed shape ⇒ equal lengths ⇒
+   * lexicographic string order ≡ temporal order.
+   */
+  private val DateTimeShape = "\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}".r
+  private val DateShape = "\\d{4}-\\d{2}-\\d{2}".r
+  private def temporalLex(e: Expr, env: Env): Option[(Column, Int)] = e match {
+    case EVar(v) => env.kind(v.name) match {
+      case Some(k) if k == 4 || k == 5 => Some((value(env(v.name)), k))
+      case _ => None
+    }
+    case ETerm(graft.model.Lit(v, dt, None)) =>
+      if (dt == graft.model.Xsd.dateTime && DateTimeShape.matches(v)) Some((lit(v), 4))
+      else if (dt == graft.model.Xsd.date && DateShape.matches(v)) Some((lit(v), 5))
+      else None
     case _ => None
   }
 
@@ -274,10 +347,12 @@ object ExprCompiler {
     * rewriter propagate kinds through BIND into downstream aggregation. */
   def staticKind(e: Expr, env: Env): Option[Int] = e match {
     case EVar(v) => env.kind(v.name)
-    case ETerm(graft.model.Lit(_, dt, None)) =>
+    case ETerm(graft.model.Lit(v, dt, None)) =>
       if (dt == graft.model.Xsd.double || dt == graft.model.Xsd.float) Some(3)
       else if (dt == graft.model.Xsd.decimal) Some(2)
       else if (graft.model.Xsd.numericTypes.contains(dt)) Some(1)
+      else if (dt == graft.model.Xsd.dateTime && DateTimeShape.matches(v)) Some(4)
+      else if (dt == graft.model.Xsd.date && DateShape.matches(v)) Some(5)
       else None
     case EArith(op, l, r) =>
       for (lk <- staticKind(l, env); rk <- staticKind(r, env))
@@ -293,6 +368,54 @@ object ExprCompiler {
     }
     case _ => None
   }
+
+  /**
+   * Kind to RECORD in a plan's kinds map for a BIND/projection of `e`.
+   * Same as [[staticKind]] except a bare literal only claims a kind when
+   * its lexical form is canonical: the kinds-map invariant (see [[Env]])
+   * lets group keys and MIN/MAX buffers collapse to narrow native values
+   * and reconstruct the term afterwards, which requires the lexical to be
+   * recomputable from the value. Computed subtrees (arithmetic, accessors)
+   * render canonically regardless of their operands' lexical forms, and
+   * temporal static kinds are shape-checked at the claim site.
+   */
+  def bindKind(e: Expr, env: Env): Option[Int] = e match {
+    case ETerm(graft.model.Lit(v, _, None)) =>
+      staticKind(e, env).filter {
+        // the range checks keep the narrow representations (LongType /
+        // Decimal(36,16)) lossless — out-of-range literals simply claim no
+        // kind and stay on the generic path
+        case 1 => scala.util.Try(BigInt(v).toString == v && BigInt(v).isValidLong)
+          .getOrElse(false)
+        case 2 => scala.util.Try {
+          val bd = new java.math.BigDecimal(v)
+          bd.stripTrailingZeros.toPlainString == v && bd.scale <= 16 &&
+            bd.precision - bd.scale <= 20
+        }.getOrElse(false)
+        case 3 => scala.util.Try {
+          val d = v.toDouble
+          val canon = if (d == d.toLong.toDouble && math.abs(d) < 1e15) d.toLong.toString
+                      else d.toString
+          canon == v
+        }.getOrElse(false)
+        case _ => true // temporal claims are shape-checked in staticKind
+      }
+    case _ => staticKind(e, env)
+  }
+
+  /**
+   * Narrow ORDER BY sort key when the expression's kind is static: all
+   * bound values are then literals of ONE comparable family, so the generic
+   * sortable struct (class tag, double, string — a per-row CASE ladder over
+   * the datatype) collapses to a single native column. Unbound still sorts
+   * as NULL — the caller's nulls_first/last handles SPARQL's
+   * unbound-sorts-lowest.
+   */
+  def sortKeyStatic(e: Expr, env: Env): Option[Column] =
+    staticKind(e, env).flatMap { k =>
+      if (k <= 3) numericView(e, env).map { case (d, dec, _) => if (k == 3) d else dec }
+      else temporalLex(e, env).map(_._1)
+    }
 
   /** Numeric promotion ladder Integer → Decimal → Double; `/` of integers is
     * decimal (reference lib/functions/src/scalar/numeric/{add,div,…}.rs,

@@ -57,7 +57,7 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
       val env = ExprCompiler.envOf(plan2.vars.toSet, plan2.kinds)
       SPlan(plan2.df.withColumn(v.name, ExprCompiler.term(expr2, env)),
         in.vars :+ v.name, in.maybeUnbound + v.name,
-        plan2.kinds ++ ExprCompiler.staticKind(expr2, env).map(v.name -> _))
+        plan2.kinds ++ ExprCompiler.bindKind(expr2, env).map(v.name -> _))
     case Minus(l, r) => minus(pattern(l, scope), pattern(r, scope))
     case ValuesPattern(vars, rows) => values(vars, rows)
     case GraphGraph(name, inner) => name match {
@@ -447,7 +447,7 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
       val env = ExprCompiler.envOf(plan2.vars.toSet, plan2.kinds)
       SPlan(plan2.df.withColumn(v.name, ExprCompiler.term(expr2, env)),
         in.vars :+ v.name, in.maybeUnbound + v.name,
-        plan2.kinds ++ ExprCompiler.staticKind(expr2, env).map(v.name -> _))
+        plan2.kinds ++ ExprCompiler.bindKind(expr2, env).map(v.name -> _))
     case Minus(a, b) =>
       val A = lateralPattern(a, ctx, lid, scope)
       val B = lateralPattern(b, ctx, lid, scope)
@@ -529,12 +529,20 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     }
     val projNames = projItems.map(_.v.name)
     val keep = (lid +: (ctx.vars.filterNot(_ == lid) ++ projNames).distinct)
+    // kinds flow into the per-outer-row window sort (ctx kinds for restored
+    // vars, bind kinds for computed projections)
+    val keepKinds = (ctx.kinds ++ plan.kinds ++ projItems.flatMap {
+      case ProjItem(v, Some(e)) => ExprCompiler.bindKind(e, env).map(v.name -> _)
+      case _ => None
+    }).filter { case (v, _) => keep.contains(v) }
     df = df.select(keep.map(col): _*)
     if (q.distinct || q.reduced) df = df.dropDuplicates(keep)
     if (q.orderBy.nonEmpty || q.limit.isDefined || q.offset.isDefined) {
+      val kEnv = ExprCompiler.envOf(keep.toSet, keepKinds)
       val orderKeys =
         if (q.orderBy.nonEmpty) q.orderBy.map { c =>
-          val k = TermCols.sortKey(ExprCompiler.term(c.expr, ExprCompiler.envOf(keep.toSet)))
+          val k = ExprCompiler.sortKeyStatic(c.expr, kEnv)
+            .getOrElse(TermCols.sortKey(ExprCompiler.term(c.expr, kEnv)))
           if (c.ascending) k.asc_nulls_first else k.desc_nulls_last
         }
         else Seq(monotonically_increasing_id().asc)
@@ -546,7 +554,8 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
       q.limit.foreach(n => df = df.filter(col(rn) <= lo + n))
       df = df.drop(rn)
     }
-    SPlan(df, keep, plan.maybeUnbound ++ projItems.collect { case ProjItem(v, Some(_)) => v.name })
+    SPlan(df, keep, plan.maybeUnbound ++ projItems.collect { case ProjItem(v, Some(_)) => v.name },
+      keepKinds)
   }
 
   private def existsJoin(in: SPlan, p: GraphPattern, negated: Boolean, scope: GraphScope): SPlan = {
@@ -644,28 +653,72 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
       case (v, Some(_)) => v.name                       // computed key may error → NULL
       case (v, None) if in.isNullable(v.name) => v.name
     }.toSet ++ aggs.collect { case (v, a) if a.name != "COUNT" => v.name }
-    val keyKinds = in.kinds.filter { case (v, _) => keyNames.contains(v) }
+    val keyKinds = in.kinds.filter { case (v, _) => keyNames.contains(v) } ++
+      keys.collect { case (v, Some(e)) =>
+        ExprCompiler.bindKind(e, env).map(v.name -> _) }.flatten
     val aggKinds = aggs.flatMap { case (v, a) =>
       aggResultKind(a, argKinds.get(v.name)).map(v.name -> _) }.toMap
     if (aggs.isEmpty)
       return SPlan(df.select(keyNames.map(col): _*).dropDuplicates(), keyNames, mu, keyKinds)
     val aggExprs: Seq[Column] = aggs.flatMap { case (v, a) =>
       aggCols(v.name, a, argCols.get(v.name), argKinds.get(v.name)) }
-    val grouped = df.groupBy(keyNames.map(col): _*).agg(aggExprs.head, aggExprs.tail: _*)
-    // final projection turns raw aggregate buffers into terms
-    val finals = keyNames.map(col) ++ aggs.map { case (v, a) =>
+    // statically-kinded keys group on one narrow native value instead of the
+    // 5-field term struct (hash input shrinks, shuffle rows narrow); the
+    // term is rebuilt after aggregation — sound because the kinds-map
+    // invariant guarantees canonical rendering (see ExprCompiler.Env docs)
+    val gbCols = keyNames.map { n =>
+      keyKinds.get(n) match {
+        case Some(k) => narrowKey(col(n), k).as(n)
+        case None => col(n)
+      }
+    }
+    val grouped = df.groupBy(gbCols: _*).agg(aggExprs.head, aggExprs.tail: _*)
+    // final projection turns raw aggregate buffers / narrow keys into terms
+    val finals = keyNames.map { n =>
+      keyKinds.get(n) match {
+        case Some(k) => rebuildKey(col(n), k).as(n)
+        case None => col(n)
+      }
+    } ++ aggs.map { case (v, a) =>
       aggFinal(v.name, a, argKinds.get(v.name)).as(v.name) }
     val out = grouped.select(finals: _*)
     SPlan(out, keyNames ++ aggs.map(_._1.name), mu, keyKinds ++ aggKinds)
+  }
+
+  /** Narrow native grouping value of a statically-kinded term column
+    * (canonical-render invariant makes this a bijection on bound values). */
+  private def narrowKey(c: Column, k: Int): Column = {
+    import TermCols._
+    k match {
+      case 1 => value(c).cast(LongType) // canonical integer lexical: exact
+      case 2 => numDecimal(c)
+      case 3 => numDouble(c)
+      case _ => value(c)                // 4/5: fixed-shape temporal lexical
+    }
+  }
+
+  /** Rebuild the PlainTerm from a narrow grouping value (inverse of
+    * [[narrowKey]] under the canonical-render invariant). */
+  private def rebuildKey(c: Column, k: Int): Column = {
+    import TermCols._
+    k match {
+      case 1 => fromLong(c)
+      case 2 => fromDecimal(c)
+      case 3 => fromDouble(c)
+      case 4 => when(c.isNull, nullTerm).otherwise(typedLit(c, graft.model.Xsd.dateTime))
+      case 5 => when(c.isNull, nullTerm).otherwise(typedLit(c, graft.model.Xsd.date))
+    }
   }
 
   /** Static kind of an aggregate result, when derivable from its input kind
     * (mirrors the type ladder of the buffers below). */
   private def aggResultKind(a: Aggregate, argKind: Option[Int]): Option[Int] = a.name match {
     case "COUNT" => Some(1)
-    case "SUM" => argKind
-    case "AVG" => argKind.map(k => if (k == 3) 3 else 2)
-    case "MIN" | "MAX" | "SAMPLE" => argKind
+    // SUM/AVG of a temporal input is always an error (never bound), so only
+    // numeric kinds carry over to the result
+    case "SUM" => argKind.filter(_ <= 3)
+    case "AVG" => argKind.filter(_ <= 3).map(k => if (k == 3) 3 else 2)
+    case "MIN" | "MAX" | "SAMPLE" => argKind // result is one of the inputs
     case _ => None
   }
 
@@ -724,12 +777,22 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
           max(when(isDoubleTyped(x), 1).otherwise(0)).as(s"__${out}_anydbl"),
           max(when(isDecimalTyped(x), 1).otherwise(0)).as(s"__${out}_anydec"),
           cntNum.as(s"__${out}_n"))
-      case "MIN" | "MAX" if argKind.contains(3) =>
-        // static all-double input: order by the pre-decoded num directly —
-        // equal nums are the same value, hence the same rendered term, so
-        // the term tie-break can never disagree with the sortable encoding
+      case "MIN" | "MAX" if argKind.isDefined =>
+        // static kind: order by ONE narrow key instead of the sortable CASE
+        // ladder — equal keys are the same value, hence (canonical-render
+        // invariant) the same rendered term, so the tie-break can never
+        // disagree with the sortable encoding. kind 3 keys on the
+        // pre-decoded num; 1/2 on the exact lexical-derived numeric;
+        // temporal kinds on the fixed-shape lexical (string order ≡
+        // temporal order at equal lengths).
         val x = col(argCol.get)
-        val buf = when(x.isNotNull, struct(numDouble(x).as("k"), x.as("t")))
+        val key = argKind.get match {
+          case 1 => value(x).cast(LongType)
+          case 2 => numDecimal(x)
+          case 3 => numDouble(x)
+          case _ => value(x)
+        }
+        val buf = when(x.isNotNull, struct(key.as("k"), x.as("t")))
         Seq((if (a.name == "MIN") min(buf) else max(buf)).as(s"__${out}_mm"))
       case "MIN" =>
         Seq(min(when(col(argCol.get).isNotNull, struct(sortKey(col(argCol.get)).as("k"),
@@ -967,12 +1030,20 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     }
     val projNames = projItems.map(_.v.name)
     val allVars = (plan.vars ++ projNames).distinct
-    val env2 = ExprCompiler.envOf(allVars.toSet)
+    // kinds survive projection: plain vars keep theirs, computed items get
+    // the statically-derived kind — computed EARLY so ORDER BY compiles
+    // narrow sort keys over them
+    val ks = projItems.flatMap {
+      case ProjItem(v, None) => plan.kinds.get(v.name).map(v.name -> _)
+      case ProjItem(v, Some(e)) => ExprCompiler.bindKind(e, env).map(v.name -> _)
+    }.toMap
+    val env2 = ExprCompiler.envOf(allVars.toSet, plan.kinds ++ ks)
 
     if (q.distinct || q.reduced) {
       // project → dedup → order → slice (ordering keys must be projected)
       df = df.select(projNames.map(col): _*).dropDuplicates()
-      if (q.orderBy.nonEmpty) df = orderDf(df, q.orderBy, ExprCompiler.envOf(projNames.toSet))
+      if (q.orderBy.nonEmpty)
+        df = orderDf(df, q.orderBy, ExprCompiler.envOf(projNames.toSet, ks))
     } else {
       if (q.orderBy.nonEmpty) df = orderDf(df, q.orderBy, env2)
       df = df.select(projNames.map(col): _*)
@@ -981,20 +1052,16 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     q.limit.foreach(l => df = df.limit(l.toInt))
     val mu = projItems.map(_.v.name).filter(v =>
       plan.isNullable(v) || projItems.exists(p => p.v.name == v && p.expr.isDefined)).toSet
-    // kinds survive projection: plain vars keep theirs, computed items get
-    // the statically-derived kind (sub-SELECT consumers see them)
-    val ks = projItems.flatMap {
-      case ProjItem(v, None) => plan.kinds.get(v.name).map(v.name -> _)
-      case ProjItem(v, Some(e)) => ExprCompiler.staticKind(e, env).map(v.name -> _)
-    }.toMap
     SPlan(df, projNames, mu, ks)
   }
 
   private def orderDf(df: DataFrame, conds: Seq[OrderCond], env: ExprCompiler.Env): DataFrame = {
     // SPARQL total order via the sortable view; unbound sorts first on ASC
-    // (reference graph_pattern_rewriter.rs:277-297 — nulls_first = true)
+    // (reference graph_pattern_rewriter.rs:277-297 — nulls_first = true).
+    // Statically-kinded keys collapse to one narrow native column.
     val keys = conds.map { c =>
-      val k = TermCols.sortKey(ExprCompiler.term(c.expr, env))
+      val k = ExprCompiler.sortKeyStatic(c.expr, env)
+        .getOrElse(TermCols.sortKey(ExprCompiler.term(c.expr, env)))
       if (c.ascending) k.asc_nulls_first else k.desc_nulls_last
     }
     df.orderBy(keys: _*)

@@ -31,12 +31,16 @@ trait StarSource {
   def starScan(predIris: Seq[String]): Option[(DataFrame, Map[String, String])]
 
   /**
-   * Statically-known numeric kind (1 = integer, 2 = decimal, 3 = double) of
-   * every object this source emits for the given predicate — derivable when
-   * the predicate maps a relational column of a fixed native type. Lets the
-   * expression compiler pre-dispatch arithmetic/aggregation (the datatype
-   * CASE trees constant-fold). Must only be answered if it holds for ALL
-   * quads of this predicate in the Graft's quad relation.
+   * Statically-known kind (1 = integer, 2 = decimal, 3 = double,
+   * 4 = dateTime with the fixed `yyyy-MM-ddTHH:mm:ss` lexical shape,
+   * 5 = date `yyyy-MM-dd`) of every object this source emits for the given
+   * predicate — derivable when the predicate maps a relational column of a
+   * fixed native type. Lets the expression compiler pre-dispatch
+   * arithmetic/aggregation/comparisons and date-part accessors (the
+   * datatype CASE trees constant-fold; YEAR() becomes a substring). Terms
+   * must be canonically rendered (see ExprCompiler.Env invariant). Must
+   * only be answered if it holds for ALL quads of this predicate in the
+   * Graft's quad relation.
    */
   def predKind(predIri: String): Option[Int] = None
 }

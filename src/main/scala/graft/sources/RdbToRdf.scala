@@ -146,6 +146,10 @@ object RdbToRdf {
           case Some(ByteType | ShortType | IntegerType | LongType) => Some(1)
           case Some(_: DecimalType) => Some(2)
           case Some(FloatType | DoubleType) => Some(3)
+          // litTerm renders these with the fixed lexical shapes kinds 4/5
+          // vouch for (yyyy-MM-ddTHH:mm:ss / yyyy-MM-dd)
+          case Some(TimestampType | TimestampNTZType) => Some(4)
+          case Some(DateType) => Some(5)
           case _ => None
         }
       }
