@@ -69,6 +69,64 @@ object Dedup {
   }
 
   /**
+   * Exact Jaccard pairs via AllPairs-style PREFIX FILTERING — the scale path.
+   *
+   * The plain inverted-index join ([[jaccardPairs]]) meets every pair of
+   * docs sharing ANY token, so a token appearing in d documents alone
+   * produces d·(d−1)/2 candidate rows — quadratic in the frequency of the
+   * hottest token, which is what explodes on a web-scale corpus (stopword-
+   * like shingles). Prefix filtering bounds this: order every doc's tokens
+   * by ascending global document frequency (rarest first, ties by token),
+   * keep only each doc's first |A| − ⌈t·|A|⌉ + 1 tokens (the "prefix"), and
+   * join prefixes only. If J(A,B) ≥ t then A and B must share ≥ ⌈t·|A|⌉
+   * tokens, so at least one lies in A's prefix (and symmetrically B's) —
+   * the join is lossless. Candidates then verify exactly against the full
+   * sorted token arrays (array_intersect), so results are IDENTICAL to
+   * [[jaccardPairs]]; only the candidate volume changes. A size filter
+   * (t·max ≤ min) prunes further before verification.
+   *
+   * Cost shape at scale: the prefix join's hottest key is a token's
+   * occurrences *in prefixes only* — frequent tokens land at the END of
+   * every doc's ordering and never enter short prefixes, so the quadratic
+   * blowup disappears; verification moves two token arrays per surviving
+   * candidate (bounded by doc length, not corpus size).
+   */
+  def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+                         threshold: Double, shingleK: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sets = (if (shingleK <= 1) tokenSet(df, idCol, textCol)
+                else shingles(df, idCol, textCol, shingleK).withColumnRenamed("shingle", "tok"))
+      .localCheckpoint() // feeds ranking, prefixes AND verification arrays
+    val ranked = sets
+      .join(sets.groupBy("tok").agg(count(lit(1)).as("df")), Seq("tok"))
+    val w = Window.partitionBy("id").orderBy(col("df"), col("tok"))
+    // ⌈t·sz⌉ computed with a small epsilon so fp round-UP can only ever
+    // lengthen the prefix (lossless direction), never shorten it
+    val withPos = ranked
+      .withColumn("pos", row_number().over(w))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
+    val prefix = withPos
+      .where(col("pos") <= col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
+      .select(col("tok"), col("id"), col("sz"))
+    val cand = prefix.toDF("tok", "id_a", "sz_a")
+      .join(prefix.toDF("tok", "id_b", "sz_b"), Seq("tok"))
+      .where(col("id_a") < col("id_b") &&
+        least(col("sz_a"), col("sz_b")) >=
+          lit(threshold) * greatest(col("sz_a"), col("sz_b")) - lit(1e-9))
+      .select("id_a", "id_b").distinct()
+    val arrs = sets.groupBy("id")
+      .agg(sort_array(collect_list(col("tok"))).as("arr"), count(lit(1)).as("sz"))
+    val verified = cand
+      .join(arrs.select(col("id").as("id_a"), col("arr").as("arr_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(arrs.select(col("id").as("id_b"), col("arr").as("arr_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("arr_a"), col("arr_b"))))
+    verified
+      .withColumn("jaccard", round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /**
    * Portable 60-bit token hash: the first 15 hex digits of md5, parsed as an
    * integer. md5 is available bit-identically in every engine (Spark, DuckDB,
    * Trino, Postgres…), so pipelines built on this hash are reproducible — and
