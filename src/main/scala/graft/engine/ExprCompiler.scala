@@ -293,7 +293,7 @@ object ExprCompiler {
       // 0001–9999 so the year field is always exactly 4 digits), so the
       // date-part accessors are plain substrings — no regexp, and the
       // copies that filter pushdown inlines stay cheap
-      temporalLex(a, env).flatMap { case (v, tk) =>
+      val fast = temporalLex(a, env).flatMap { case (v, tk) =>
         val pos = name match {
           case "YEAR" => Some(1 -> 4)
           case "MONTH" => Some(6 -> 2)
@@ -308,6 +308,43 @@ object ExprCompiler {
           val kind = if (name == "SECONDS") 2 else 1
           (l.cast(DoubleType), l.cast(DecimalType(36, 16)), lit(kind))
         }
+      }
+      // dynamic argument: the regex extraction, in the NUMERIC domain —
+      // crucial for nested arithmetic over accessors (e.g.
+      // 10*FLOOR(MINUTES(?t)/10)): the generic term-struct ladder
+      // references each operand ~15×, so nesting grows the expression tree
+      // multiplicatively — enough to stall the ANALYZER for minutes on a
+      // 3-deep nest (measured on the windfarm grouped queries)
+      fast.orElse {
+        val c = term(a, env)
+        val re = name match {
+          case "YEAR" => "^(-?\\d{4,})"
+          case "MONTH" => "^-?\\d{4,}-(\\d{2})"
+          case "DAY" => "^-?\\d{4,}-\\d{2}-(\\d{2})"
+          case "HOURS" => "T(\\d{2})"
+          case "MINUTES" => "T\\d{2}:(\\d{2})"
+          case "SECONDS" => "T\\d{2}:\\d{2}:(\\d{2}(?:\\.\\d+)?)"
+        }
+        val s = when(isDateTimeLit(c), regexp_extract(value(c), re, 1))
+        val kind = if (name == "SECONDS") 2 else 1
+        val dec = s.try_cast(DecimalType(36, 16))
+        Some((s.try_cast(DoubleType),
+          dec,
+          when(dec.isNotNull, lit(kind)).otherwise(lit(0))))
+      }
+    case ECall(name @ ("FLOOR" | "CEIL" | "ABS" | "ROUND"), Seq(a)) =>
+      // numeric-domain closure: no term structs materialise between nested
+      // numeric calls, so tree growth is additive, not multiplicative
+      numericView(a, env).map { case (d, dec, k) =>
+        val (fd, fdec) = name match {
+          case "FLOOR" => (floor(d).cast(DoubleType), floor(dec).cast(DecimalType(36, 16)))
+          case "CEIL" => (ceil(d).cast(DoubleType), ceil(dec).cast(DecimalType(36, 16)))
+          case "ABS" => (abs(d), abs(dec))
+          // XPath round: half toward +infinity (matches the generic path)
+          case "ROUND" => (floor(d + lit(0.5)).cast(DoubleType),
+            floor(dec + lit(BigDecimal(0.5))).cast(DecimalType(36, 16)))
+        }
+        (fd, fdec, k)
       }
     case _ => None
   }
