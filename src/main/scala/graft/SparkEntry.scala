@@ -301,6 +301,78 @@ object SparkEntry {
         round(col("byte_entropy"), 4).as("byte_entropy"))
       .orderBy("media_id")
 
+  // ------------------------------------------------- wind farm benchmark
+
+  /** Generated wind farm dataset (16 turbines, BASELINE.md's scale),
+    * memoised per session so Verify/Bench pay generation once, not per
+    * query. Values are portable-deterministic (see WindFarmGen), which is
+    * what makes the DuckDB oracles below possible. */
+  @transient private var wfCache: (SparkSession, DataFrame) = null
+  private def wfGraft(s: SparkSession): Graft = synchronized {
+    if (wfCache == null || (wfCache._1 ne s))
+      wfCache = (s, graft.gen.WindFarmGen.quads(s, 16).localCheckpoint())
+    Graft(wfCache._2)
+  }
+
+  private val WfPrefixes = """PREFIX xsd:<http://www.w3.org/2001/XMLSchema#>
+    |PREFIX ct:<https://github.com/magbak/chrontext#>
+    |PREFIX rdfs:<http://www.w3.org/2000/01/rdf-schema#>
+    |PREFIX rdf:<http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+    |PREFIX rds:<https://github.com/magbak/chrontext/rds_power#>
+    |""".stripMargin
+  private val WfBgp = """?site a rds:Site .
+    |    ?site rdfs:label ?site_label .
+    |    ?site rds:hasFunctionalAspect ?wtur_asp .
+    |    ?wtur_asp rdfs:label ?wtur_label .
+    |    ?wtur rds:hasFunctionalAspectNode ?wtur_asp .
+    |    ?wtur rds:hasFunctionalAspect ?gensys_asp .
+    |    ?wtur a rds:A .
+    |    ?gensys rds:hasFunctionalAspectNode ?gensys_asp .
+    |    ?gensys a rds:RA .
+    |    ?gensys rds:hasFunctionalAspect ?generator_asp .
+    |    ?generator rds:hasFunctionalAspectNode ?generator_asp .
+    |    ?generator a rds:GAA .
+    |    ?generator ct:hasTimeseries ?ts .
+    |    ?ts rdfs:label "Production" .
+    |    ?ts ct:hasDataPoint ?dp .
+    |    ?dp ct:hasValue ?val .
+    |    ?dp ct:hasTimestamp ?t .
+    |""".stripMargin
+
+  /** Wind Farm production-query2 (bench/tests/query_results/queries/
+    * wind-farm-production-query2.sparql) verbatim over the generated farm. */
+  private def windfarmProduction(s: SparkSession, dir: String): DataFrame = {
+    val res = wfGraft(s).select(WfPrefixes +
+      "SELECT ?site_label ?wtur_label ?t ?val WHERE {\n" + WfBgp +
+      """    FILTER(?wtur_label in ("A1", "A2", "A3", "A4", "A5", "A6", "A7", "A8", "A9", "A10") && ?site_label = "Wind Mountain") .
+        |} ORDER BY ?site_label ?wtur_label ?t ?val LIMIT 10""".stripMargin)
+    Graft.decode(res, Map("val" -> DoubleType))
+      .orderBy("site_label", "wtur_label", "t", "val")
+  }
+
+  /** Wind Farm grouped-production-query1 verbatim (10-minute AVG buckets). */
+  private def windfarmGroupedProd(s: SparkSession, dir: String): DataFrame = {
+    val res = wfGraft(s).select(WfPrefixes +
+      "SELECT ?site_label ?wtur_label ?year ?month ?day ?hour ?minute_10 (AVG(?val) as ?avg_val) WHERE {\n" +
+      WfBgp +
+      """    BIND(10 * FLOOR(minutes(?t) / 10.0) as ?minute_10)
+        |    BIND(hours(?t) AS ?hour)
+        |    BIND(day(?t) AS ?day)
+        |    BIND(month(?t) AS ?month)
+        |    BIND(year(?t) AS ?year)
+        |    FILTER(?site_label = "Wind Mountain"
+        |        && ?wtur_label = "A1"
+        |        && ?t >= "2022-08-30T08:46:53"^^xsd:dateTime
+        |        && ?t <= "2022-08-30T21:46:53"^^xsd:dateTime) .
+        |} GROUP BY ?site_label ?wtur_label ?year ?month ?day ?hour ?minute_10
+        |ORDER BY ?site_label ?wtur_label ?year ?month ?day ?hour ?minute_10 LIMIT 10""".stripMargin)
+    Graft.decode(res, Map("year" -> LongType, "month" -> LongType, "day" -> LongType,
+        "hour" -> LongType, "minute_10" -> LongType, "avg_val" -> DoubleType))
+      .select(col("site_label"), col("wtur_label"), col("year"), col("month"), col("day"),
+        col("hour"), col("minute_10"), round(col("avg_val"), 4).as("avg_val"))
+      .orderBy("hour", "minute_10")
+  }
+
   // =========================================================== the contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -336,7 +408,24 @@ object SparkEntry {
     "quality_score" -> qualityScore,
     "emb_near_dup" -> embNearDup,
     "frame_sample" -> frameSample,
-    "multimodal_features" -> multimodalFeatures)
+    "multimodal_features" -> multimodalFeatures,
+    "windfarm_production" -> windfarmProduction,
+    "windfarm_grouped_prod" -> windfarmGroupedProd)
+
+  /** DuckDB replica of WindFarmGen's portable series w4 (turbine A1 at
+    * Wind Mountain with 16 turbines): 40-bit md5-prefix uniforms,
+    * integer-rounded Irwin–Hall(3) deltas, exact integer running sum. */
+  private val WfOracleWalk: String = {
+    val pows = "[68719476736,4294967296,268435456,16777216,1048576,65536,4096,256,16,1]"
+    def hex10(h: String, p: Int) =
+      s"(list_sum(list_transform(range(0,10), j -> " +
+      s"(strpos('0123456789abcdef', substr($h, $p+j, 1))-1)::BIGINT * ($pows)[j+1]))::DOUBLE + 0.5)/1099511627776.0"
+    s"""steps AS (SELECT range::INT AS s FROM range(0, 25920)),
+       |hx AS (SELECT s, md5('w4|' || s || '|d') AS h FROM steps),
+       |dl AS (SELECT s, CAST(round(2000.0*((${hex10("h", 1)} + ${hex10("h", 11)} + ${hex10("h", 21)}) - 1.5)) AS BIGINT) AS delta FROM hx),
+       |ini AS (SELECT CAST(floor(5000000.0 * ${hex10("md5('wfinit|w4')", 1)}) AS BIGINT) AS v0),
+       |wk AS (SELECT s, (SELECT v0 FROM ini) + SUM(delta) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS val FROM dl)""".stripMargin
+  }
 
   /** DuckDB oracle SQL (same column names/types as the Spark results).
     * Every query is oracled: approximate/hash-based ops use portable
@@ -614,5 +703,28 @@ object SparkEntry {
         |          (SELECT embedding::DOUBLE[] FROM embeddings x WHERE x.vec_id = a.vec_id),
         |          (SELECT embedding::DOUBLE[] FROM embeddings y WHERE y.vec_id = b.vec_id)), 6) AS sim
         |      FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id)
-        |SELECT id_a, id_b, sim FROM j WHERE sim >= 0.3 ORDER BY 1, 2""".stripMargin)
+        |SELECT id_a, id_b, sim FROM j WHERE sim >= 0.3 ORDER BY 1, 2""".stripMargin,
+    // Wind farm: the oracle regenerates series w4 (A1 @ Wind Mountain, the
+    // only series either query's FILTER selects) with the same portable
+    // numerics as WindFarmGen, so the whole SPARQL pipeline — 17-pattern
+    // BGP, dateTime range filter, date-part BINDs, grouping — verifies
+    // against an independent reconstruction.
+    "windfarm_production" ->
+      s"""WITH $WfOracleWalk
+         |SELECT 'Wind Mountain' AS site_label, 'A1' AS wtur_label,
+         |  printf('2022-08-29T00:%02d:%02d', s // 6, (s % 6) * 10) AS t,
+         |  CAST(val AS DOUBLE) AS val
+         |FROM wk WHERE s < 10 ORDER BY t, val""".stripMargin,
+    "windfarm_grouped_prod" ->
+      s"""WITH $WfOracleWalk,
+         |win AS (SELECT (s - 8640) * 10 AS sec, val FROM wk
+         |        WHERE s >= 8640 AND s < 17280),  -- day index 1 = 2022-08-30
+         |agg AS (SELECT CAST(sec // 3600 AS BIGINT) AS hour,
+         |               CAST(((sec % 3600) // 60) // 10 * 10 AS BIGINT) AS minute_10,
+         |               round(avg(val), 4) AS avg_val
+         |        FROM win WHERE sec >= 31613 AND sec <= 78413 GROUP BY 1, 2)
+         |SELECT 'Wind Mountain' AS site_label, 'A1' AS wtur_label,
+         |  CAST(2022 AS BIGINT) AS year, CAST(8 AS BIGINT) AS month,
+         |  CAST(30 AS BIGINT) AS day, hour, minute_10, avg_val
+         |FROM agg ORDER BY hour, minute_10 LIMIT 10""".stripMargin)
 }
