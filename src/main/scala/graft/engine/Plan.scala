@@ -13,9 +13,20 @@ import org.apache.spark.sql.DataFrame
  * variables NOT in the set are definitely bound, so a plain equi-join (hash
  * join, broadcast-able, shuffle on key) is semantics-preserving — that is the
  * fast path we want Catalyst to see at 100 TB.
+ *
+ * `tiny` marks plans whose cardinality is STRUCTURALLY bounded regardless of
+ * data scale — bound-subject pattern scans (one subject's out-degree), inline
+ * VALUES, LIMIT-k sub-selects, and compositions of those. Joins broadcast a
+ * tiny side: disconnected BGP components (constant-subject stars) become
+ * BroadcastNestedLoopJoins that keep the streamed side's partitioning,
+ * instead of chained CartesianProducts whose partition counts MULTIPLY
+ * (32-way sides stack to millions of tasks after a few crosses — the DAG
+ * scheduler, not the data, becomes the bottleneck). Catalyst cannot infer
+ * this itself: post-filter cardinality estimates over a self-unioned quad
+ * relation are unreliable, while the structural bound holds at any scale.
  */
 final case class SPlan(df: DataFrame, vars: Seq[String], maybeUnbound: Set[String],
-                       kinds: Map[String, Int] = Map.empty) {
+                       kinds: Map[String, Int] = Map.empty, tiny: Boolean = false) {
   def isNullable(v: String): Boolean = maybeUnbound.contains(v)
 }
 

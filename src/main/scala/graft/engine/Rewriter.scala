@@ -44,7 +44,10 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
       // genuinely small sides still end up broadcast via AQE when unhinted
       // joins surround this, and shuffle-hash on small data is near-free.
       bgpPlans(ps, scope).reduce { (a, b) =>
-        join(a, b.copy(df = b.df.hint("shuffle_hash")), "inner", None, scope)
+        // a structurally-tiny side broadcasts instead (see join) — don't
+        // pre-commit it to a shuffle
+        val b2 = if (a.tiny || b.tiny) b else b.copy(df = b.df.hint("shuffle_hash"))
+        join(a, b2, "inner", None, scope)
       }
     case PathPattern(s, path, o) => pathPattern(s, path, o, scope)
     case Join(l, r) => join(pattern(l, scope), pattern(r, scope), "inner", None, scope)
@@ -57,7 +60,7 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
       val env = ExprCompiler.envOf(plan2.vars.toSet, plan2.kinds)
       SPlan(plan2.df.withColumn(v.name, ExprCompiler.term(expr2, env)),
         in.vars :+ v.name, in.maybeUnbound + v.name,
-        plan2.kinds ++ ExprCompiler.bindKind(expr2, env).map(v.name -> _))
+        plan2.kinds ++ ExprCompiler.bindKind(expr2, env).map(v.name -> _), in.tiny)
     case Minus(l, r) => minus(pattern(l, scope), pattern(r, scope))
     case ValuesPattern(vars, rows) => values(vars, rows)
     case GraphGraph(name, inner) => name match {
@@ -81,7 +84,7 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
 
   /** Single-row zero-variable relation — the join identity
     * (reference lib/logical/src/logical_plan_builder_context.rs:161-170). */
-  private def unitPlan: SPlan = SPlan(spark.range(1).select(), Nil, Set.empty)
+  private def unitPlan: SPlan = SPlan(spark.range(1).select(), Nil, Set.empty, tiny = true)
 
   // ---------------------------------------------------------------- scanning
 
@@ -154,7 +157,11 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
         star.flatMap(_.predKind(p)).map(k => Map(ov -> k)).getOrElse(Map.empty)
       case _ => Map.empty[String, Int]
     }
-    SPlan(df.select(outVars.map(v => col(proj(v)).as(v)): _*), outVars, Set.empty, kinds)
+    // a bound subject structurally bounds the scan (one node's out-degree) —
+    // joins may broadcast it at any data scale
+    val boundSubject = tp.s match { case TermPat(_) => true; case _ => false }
+    SPlan(df.select(outVars.map(v => col(proj(v)).as(v)): _*), outVars, Set.empty, kinds,
+      tiny = boundSubject)
   }
 
   // ------------------------------------------------------------- star fusion
@@ -266,27 +273,37 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     val outVars = l.vars ++ rOnly
 
     val needCompat = shared.exists(v => l.isNullable(v) || r.isNullable(v))
+    val outTiny = l.tiny && r.tiny
+    // structurally-bounded sides broadcast: Catalyst can't see the bound
+    // (post-filter estimates over the quad relation are unreliable), and for
+    // variable-free joins this turns CartesianProduct — whose partition count
+    // MULTIPLIES when BGP components chain — into a BroadcastNestedLoopJoin
+    // that keeps the streamed side's partitioning. BuildLeft/left-outer is
+    // an illegal combo, so a tiny left only broadcasts on inner joins.
+    val rdf = if (r.tiny) broadcast(r.df) else r.df
+    val ldf = if (l.tiny && !r.tiny && joinType == "inner") broadcast(l.df) else l.df
 
     if (idKeys.isEmpty) {
       if (shared.isEmpty && filter.isEmpty) {
-        val df = if (joinType == "inner") l.df.crossJoin(r.df)
-                 else l.df.join(r.df, lit(true), "left")
+        val df = if (joinType == "inner") ldf.crossJoin(rdf)
+                 else ldf.join(rdf, lit(true), "left")
         val mu = l.maybeUnbound ++ (if (joinType == "left") r.vars.toSet else r.maybeUnbound)
-        return SPlan(df, outVars, mu, mergeKinds(l, r))
+        return SPlan(df, outVars, mu, mergeKinds(l, r), outTiny)
       }
       if (!needCompat && filter.isEmpty) {
         // fast path: plain equi-join; Catalyst picks broadcast/SMJ/shuffle-hash
-        val df = l.df.join(r.df, shared, joinType)
+        val df = ldf.join(rdf, shared, joinType)
         val mu0 = l.maybeUnbound ++ r.maybeUnbound -- shared
         val mu = if (joinType == "left") mu0 ++ rOnly else mu0
-        return SPlan(df, outVars, mu, mergeKinds(l, r))
+        return SPlan(df, outVars, mu, mergeKinds(l, r), outTiny)
       }
     }
 
     // general path: explicit condition (native-typed idKey equality + compat
     // per shared var + LeftJoin filter inside the condition, SPARQL
     // semantics), then coalesce shared columns
-    val rr = r.df.select(r.vars.map(v => col(v).as("__r_" + v)): _*)
+    val rr0 = r.df.select(r.vars.map(v => col(v).as("__r_" + v)): _*)
+    val rr = if (r.tiny) broadcast(rr0) else rr0
     val idCond = idKeys.map(k => col(k) === col("__r_" + k))
     val compat = shared.map { v =>
       if (!l.isNullable(v) && !r.isNullable(v)) col(v) === col("__r_" + v)
@@ -301,7 +318,7 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
       ExprCompiler.ebv(f, env)
     }
     val cond = (idCond ++ compat ++ filterCond).reduceOption(_ && _).getOrElse(lit(true))
-    val joined = l.df.join(rr, cond, joinType)
+    val joined = ldf.join(rr, cond, joinType)
     val out = outVars.map { v =>
       if (shared.contains(v)) coalesce(col(v), col("__r_" + v)).as(v)
       else if (l.vars.contains(v)) col(v)
@@ -313,7 +330,7 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     val mu = (l.maybeUnbound -- shared) ++ muShared ++
       (if (joinType == "left") rOnly.toSet
        else r.maybeUnbound.filter(rOnly.contains))
-    SPlan(joined.select(out: _*), outVars, mu, mergeKinds(l, r))
+    SPlan(joined.select(out: _*), outVars, mu, mergeKinds(l, r), outTiny)
   }
 
   /** MINUS (reference lib/logical/src/minus/rewrite.rs:51-136): anti join on
@@ -327,12 +344,12 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     // plain equi anti-join (hash join, not the O(n·m) non-equi fallback)
     if (shared.forall(v => !l.isNullable(v) && !r.isNullable(v)))
       return SPlan(l.df.join(r.df.select(shared.map(col): _*), shared, "left_anti"),
-        l.vars, l.maybeUnbound, l.kinds)
+        l.vars, l.maybeUnbound, l.kinds, l.tiny)
     val rr = r.df.select(shared.map(v => col(v).as("__r_" + v)): _*)
     val compat = shared.map(v => TermCols.isCompatible(col(v), col("__r_" + v)))
     val anyBoth = shared.map(v => col(v).isNotNull && col("__r_" + v).isNotNull)
     val cond = compat.reduce(_ && _) && anyBoth.reduce(_ || _)
-    SPlan(l.df.join(rr, cond, "left_anti"), l.vars, l.maybeUnbound, l.kinds)
+    SPlan(l.df.join(rr, cond, "left_anti"), l.vars, l.maybeUnbound, l.kinds, l.tiny)
   }
 
   /** SPARQL UNION = bag union with null-padding of missing vars
@@ -351,7 +368,7 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
         case _ => None
       }
     }.toMap
-    SPlan(pad(l).unionAll(pad(r)), outVars, mu, ks)
+    SPlan(pad(l).unionAll(pad(r)), outVars, mu, ks, l.tiny && r.tiny)
   }
 
   private def values(vars: Seq[Var], rows: Seq[Seq[Option[RdfTerm]]]): SPlan = {
@@ -361,7 +378,7 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
       spark.sparkContext.parallelize(data, 1), schema)
     val mu = vars.zipWithIndex.filter { case (_, i) => rows.exists(r => r(i).isEmpty) }
       .map(_._1.name).toSet
-    SPlan(df, vars.map(_.name), mu)
+    SPlan(df, vars.map(_.name), mu, tiny = true)
   }
 
   private def termRow(t: RdfTerm): Row = t match {
@@ -391,7 +408,7 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     val filtered = plan2.df.filter(ExprCompiler.ebv(e2, env))
     // drop any EXISTS marker columns again
     val df = if (plan2.vars == in.vars) filtered else filtered.select(in.vars.map(col): _*)
-    SPlan(df, in.vars, in.maybeUnbound, in.kinds)
+    SPlan(df, in.vars, in.maybeUnbound, in.kinds, in.tiny)
   }
 
   // ----------------------------------------------------- correlated patterns
@@ -481,6 +498,8 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     val env = ExprCompiler.envOf(in.vars.toSet, in.kinds)
     keys.foreach {
       case (v, Some(e)) => df = df.withColumn(v.name, ExprCompiler.term(e, env))
+      case (v, None) if !in.vars.contains(v.name) =>
+        df = df.withColumn(v.name, TermCols.nullTerm)
       case _ =>
     }
     val argKinds: Map[String, Int] = aggs.collect {
@@ -510,8 +529,18 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     val joined = grouped.join(ctxSide, col(lid) === col("__c_" + lid))
       .select((lid +: groupVars).map(col) ++ restore.map(v => col("__c_" + v).as(v)): _*)
     val mu = ctx.maybeUnbound ++ aggs.collect { case (v, a) if a.name != "COUNT" => v.name } ++
-      keys.collect { case (v, Some(_)) => v.name }
-    SPlan(joined, (lid +: restore) ++ groupVars, mu)
+      keys.collect {
+        case (v, Some(_)) => v.name
+        case (v, None) if !in.vars.contains(v.name) => v.name
+      }
+    // kinds: restored ctx vars keep theirs; keys keep the input's (or the
+    // computed expression's); aggregates contribute their result kinds
+    val outKinds = ctx.kinds.filter { case (v, _) => restore.contains(v) } ++
+      in.kinds.filter { case (v, _) => keyNames.drop(1).contains(v) } ++
+      keys.collect { case (v, Some(e)) =>
+        ExprCompiler.bindKind(e, env).map(v.name -> _) }.flatten ++
+      aggs.flatMap { case (v, a) => aggResultKind(a, argKinds.get(v.name)).map(v.name -> _) }
+    SPlan(joined, (lid +: restore) ++ groupVars, mu, outKinds)
   }
 
   /** Sub-SELECT per outer row: modifiers (DISTINCT / ORDER / LIMIT / OFFSET)
@@ -631,9 +660,12 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
                     aggs: Seq[(Var, Aggregate)], scope: GraphScope): SPlan = {
     var df = in.df
     val env = ExprCompiler.envOf(in.vars.toSet, in.kinds)
-    // computed keys
+    // computed keys; a plain key not bound by the pattern is legal SPARQL
+    // (GROUP BY over an unbound var — one NULL-keyed group)
     keys.foreach {
       case (v, Some(e)) => df = df.withColumn(v.name, ExprCompiler.term(e, env))
+      case (v, None) if !in.vars.contains(v.name) =>
+        df = df.withColumn(v.name, TermCols.nullTerm)
       case _ =>
     }
     // aggregate inputs; static kinds let SUM/AVG skip the dynamic type ladder
@@ -651,7 +683,7 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     val keyNames = keys.map(_._1.name)
     val mu = keys.collect {
       case (v, Some(_)) => v.name                       // computed key may error → NULL
-      case (v, None) if in.isNullable(v.name) => v.name
+      case (v, None) if in.isNullable(v.name) || !in.vars.contains(v.name) => v.name
     }.toSet ++ aggs.collect { case (v, a) if a.name != "COUNT" => v.name }
     val keyKinds = in.kinds.filter { case (v, _) => keyNames.contains(v) } ++
       keys.collect { case (v, Some(e)) =>
@@ -659,7 +691,8 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     val aggKinds = aggs.flatMap { case (v, a) =>
       aggResultKind(a, argKinds.get(v.name)).map(v.name -> _) }.toMap
     if (aggs.isEmpty)
-      return SPlan(df.select(keyNames.map(col): _*).dropDuplicates(), keyNames, mu, keyKinds)
+      return SPlan(df.select(keyNames.map(col): _*).dropDuplicates(), keyNames, mu, keyKinds,
+        in.tiny)
     val aggExprs: Seq[Column] = aggs.flatMap { case (v, a) =>
       aggCols(v.name, a, argCols.get(v.name), argKinds.get(v.name)) }
     // statically-kinded keys group on one narrow native value instead of the
@@ -682,7 +715,7 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     } ++ aggs.map { case (v, a) =>
       aggFinal(v.name, a, argKinds.get(v.name)).as(v.name) }
     val out = grouped.select(finals: _*)
-    SPlan(out, keyNames ++ aggs.map(_._1.name), mu, keyKinds ++ aggKinds)
+    SPlan(out, keyNames ++ aggs.map(_._1.name), mu, keyKinds ++ aggKinds, in.tiny)
   }
 
   /** Narrow native grouping value of a statically-kinded term column
@@ -1052,7 +1085,8 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     q.limit.foreach(l => df = df.limit(l.toInt))
     val mu = projItems.map(_.v.name).filter(v =>
       plan.isNullable(v) || projItems.exists(p => p.v.name == v && p.expr.isDefined)).toSet
-    SPlan(df, projNames, mu, ks)
+    // a LIMIT-k sub-select is structurally bounded no matter the input size
+    SPlan(df, projNames, mu, ks, plan.tiny || q.limit.exists(_ <= 10000))
   }
 
   private def orderDf(df: DataFrame, conds: Seq[OrderCond], env: ExprCompiler.Env): DataFrame = {

@@ -1,0 +1,38 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.SparkSession
+import graft.engine.Graft
+import graft.gen.BsbmGen
+
+/** Times each BSBM Explore/BI benchmark query over the generated dataset.
+  * Usage: runMain graft.tools.BsbmProbe [nProducts] */
+object BsbmProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(1000)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.optimizer.expression.nestedPruning.enabled", "false")
+      .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val t0 = System.nanoTime()
+    val quads = BsbmGen.quads(spark, n).repartition(32).localCheckpoint()
+    println(f"[bsbm] generate n=$n: ${quads.count()} quads in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val g = Graft(quads)
+    val qdir = Paths.get("/root/reference/bench/tests/query_results/queries")
+    val names = Files.list(qdir).iterator().asScala.map(_.getFileName.toString)
+      .filter(f => f.startsWith("explore-") || f.startsWith("bi-"))
+      .map(_.stripSuffix(".sparql")).toSeq.sorted
+      .filter(q => args.drop(1).isEmpty || args.drop(1).contains(q))
+    names.foreach { q =>
+      val text = new String(Files.readAllBytes(qdir.resolve(s"$q.sparql")), "UTF-8")
+      val t1 = System.nanoTime()
+      val rows = g.query(text).collect().length
+      println(f"[bsbm] $q%-32s ${(System.nanoTime() - t1) / 1e9}%6.1f s rows $rows")
+    }
+  }
+}

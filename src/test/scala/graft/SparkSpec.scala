@@ -26,6 +26,14 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // NestedColumnAliasing's semanticEquals dedup is quadratic in the
+      // number of struct-field extractions; dynamic-kind term expressions
+      // (big CASE ladders over {t,v,dt,lang,num} structs) push it to minutes
+      // of driver CPU per query. Our parquet layouts are flat relational
+      // columns (term structs are CONSTRUCTED, never read nested), so the
+      // rule buys nothing here.
+      .config("spark.sql.optimizer.expression.nestedPruning.enabled", "false")
+      .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
