@@ -46,13 +46,30 @@ object ExprCompiler {
    */
   trait Env extends (String => Column) {
     def kind(name: String): Option[Int] = None
+    /** Materialise a subexpression as a named column and return a reference
+      * to it, when the compilation site can (DataFrame projection contexts);
+      * identity elsewhere (join conditions). The dynamic dispatch ladders
+      * (cmp, arith fallback, n-ary calls) reference each operand ~15×, so
+      * inlining a non-trivial operand multiplies its tree size — binding
+      * caps growth AND evaluates the operand once per row. All compiled
+      * expressions are total (errors → NULL), so eager evaluation of a
+      * bound operand is safe. */
+    def bind(c: Column): Column = c
   }
 
-  def envOf(inScope: Set[String], kinds: Map[String, Int] = Map.empty): Env =
+  def envOf(inScope: Set[String], kinds: Map[String, Int] = Map.empty,
+            binder: Column => Column = identity): Env =
     new Env {
       def apply(name: String): Column = if (inScope(name)) col(name) else nullTerm
       override def kind(name: String): Option[Int] = kinds.get(name)
+      override def bind(c: Column): Column = binder(c)
     }
+
+  /** Bind the compiled form of `e` unless it is trivially small. */
+  private def bindIf(e: Expr, c: Column, env: Env): Column = e match {
+    case EVar(_) | ETerm(_) | EBound(_) => c
+    case _ => env.bind(c)
+  }
 
   // ------------------------------------------------------------ entry points
 
@@ -64,9 +81,10 @@ object ExprCompiler {
     case EAnd(l, r) => fromBoolean(ebv(l, env) && ebv(r, env))
     case ENot(x) => fromBoolean(!ebv(x, env))
     case ECmp(op, l, r) =>
-      fromBoolean(cmpStatic(op, l, r, env).getOrElse(cmp(op, term(l, env), term(r, env))))
+      fromBoolean(cmpStatic(op, l, r, env).getOrElse(
+        cmp(op, bindIf(l, term(l, env), env), bindIf(r, term(r, env), env))))
     case EIn(x, list, neg) =>
-      val c = term(x, env)
+      val c = bindIf(x, term(x, env), env)
       val anyEq = list.map(i => cmp("=", c, term(i, env))).reduceOption(_ || _)
         .getOrElse(when(c.isNull, lit(null).cast(BooleanType)).otherwise(lit(false)))
       fromBoolean(if (neg) !anyEq else anyEq)
@@ -78,17 +96,23 @@ object ExprCompiler {
       // per intermediate and the type-dispatch CASE trees blow up
       // combinatorially (measured 10× on BIND(?p * (1 - ?d)) aggregations).
       numericView(e, env) match {
-        case Some((d, dec, k)) => renderNumeric(d, dec, k)
-        case None => arith(op, term(l, env), term(r, env))
+        case Some((d, dec, k)) =>
+          // bind the view components of a NESTED subtree before the render
+          // ladder references them; single-level views stay inline
+          val trivial = Seq(l, r).forall { case EVar(_) | ETerm(_) => true; case _ => false }
+          if (trivial) renderNumeric(d, dec, k)
+          else renderNumeric(env.bind(d), env.bind(dec), env.bind(k))
+        case None =>
+          arith(op, bindIf(l, term(l, env), env), bindIf(r, term(r, env), env))
       }
     case e @ ENeg(x) =>
       numericView(e, env) match {
         case Some((d, dec, k)) => renderNumeric(d, dec, k)
-        case None => negate(term(x, env))
+        case None => negate(bindIf(x, term(x, env), env))
       }
     case EBound(v) => fromBoolean(env(v.name).isNotNull)
     case EIf(c, t, f) =>
-      val cc = ebv(c, env)
+      val cc = bindIf(c, ebv(c, env), env)
       when(cc, term(t, env)).when(!cc, term(f, env)).otherwise(nullTerm)
     case ECoalesce(args) => coalesce(args.map(term(_, env)): _*)
     case e @ ECall(name, args) =>
@@ -96,7 +120,7 @@ object ExprCompiler {
       // numeric fast path (substring, no regexp)
       numericView(e, env) match {
         case Some((d, dec, k)) => renderNumeric(d, dec, k)
-        case None => call(name, args.map(term(_, env)), env)
+        case None => call(name, args.map(a => bindIf(a, term(a, env), env)), env)
       }
     case EExists(_, _) =>
       throw new IllegalStateException("EXISTS must be rewritten before expression compilation")
@@ -114,10 +138,11 @@ object ExprCompiler {
     case EAnd(l, r) => ebv(l, env) && ebv(r, env)
     case ENot(x) => !ebv(x, env)
     case ECmp(op, l, r) =>
-      cmpStatic(op, l, r, env).getOrElse(cmp(op, term(l, env), term(r, env)))
+      cmpStatic(op, l, r, env).getOrElse(
+        cmp(op, bindIf(l, term(l, env), env), bindIf(r, term(r, env), env)))
     case EBound(v) => env(v.name).isNotNull
     case EIn(x, list, neg) =>
-      val c = term(x, env)
+      val c = bindIf(x, term(x, env), env)
       val anyEq = list.map(i => cmp("=", c, term(i, env))).reduceOption(_ || _)
         .getOrElse(when(c.isNull, lit(null).cast(BooleanType)).otherwise(lit(false)))
       if (neg) !anyEq else anyEq

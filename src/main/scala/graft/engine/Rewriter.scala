@@ -33,6 +33,21 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
   private var counter = 0
   private def fresh(p: String): String = { counter += 1; s"__${p}_$counter" }
 
+  /** Project a compiled term expression as a column, materialising complex
+    * sub-operands as intermediate columns first (see Env.bind) and dropping
+    * them again. Returns the extended frame and the expression's static
+    * kind, if derivable. */
+  private def withTermColumn(df0: DataFrame, vars: Set[String], kinds: Map[String, Int],
+                             name: String, e: Expr): (DataFrame, Option[Int]) = {
+    var bdf = df0
+    var tmps = List.empty[String]
+    val env = ExprCompiler.envOf(vars, kinds, { c =>
+      val t = fresh("sub"); bdf = bdf.withColumn(t, c); tmps ::= t; col(t)
+    })
+    val compiled = ExprCompiler.term(e, env)
+    (bdf.withColumn(name, compiled).drop(tmps: _*), ExprCompiler.bindKind(e, env))
+  }
+
   // ================================================================ patterns
 
   def pattern(p: GraphPattern, scope: GraphScope): SPlan = p match {
@@ -57,10 +72,9 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     case Extend(i, v, e) =>
       val in = pattern(i, scope)
       val (expr2, plan2) = rewriteExists(e, in, scope)
-      val env = ExprCompiler.envOf(plan2.vars.toSet, plan2.kinds)
-      SPlan(plan2.df.withColumn(v.name, ExprCompiler.term(expr2, env)),
-        in.vars :+ v.name, in.maybeUnbound + v.name,
-        plan2.kinds ++ ExprCompiler.bindKind(expr2, env).map(v.name -> _), in.tiny)
+      val (df, kind) = withTermColumn(plan2.df, plan2.vars.toSet, plan2.kinds, v.name, expr2)
+      SPlan(df, in.vars :+ v.name, in.maybeUnbound + v.name,
+        plan2.kinds ++ kind.map(v.name -> _), in.tiny)
     case Minus(l, r) => minus(pattern(l, scope), pattern(r, scope))
     case ValuesPattern(vars, rows) => values(vars, rows)
     case GraphGraph(name, inner) => name match {
@@ -404,10 +418,18 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
       case _ =>
     }
     val (e2, plan2) = rewriteExists(e, in, scope)
-    val env = ExprCompiler.envOf(plan2.vars.toSet, plan2.kinds)
-    val filtered = plan2.df.filter(ExprCompiler.ebv(e2, env))
-    // drop any EXISTS marker columns again
-    val df = if (plan2.vars == in.vars) filtered else filtered.select(in.vars.map(col): _*)
+    // binding env: complex comparison/call operands materialise as columns
+    // (computed once, referenced by name in the dispatch ladders)
+    var bdf = plan2.df
+    var bound = false
+    val env = ExprCompiler.envOf(plan2.vars.toSet, plan2.kinds, { c =>
+      val t = fresh("sub"); bdf = bdf.withColumn(t, c); bound = true; col(t)
+    })
+    val cond = ExprCompiler.ebv(e2, env)
+    val filtered = bdf.filter(cond)
+    // drop any EXISTS marker / bound-operand columns again
+    val df = if (!bound && plan2.vars == in.vars) filtered
+             else filtered.select(in.vars.map(col): _*)
     SPlan(df, in.vars, in.maybeUnbound, in.kinds, in.tiny)
   }
 
@@ -461,10 +483,9 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     case Extend(i, v, e) =>
       val in = lateralPattern(i, ctx, lid, scope)
       val (expr2, plan2) = rewriteExists(e, in, scope)
-      val env = ExprCompiler.envOf(plan2.vars.toSet, plan2.kinds)
-      SPlan(plan2.df.withColumn(v.name, ExprCompiler.term(expr2, env)),
-        in.vars :+ v.name, in.maybeUnbound + v.name,
-        plan2.kinds ++ ExprCompiler.bindKind(expr2, env).map(v.name -> _))
+      val (df, kind) = withTermColumn(plan2.df, plan2.vars.toSet, plan2.kinds, v.name, expr2)
+      SPlan(df, in.vars :+ v.name, in.maybeUnbound + v.name,
+        plan2.kinds ++ kind.map(v.name -> _))
     case Minus(a, b) =>
       val A = lateralPattern(a, ctx, lid, scope)
       val B = lateralPattern(b, ctx, lid, scope)
@@ -497,7 +518,8 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     var df = in.df
     val env = ExprCompiler.envOf(in.vars.toSet, in.kinds)
     keys.foreach {
-      case (v, Some(e)) => df = df.withColumn(v.name, ExprCompiler.term(e, env))
+      case (v, Some(e)) =>
+        df = withTermColumn(df, in.vars.toSet, in.kinds, v.name, e)._1
       case (v, None) if !in.vars.contains(v.name) =>
         df = df.withColumn(v.name, TermCols.nullTerm)
       case _ =>
@@ -509,7 +531,7 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     val argCols: Map[String, String] = aggs.collect {
       case (v, Aggregate(_, _, Some(arg), _)) =>
         val c = fresh("aggin")
-        df = df.withColumn(c, ExprCompiler.term(arg, env))
+        df = withTermColumn(df, in.vars.toSet, in.kinds, c, arg)._1
         v.name -> c
     }.toMap
     val keyNames = lid +: keys.map(_._1.name)
@@ -553,7 +575,8 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     val projItems = if (q.projection.nonEmpty) q.projection
                     else inScopeVars(q.where).map(v => ProjItem(v, None))
     projItems.foreach {
-      case ProjItem(v, Some(e)) => df = df.withColumn(v.name, ExprCompiler.term(e, env))
+      case ProjItem(v, Some(e)) =>
+        df = withTermColumn(df, plan.vars.toSet, plan.kinds, v.name, e)._1
       case _ =>
     }
     val projNames = projItems.map(_.v.name)
@@ -568,10 +591,21 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     if (q.distinct || q.reduced) df = df.dropDuplicates(keep)
     if (q.orderBy.nonEmpty || q.limit.isDefined || q.offset.isDefined) {
       val kEnv = ExprCompiler.envOf(keep.toSet, keepKinds)
+      var ordTmps = List.empty[String]
       val orderKeys =
         if (q.orderBy.nonEmpty) q.orderBy.map { c =>
-          val k = ExprCompiler.sortKeyStatic(c.expr, kEnv)
-            .getOrElse(TermCols.sortKey(ExprCompiler.term(c.expr, kEnv)))
+          // computed keys materialise as columns first (see orderDf)
+          val k = ExprCompiler.sortKeyStatic(c.expr, kEnv).getOrElse {
+            val operand = c.expr match {
+              case EVar(v) => ExprCompiler.term(c.expr, kEnv)
+              case _ =>
+                val tmp = fresh("ord")
+                df = df.withColumn(tmp, ExprCompiler.term(c.expr, kEnv))
+                ordTmps ::= tmp
+                col(tmp)
+            }
+            TermCols.sortKey(operand)
+          }
           if (c.ascending) k.asc_nulls_first else k.desc_nulls_last
         }
         else Seq(monotonically_increasing_id().asc)
@@ -581,7 +615,7 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
       val lo = q.offset.getOrElse(0L)
       df = df.filter(col(rn) > lo)
       q.limit.foreach(n => df = df.filter(col(rn) <= lo + n))
-      df = df.drop(rn)
+      df = df.drop(rn +: ordTmps: _*)
     }
     SPlan(df, keep, plan.maybeUnbound ++ projItems.collect { case ProjItem(v, Some(_)) => v.name },
       keepKinds)
@@ -663,7 +697,8 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     // computed keys; a plain key not bound by the pattern is legal SPARQL
     // (GROUP BY over an unbound var — one NULL-keyed group)
     keys.foreach {
-      case (v, Some(e)) => df = df.withColumn(v.name, ExprCompiler.term(e, env))
+      case (v, Some(e)) =>
+        df = withTermColumn(df, in.vars.toSet, in.kinds, v.name, e)._1
       case (v, None) if !in.vars.contains(v.name) =>
         df = df.withColumn(v.name, TermCols.nullTerm)
       case _ =>
@@ -676,7 +711,7 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     val argCols: Map[String, String] = aggs.collect {
       case (v, Aggregate(_, _, Some(arg), _)) =>
         val c = fresh("aggin")
-        df = df.withColumn(c, ExprCompiler.term(arg, env))
+        df = withTermColumn(df, in.vars.toSet, in.kinds, c, arg)._1
         v.name -> c
     }.toMap
 
@@ -1058,7 +1093,8 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
                     else inScopeVars(q.where).map(v => ProjItem(v, None))
     var df = plan.df
     projItems.foreach {
-      case ProjItem(v, Some(e)) => df = df.withColumn(v.name, ExprCompiler.term(e, env))
+      case ProjItem(v, Some(e)) =>
+        df = withTermColumn(df, plan.vars.toSet, plan.kinds, v.name, e)._1
       case _ =>
     }
     val projNames = projItems.map(_.v.name)
@@ -1093,11 +1129,27 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     // SPARQL total order via the sortable view; unbound sorts first on ASC
     // (reference graph_pattern_rewriter.rs:277-297 — nulls_first = true).
     // Statically-kinded keys collapse to one narrow native column.
+    // A computed ORDER BY expression is materialised as a column FIRST: the
+    // sortable-view CASE ladder references its operand ~50×, so inlining a
+    // dynamic-kind expression tree multiplies its size (bi-q3's ORDER BY
+    // DESC(float(?x)/?y) inlined to a 5.8M-char Sort node — megabytes of
+    // codegen and minutes of driver CPU for a 10-row sort).
+    var d = df
+    var tmps = List.empty[String]
     val keys = conds.map { c =>
-      val k = ExprCompiler.sortKeyStatic(c.expr, env)
-        .getOrElse(TermCols.sortKey(ExprCompiler.term(c.expr, env)))
+      val k = ExprCompiler.sortKeyStatic(c.expr, env).getOrElse {
+        val operand = c.expr match {
+          case EVar(v) => ExprCompiler.term(c.expr, env)
+          case _ =>
+            val tmp = fresh("ord")
+            d = d.withColumn(tmp, ExprCompiler.term(c.expr, env))
+            tmps ::= tmp
+            col(tmp)
+        }
+        TermCols.sortKey(operand)
+      }
       if (c.ascending) k.asc_nulls_first else k.desc_nulls_last
     }
-    df.orderBy(keys: _*)
+    d.orderBy(keys: _*).drop(tmps: _*)
   }
 }
