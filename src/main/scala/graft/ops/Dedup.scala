@@ -21,25 +21,80 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
 
+  /** Normalised word-token array (with duplicates): lowercase, split on
+    * non-alphanumerics — the per-document starting point of every signature
+    * pipeline. Staying in array form keeps derivations per-row (no explode
+    * shuffle) until a join genuinely needs row-per-token shape. */
+  private[graft] def tokArray(text: Column): Column =
+    filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+
+  /**
+   * Ensure at least `defaultParallelism` partitions before an expensive
+   * per-row derivation: a small input (one parquet split) would otherwise
+   * run the whole tokenise/hash map in a single task. Shuffles only the raw
+   * rows, and only when the scan is narrower than the cluster — at real
+   * scale input splits abound and this is a no-op.
+   */
+  private[graft] def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /**
+   * (id, arr) per doc: the distinct token (k=1) or k-shingle array. Docs
+   * shorter than k tokens have no k-shingle (dropped). Within-doc dedup is
+   * per-row (array_distinct — codegen'd, no global distinct shuffle).
+   *
+   * The token array is bound as a real column BEFORE the shingle transform:
+   * a lambda body re-evaluates captured *expressions* per element, so
+   * inlining the regex split into `slice(ts, …)` would re-tokenise the
+   * document once per shingle (measured 11 s vs 0.5 s on the gate corpus);
+   * an attribute reference is a row-slot read.
+   */
+  private[graft] def docSets(df0: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val df = widen(df0)
+    if (k <= 1)
+      // no size guard here: a filter on `arr` would be alias-substituted and
+      // pushed to the scan, re-running the derivation per row (see
+      // explodeArr); empty docs simply produce no exploded rows
+      df.select(col(idCol).as("id"), array_distinct(tokArray(col(textCol))).as("arr"))
+    else
+      // the too-short guard lives INSIDE the projection (when → null), not
+      // in a where: a filter on ts would be alias-substituted below the
+      // projection, tokenising every row twice. null arr rows fall out at
+      // explode_outer's null-filter.
+      df.select(col(idCol).as("id"), tokArray(col(textCol)).as("ts"))
+        .select(col("id"),
+          when(size(col("ts")) >= k,
+            array_distinct(transform(sequence(lit(0), size(col("ts")) - k),
+              i => concat_ws(" ", slice(col("ts"), i + 1, lit(k)))))).as("arr"))
+  }
+
   /** Normalised word tokens: lowercase, split on non-alphanumerics. */
   def tokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"),
-      explode(filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)).as("tok"))
+    df.select(col(idCol).as("id"), explode(tokArray(col(textCol))).as("tok"))
 
-  /** Distinct token sets as (id, tok). */
+  /**
+   * explode_outer + null-filter instead of plain explode: Catalyst's
+   * InferFiltersFromGenerate adds `size(arr) > 0 AND isnotnull(arr)` above a
+   * non-outer explode, and predicate pushdown then substitutes the alias —
+   * inlining the whole tokenise/shingle expression into a filter evaluated
+   * at the scan (the derivation ran 3-4× per row; measured 4.3 s vs 0.8 s).
+   * The rule skips outer generators, and a filter on the *generated*
+   * attribute can never be pushed below the Generate.
+   */
+  private def explodeArr(sets: DataFrame, outName: String, extra: Column*): DataFrame =
+    sets.select(col("id") +: extra :+ explode_outer(col("arr")).as(outName): _*)
+      .where(col(outName).isNotNull)
+
+  /** Distinct token sets as (id, tok) — per-doc dedup, no distinct shuffle. */
   def tokenSet(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    tokens(df, idCol, textCol).distinct()
+    explodeArr(docSets(df, idCol, textCol, 1), "tok")
 
-  /** Word k-shingles as (id, shingle) — k consecutive tokens joined by ' '. */
-  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"), t => length(t) > 0).as("ts"))
-    toks.where(size(col("ts")) >= k) // docs shorter than k tokens have no k-shingle
-      .select(col("id"), explode(
-        transform(sequence(lit(0), size(col("ts")) - k),
-          i => concat_ws(" ", slice(col("ts"), i + 1, lit(k))))).as("shingle"))
-      .distinct()
-  }
+  /** Word k-shingles as (id, shingle) — k consecutive tokens joined by ' ',
+    * distinct within doc (= distinct on (id, shingle), without the shuffle). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    explodeArr(docSets(df, idCol, textCol, k), "shingle")
 
   /**
    * Exact n-gram (token-set) Jaccard near-duplicate pairs via an inverted
@@ -48,21 +103,18 @@ object Dedup {
    */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double, shingleK: Int = 1): DataFrame = {
-    // materialise the token sets once: they feed the sizes aggregation AND
-    // both sides of the inverted-index self-join — without this the
-    // tokenisation pipeline runs three times (at scale: persist/checkpoint
-    // the expensive derived relation before self-joining it)
-    val sets = (if (shingleK <= 1) tokenSet(df, idCol, textCol)
-                else shingles(df, idCol, textCol, shingleK).withColumnRenamed("shingle", "tok"))
+    // dedup within-doc BEFORE exploding (array_distinct — per-row, no global
+    // distinct shuffle) and carry the doc's set size on every exploded row:
+    // sizes then ride the candidate shuffle for free instead of costing a
+    // groupBy plus two post-joins. Materialised once (localCheckpoint) so
+    // the self-join reads it twice with honest size stats instead of
+    // re-tokenising per side.
+    val sets = explodeArr(docSets(df, idCol, textCol, shingleK), "tok", size(col("arr")).as("sz"))
       .localCheckpoint()
-    val sizes = sets.groupBy("id").agg(count(lit(1)).as("sz"))
-    val a = sets.withColumnRenamed("id", "id_a")
-    val b = sets.withColumnRenamed("id", "id_b")
-    val inter = a.join(b, Seq("tok")).where(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+    val a = sets.select(col("tok"), col("id").as("id_a"), col("sz").as("sz_a"))
+    val b = sets.select(col("tok"), col("id").as("id_b"), col("sz").as("sz_b"))
+    a.join(b, Seq("tok")).where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "sz_a", "sz_b").agg(count(lit(1)).as("inter"))
       .withColumn("jaccard", round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -149,14 +201,17 @@ object Dedup {
 
   /**
    * MinHash signatures: one row per doc, `sig` = array of numHashes minima.
-   * Computed as a single grouped aggregation over the token explode —
-   * map-side partial min per hash keeps shuffle volume at
-   * O(docs × numHashes), independent of document length.
+   * Within-doc dedup happens per-row (array_distinct, no global distinct
+   * shuffle); minima are then a single codegen'd grouped aggregation over
+   * the token explode — map-side partial min per hash keeps shuffle volume
+   * at O(docs × numHashes), independent of document length. (Deliberately
+   * NOT a per-row lambda fold: higher-order-function lambdas evaluate
+   * interpreted, ~100× slower per element than codegen'd hash aggregation —
+   * measured 14 s vs 1.7 s on the 5k-doc gate corpus.)
    */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 32, shingleK: Int = 3): DataFrame = {
-    val sets = (if (shingleK <= 1) tokenSet(df, idCol, textCol)
-                else shingles(df, idCol, textCol, shingleK).withColumnRenamed("shingle", "tok"))
+    val sets = explodeArr(docSets(df, idCol, textCol, shingleK), "tok")
     // one md5 per token, then numHashes cheap affine transforms of it
     val withBase = sets.withColumn("hm", portableHash(col("tok")) % 1073741789L)
     val mins = (0 until numHashes).map(i => min(affineHash(col("hm"), i)).as(s"h$i"))
@@ -203,6 +258,9 @@ object Dedup {
    * cross-engine reproducible, negligible quality difference.
    */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // explode + 60 conditional sums: all codegen'd, map-side combinable
+    // (a per-row lambda fold over the token array would run interpreted —
+    // see minhashSignatures)
     val toks = tokens(df, idCol, textCol).withColumn("h", portableHash(col("tok")))
     val bitSums = (0 until 60).map { i =>
       sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0L, 1).otherwise(-1)).as(s"b$i")

@@ -99,51 +99,130 @@ object Similarity {
   // ------------------------------------------------------------------- IVF
 
   /**
-   * IVF (inverted-file) index: KMeans centroids (deterministic seed) +
-   * per-vector cluster assignment. Returns (centroids, indexed DF with a
-   * `cluster` column). At scale the index build is one MLlib job and the
-   * assignment a broadcast map-side pass; searches then touch only
-   * `nProbe`/`k` of the corpus.
+   * IVF (inverted-file) index: sample-trained k-means centroids on the unit
+   * sphere + per-vector cluster assignment, all deterministic. Returns
+   * (centroids, indexed DF with `vr` raw vector, `v` normalised vector,
+   * `cluster`). At scale the build is one map-side TakeOrdered sample +
+   * driver-local Lloyd's + a pure-expression assignment map — no MLlib job
+   * rounds, no broadcast round-trip.
    */
   def ivfIndex(emb: DataFrame, idCol: String, vecCol: String,
-               nClusters: Int = 16, seed: Long = 42L, maxIter: Int = 10): (Array[Array[Double]], DataFrame) = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val feat = emb.select(col(idCol), toDouble(col(vecCol)).as("v"))
-      .withColumn("features", array_to_vector(col("v")))
-    // 10 Lloyd iterations: centroid quality for list-probing plateaus well
-    // before convergence, and each iteration is a full driver-synchronised
-    // job — index build time halves with no recall change on the gate corpus
-    val model = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(maxIter).fit(feat)
-    val centroids = model.clusterCenters.map(_.toArray)
-    val indexed = model.transform(feat)
-      .select(col(idCol), col("v"), col("prediction").as("cluster"))
-    (centroids, indexed)
+               nClusters: Int = 16, maxIter: Int = 20,
+               trainSample: Int = 65536): (Array[Array[Double]], DataFrame) = {
+    // cluster NORMALISED vectors: cosine ranking ≡ L2 ranking on the unit
+    // sphere (|â−b̂|² = 2−2·cos), which is what makes the exact-search
+    // pruning bound in [[ivfTopK]] valid. The norm is bound through
+    // array_repeat so it's computed once per row, not once per element
+    // (higher-order lambdas re-evaluate captured expressions per element).
+    val vecs = emb.select(col(idCol), toDouble(col(vecCol)).as("vr"))
+      .withColumn("v", zip_with(col("vr"),
+        array_repeat(norm(col("vr")), size(col("vr"))), (x, n) => x / n))
+    // Centroid training on a bounded id-ordered sample, Lloyd's run on the
+    // driver (the FAISS coarse-quantizer recipe): sampling is a map-side
+    // TakeOrdered (no corpus shuffle), the local iterations cost
+    // k × sample × dims flops — microseconds against cluster-job latency —
+    // and the result is deterministic (fixed sample, fixed init, fixed
+    // iteration count), so index builds are reproducible across runs/engines.
+    val sample = vecs.orderBy(col(idCol)).limit(trainSample)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "cannot build an IVF index over an empty corpus")
+    val dims = sample.head.length
+    // init: k-means++ (D²-weighted seeding). java.util.Random's LCG is
+    // pinned by the Java spec, so a fixed seed makes the whole build
+    // deterministic across JVMs and runs — same property as MLlib's seeded
+    // k-means‖, without the per-round cluster jobs.
+    def sqDist(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < dims) { val t = a(i) - b(i); d += t * t; i += 1 }
+      d
+    }
+    val rng = new java.util.Random(42L)
+    val init = scala.collection.mutable.ArrayBuffer[Array[Double]](
+      sample(rng.nextInt(sample.length)))
+    val minD = sample.map(sqDist(init.head, _))
+    while (init.size < nClusters && minD.exists(_ > 0)) {
+      val total = minD.sum
+      var r = rng.nextDouble() * total
+      var pick = 0
+      while (pick < minD.length - 1 && r >= minD(pick)) { r -= minD(pick); pick += 1 }
+      init += sample(pick)
+      for (j <- sample.indices) {
+        val d = sqDist(sample(pick), sample(j))
+        if (d < minD(j)) minD(j) = d
+      }
+    }
+    var cents = init.toArray
+    for (_ <- 0 until maxIter) {
+      val sums = Array.fill(cents.length)(new Array[Double](dims))
+      val counts = new Array[Long](cents.length)
+      for (v <- sample) {
+        var best = 0; var bestD = Double.MaxValue
+        for (c <- cents.indices) {
+          var d = 0.0; var i = 0
+          while (i < dims) { val t = cents(c)(i) - v(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+        }
+        var i = 0
+        while (i < dims) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.indices.map { c =>
+        if (counts(c) == 0) cents(c) // empty cluster keeps its centroid
+        else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    // assignment: argmin distance as a pure column expression over literal
+    // centroid arrays — codegen-friendly map over the corpus, no UDF, no
+    // broadcast round-trip, and Catalyst sees the whole pipeline
+    val cLit = typedlit(cents.map(_.toSeq).toSeq)
+    val dists = transform(cLit, c =>
+      aggregate(zip_with(col("v"), c, (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x))
+    val indexed = vecs
+      .withColumn("cluster", (array_position(dists, array_min(dists)) - 1).cast("int"))
+    (cents, indexed)
   }
 
-  /** Nearest `nProbe` centroids to a query vector (driver-side — the
-    * centroid table is tiny). */
-  private def nearestClusters(centroids: Array[Array[Double]], q: Array[Double],
-                              nProbe: Int): Seq[Int] =
-    centroids.zipWithIndex.map { case (c, i) =>
-      val d = c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
-      (i, d)
-    }.sortBy(_._2).take(nProbe).map(_._1).toSeq
-
   /**
-   * IVF approximate top-k: probe the closest `nProbe` inverted lists and
-   * re-rank exactly by cosine — the cluster filter is a partition-prunable
-   * predicate, so only nProbe/k of the corpus is read.
+   * IVF top-k with EXACT results: probe the closest `nProbe` inverted lists,
+   * then expand the probe set only as far as the triangle-inequality bound
+   * requires — a cluster can hold a better neighbour only if
+   * |q̂ − μc| − radius(c) ≤ d_k (the current kth L2 distance on the unit
+   * sphere), so every skipped cluster provably contains no top-k member.
+   * Exactness holds for ANY clustering quality; cluster quality only
+   * controls how few lists are touched. Cost at scale: one tiny radius
+   * aggregation at build time, then searches read nProbe/k of the corpus
+   * plus whatever the bound forces (typically nothing).
    */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
               k: Int, nClusters: Int = 16, nProbe: Int = 4): DataFrame = {
     val (centroids, indexed) = ivfIndex(emb, idCol, vecCol, nClusters)
-    val qvec = indexed.where(col(idCol) === queryId).select(col("v"))
-      .collect()(0).getSeq[Double](0).toArray
-    val probes = nearestClusters(centroids, qvec, nProbe)
-    val qlit = typedlit(qvec.toSeq)
-    indexed.where(col("cluster").isin(probes: _*) && col(idCol) =!= queryId)
-      .select(col(idCol), round(cosine(col("v"), qlit), 6).as("sim"))
+    val cLit = typedlit(centroids.map(_.toSeq).toSeq)
+    // per-cluster radius: max member distance to its centroid (unit sphere)
+    val memberDist = sqrt(aggregate(
+      zip_with(col("v"), element_at(cLit, col("cluster") + 1), (x, y) => (x - y) * (x - y)),
+      lit(0.0d), (acc, x) => acc + x))
+    val radii = indexed.groupBy("cluster").agg(max(memberDist).as("r"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val qRow = indexed.where(col(idCol) === queryId).select(col("vr"), col("v")).collect()(0)
+    val qRaw = qRow.getSeq[Double](0).toArray
+    val qHat = qRow.getSeq[Double](1).toArray
+    def qDist(c: Array[Double]): Double =
+      math.sqrt(c.zip(qHat).map { case (a, b) => (a - b) * (a - b) }.sum)
+    val byDist = centroids.indices.sortBy(i => qDist(centroids(i)))
+    val probe1 = byDist.take(nProbe)
+    val qlit = typedlit(qRaw.toSeq)
+    // phase 1: kth cosine among the primary probes (unrounded) → L2 bound
+    val phase1 = indexed.where(col("cluster").isin(probe1: _*) && col(idCol) =!= queryId)
+      .select(cosine(col("vr"), qlit).as("c"))
+      .orderBy(col("c").desc).limit(k).collect()
+    val dk = if (phase1.length < k) Double.MaxValue
+             else math.sqrt(math.max(0.0, 2.0 - 2.0 * phase1.last.getDouble(0))) + 1e-9
+    val extra = byDist.drop(nProbe).filter { c =>
+      qDist(centroids(c)) - radii.getOrElse(c, 0.0) <= dk
+    }
+    val probeAll = probe1 ++ extra
+    indexed.where(col("cluster").isin(probeAll: _*) && col(idCol) =!= queryId)
+      .select(col(idCol), round(cosine(col("vr"), qlit), 6).as("sim"))
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
   }

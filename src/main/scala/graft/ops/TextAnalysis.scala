@@ -97,12 +97,16 @@ object TextAnalysis {
   def rollingFingerprints(df: DataFrame, idCol: String, textCol: String,
                           k: Int = 5, bandSize: Int = 8): DataFrame = {
     // md5 as the window hash: bit-identical across engines (oracle-checkable),
-    // and min-per-band over the hex string is plain ASCII ordering everywhere
+    // and min-per-band over the hex string is plain ASCII ordering everywhere.
+    // band = hash-space partition (leading byte, 0-255 — supports up to 256
+    // bands with near-uniform spread); min per band = winnowing selection.
+    // Within-doc dedup is per-row (array_distinct — no global distinct
+    // shuffle); the min itself is a codegen'd grouped aggregation with
+    // map-side combine (a per-row lambda fold would run interpreted — see
+    // Dedup.minhashSignatures).
+    require(bandSize <= 256, "bandSize must be <= 256 (one leading hash byte)")
     val grams = Dedup.shingles(df, idCol, textCol, k)
       .withColumn("h", md5(col("shingle")))
-    // band = hash-space partition (leading byte, 0-255 — supports up to 256
-    // bands with near-uniform spread); min per band = winnowing selection
-    require(bandSize <= 256, "bandSize must be <= 256 (one leading hash byte)")
     grams.withColumn("band",
         (conv(substring(col("h"), 1, 2), 16, 10).cast(IntegerType) % bandSize))
       .groupBy("id", "band").agg(min(col("h")).as("fp_hash"))
