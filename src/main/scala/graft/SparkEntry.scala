@@ -305,12 +305,20 @@ object SparkEntry {
 
   /** Generated wind farm dataset (16 turbines, BASELINE.md's scale),
     * memoised per session so Verify/Bench pay generation once, not per
-    * query. Values are portable-deterministic (see WindFarmGen), which is
-    * what makes the DuckDB oracles below possible. */
+    * query. Persisted through QuadStore.save — the (p,s,o)-sorted parquet
+    * layout — instead of an in-memory checkpoint: a 17-pattern BGP issues
+    * 17 predicate scans, and against parquet each one prunes to its own
+    * row groups + pushes field filters, where an RDD checkpoint re-scans
+    * all 4.9M quads per pattern (measured ~2× on the production queries).
+    * Values are portable-deterministic (see WindFarmGen), which is what
+    * makes the DuckDB oracles below possible. */
   @transient private var wfCache: (SparkSession, DataFrame) = null
   private def wfGraft(s: SparkSession): Graft = synchronized {
-    if (wfCache == null || (wfCache._1 ne s))
-      wfCache = (s, graft.gen.WindFarmGen.quads(s, 16).localCheckpoint())
+    if (wfCache == null || (wfCache._1 ne s)) {
+      val path = java.nio.file.Files.createTempDirectory("graft_wf").toString
+      QuadStore(graft.gen.WindFarmGen.quads(s, 16)).save(path)
+      wfCache = (s, QuadStore.load(s, path).quads)
+    }
     Graft(wfCache._2)
   }
 

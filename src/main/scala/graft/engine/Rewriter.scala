@@ -194,25 +194,23 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
    * scopes fall back to quad scans.
    */
   private def bgpPlans(ps: Seq[TriplePattern], scope: GraphScope): Seq[SPlan] = {
-    val src = star match {
-      case Some(s) if scope == DefaultGraph => s
-      case _ => return ps.map(scanTriple(_, scope))
-    }
+    if (scope != DefaultGraph) return ps.map(scanTriple(_, scope))
     def fusible(tp: TriplePattern): Option[(String, String)] = (tp.p, varName(tp.s)) match {
       case (TermPat(Iri(p)), Some(sv)) => Some((sv, p))
       case _ => None
     }
-    // group key: subject variable; only groups of ≥2 fusible patterns where
-    // the source answers the star become fused
+    // group key: subject variable; groups of ≥2 fusible patterns become one
+    // scan — through the mapped property table when the StarSource answers
+    // the star, else through the generic quad-star aggregation
     val groups: Map[String, Seq[TriplePattern]] =
       ps.flatMap(tp => fusible(tp).map { case (sv, _) => sv -> tp })
         .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val fused = scala.collection.mutable.Map.empty[String, SPlan]
     for ((sv, group) <- groups if group.size >= 2) {
       val preds = group.map(tp => fusible(tp).get._2)
-      src.starScan(preds).foreach { case (df, names) =>
-        fused(sv) = starPlan(df, names, sv, group)
-      }
+      val viaMapped = star.filter(_ => scope == DefaultGraph)
+        .flatMap(_.starScan(preds).map { case (df, names) => starPlan(df, names, sv, group) })
+      fused(sv) = viaMapped.getOrElse(quadStarPlan(sv, group, scope))
     }
     // emit: fused plan at its group's first pattern, others individually
     val emitted = scala.collection.mutable.Set.empty[String]
@@ -223,6 +221,82 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
         case None => Some(scanTriple(tp, scope))
       }
     }
+  }
+
+  /**
+   * Same-subject star over the raw quad relation — the property-table access
+   * path for ANY quad store, not just the relational mapping: ONE
+   * predicate-disjunction scan + one groupBy(subject) replaces N quad scans
+   * + N−1 subject equi-joins. Each pattern becomes an aggregation arm:
+   * variable objects collect their matches into a list (exploded afterwards,
+   * so multi-valued predicates keep exact bag semantics — the cross product
+   * of the group's lists IS the same-subject join), bound objects become a
+   * match count (presence filter + a sequence-explode that replays the join
+   * multiplicity, exact even if the dataset holds duplicate quads). Bound
+   * object values stay in the scan disjunction, so selective patterns still
+   * prune at the parquet level.
+   *
+   * Scale shape: shuffle volume = the matching quads, once (the join path
+   * shuffles the same rows once per side plus every intermediate); the scan
+   * is one pass with field-level pushdown instead of N.
+   */
+  private def quadStarPlan(subjVar: String, group0: Seq[TriplePattern],
+                           scope: GraphScope): SPlan = {
+    val group = group0.distinct // a duplicated pattern joins idempotently; fuse it once
+    val (df0, _) = scopedQuads(scope)
+    def predOf(tp: TriplePattern): String = tp.p match {
+      case TermPat(Iri(p)) => p
+      case other => throw new IllegalStateException(s"unfusible predicate $other")
+    }
+    // scan keeps only rows some pattern can match, with bound-object values
+    // in the disjunction (pushdown-friendly field predicates)
+    val patMatch: Seq[Column] = group.map { tp =>
+      val pm = col("predicate.t") === TermType.Iri && col("predicate.v") === predOf(tp)
+      tp.o match {
+        case TermPat(t) => pm && termFilter(col("object"), t)
+        case _ => pm
+      }
+    }
+    val scan = df0.filter(patMatch.reduce(_ || _))
+    val arms = group.zipWithIndex.map { case (tp, i) =>
+      tp.o match {
+        case TermPat(_) => sum(when(patMatch(i), 1L)).as(s"__c$i")
+        case _ => collect_list(when(patMatch(i), col("object"))).as(s"__o${i}_l")
+      }
+    }
+    var df = scan.groupBy(col("subject")).agg(arms.head, arms.tail: _*)
+    group.zipWithIndex.foreach { case (tp, i) =>
+      tp.o match {
+        case TermPat(_) =>
+          // presence + multiplicity (count of matching quads; 1 for a set)
+          df = df.filter(col(s"__c$i") >= 1L)
+          df = df.select(col("*"), explode(sequence(lit(1L), col(s"__c$i"))).as(s"__m$i"))
+            .drop(s"__c$i", s"__m$i")
+        case _ =>
+          // empty list = pattern unmatched for this subject → explode drops it
+          df = df.select(col("*"), explode(col(s"__o${i}_l")).as(s"__o$i"))
+            .drop(s"__o${i}_l")
+      }
+    }
+    val objSlots: Seq[(String, String)] = group.zipWithIndex.flatMap { case (tp, i) =>
+      varName(tp.o).map(v => v -> s"__o$i")
+    }
+    val slots = (subjVar -> "subject") +: objSlots
+    slots.groupBy(_._1).foreach { case (_, occ) =>
+      occ.map(_._2).sliding(2).foreach {
+        case Seq(c1, c2) => df = df.filter(col(c1) === col(c2))
+        case _ =>
+      }
+    }
+    val outVars = slots.map(_._1).distinct
+    val proj = slots.groupBy(_._1).view.mapValues(_.head._2).toMap
+    val kinds = group.flatMap { tp =>
+      varName(tp.o) match {
+        case Some(ov) if ov != subjVar => star.flatMap(_.predKind(predOf(tp))).map(ov -> _)
+        case _ => None
+      }
+    }.toMap
+    SPlan(df.select(outVars.map(v => col(proj(v)).as(v)): _*), outVars, Set.empty, kinds)
   }
 
   /** Build the SPlan for one fused star group over the star-scan DataFrame

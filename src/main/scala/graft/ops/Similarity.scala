@@ -107,8 +107,8 @@ object Similarity {
    * rounds, no broadcast round-trip.
    */
   def ivfIndex(emb: DataFrame, idCol: String, vecCol: String,
-               nClusters: Int = 16, maxIter: Int = 20,
-               trainSample: Int = 65536): (Array[Array[Double]], DataFrame) = {
+               nClusters: Int = 16, maxIter: Int = 20, trainSample: Int = 65536,
+               cachedCentroids: Option[Array[Array[Double]]] = None): (Array[Array[Double]], DataFrame) = {
     // cluster NORMALISED vectors: cosine ranking ≡ L2 ranking on the unit
     // sphere (|â−b̂|² = 2−2·cos), which is what makes the exact-search
     // pruning bound in [[ivfTopK]] valid. The norm is bound through
@@ -117,20 +117,33 @@ object Similarity {
     val vecs = emb.select(col(idCol), toDouble(col(vecCol)).as("vr"))
       .withColumn("v", zip_with(col("vr"),
         array_repeat(norm(col("vr")), size(col("vr"))), (x, n) => x / n))
-    // Centroid training on a bounded id-ordered sample, Lloyd's run on the
-    // driver (the FAISS coarse-quantizer recipe): sampling is a map-side
-    // TakeOrdered (no corpus shuffle), the local iterations cost
-    // k × sample × dims flops — microseconds against cluster-job latency —
-    // and the result is deterministic (fixed sample, fixed init, fixed
-    // iteration count), so index builds are reproducible across runs/engines.
+    val cents = cachedCentroids.getOrElse(trainCentroids(vecs, idCol, nClusters, maxIter, trainSample))
+    // assignment: argmin distance as a pure column expression over literal
+    // centroid arrays — codegen-friendly map over the corpus, no UDF, no
+    // broadcast round-trip, and Catalyst sees the whole pipeline
+    val cLit = typedlit(cents.map(_.toSeq).toSeq)
+    val dists = transform(cLit, c =>
+      aggregate(zip_with(col("v"), c, (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x))
+    val indexed = vecs
+      .withColumn("cluster", (array_position(dists, array_min(dists)) - 1).cast("int"))
+    (cents, indexed)
+  }
+
+  /**
+   * Centroid training on a bounded id-ordered sample, Lloyd's run on the
+   * driver (the FAISS coarse-quantizer recipe): sampling is a map-side
+   * TakeOrdered (no corpus shuffle), the local iterations cost
+   * k × sample × dims flops — microseconds against cluster-job latency —
+   * and the result is deterministic (fixed sample, k-means++ init off a
+   * spec-pinned java.util.Random LCG, fixed iteration count), so index
+   * builds are reproducible across runs, JVMs, and engines.
+   */
+  private def trainCentroids(vecs: DataFrame, idCol: String, nClusters: Int,
+                             maxIter: Int, trainSample: Int): Array[Array[Double]] = {
     val sample = vecs.orderBy(col(idCol)).limit(trainSample)
       .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "cannot build an IVF index over an empty corpus")
     val dims = sample.head.length
-    // init: k-means++ (D²-weighted seeding). java.util.Random's LCG is
-    // pinned by the Java spec, so a fixed seed makes the whole build
-    // deterministic across JVMs and runs — same property as MLlib's seeded
-    // k-means‖, without the per-round cluster jobs.
     def sqDist(a: Array[Double], b: Array[Double]): Double = {
       var d = 0.0; var i = 0
       while (i < dims) { val t = a(i) - b(i); d += t * t; i += 1 }
@@ -171,15 +184,7 @@ object Similarity {
         else sums(c).map(_ / counts(c))
       }.toArray
     }
-    // assignment: argmin distance as a pure column expression over literal
-    // centroid arrays — codegen-friendly map over the corpus, no UDF, no
-    // broadcast round-trip, and Catalyst sees the whole pipeline
-    val cLit = typedlit(cents.map(_.toSeq).toSeq)
-    val dists = transform(cLit, c =>
-      aggregate(zip_with(col("v"), c, (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x))
-    val indexed = vecs
-      .withColumn("cluster", (array_position(dists, array_min(dists)) - 1).cast("int"))
-    (cents, indexed)
+    cents
   }
 
   /**
@@ -193,16 +198,29 @@ object Similarity {
    * aggregation at build time, then searches read nProbe/k of the corpus
    * plus whatever the bound forces (typically nothing).
    */
+  /** Built IVF indexes, memoised per (session, corpus plan, params): an
+    * inverted-file index is a build-once query-many artifact (the FAISS
+    * model); the centroids + radii are a few KB of driver state and the
+    * assignment column is re-derived lazily, so caching costs nothing and
+    * repeated searches skip the sample + radius jobs. */
+  private val ivfCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, String, Int), (Array[Array[Double]], Map[Int, Double])]()
+
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
               k: Int, nClusters: Int = 16, nProbe: Int = 4): DataFrame = {
-    val (centroids, indexed) = ivfIndex(emb, idCol, vecCol, nClusters)
-    val cLit = typedlit(centroids.map(_.toSeq).toSeq)
-    // per-cluster radius: max member distance to its centroid (unit sphere)
-    val memberDist = sqrt(aggregate(
-      zip_with(col("v"), element_at(cLit, col("cluster") + 1), (x, y) => (x - y) * (x - y)),
-      lit(0.0d), (acc, x) => acc + x))
-    val radii = indexed.groupBy("cluster").agg(max(memberDist).as("r"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val key = (System.identityHashCode(emb.sparkSession), emb.semanticHash(), vecCol, nClusters)
+    val (centroids, radii) = ivfCache.computeIfAbsent(key, { _ =>
+      val (cents, idx) = ivfIndex(emb, idCol, vecCol, nClusters)
+      val cLit = typedlit(cents.map(_.toSeq).toSeq)
+      // per-cluster radius: max member distance to its centroid (unit sphere)
+      val memberDist = sqrt(aggregate(
+        zip_with(col("v"), element_at(cLit, col("cluster") + 1), (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (acc, x) => acc + x))
+      val rs = idx.groupBy("cluster").agg(max(memberDist).as("r"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      (cents, rs)
+    })
+    val indexed = ivfIndex(emb, idCol, vecCol, nClusters, cachedCentroids = Some(centroids))._2
     val qRow = indexed.where(col(idCol) === queryId).select(col("vr"), col("v")).collect()(0)
     val qRaw = qRow.getSeq[Double](0).toArray
     val qHat = qRow.getSeq[Double](1).toArray

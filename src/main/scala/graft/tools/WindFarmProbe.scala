@@ -24,10 +24,20 @@ object WindFarmProbe {
         sys.env.getOrElse("WF_NESTED", "true"))
       .config("spark.sql.optimizer.expression.nestedPruning.enabled",
         sys.env.getOrElse("WF_NESTED", "true"))
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("WF_BCAST", "10485760"))
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("WF_BCAST_AQE", sys.env.getOrElse("WF_BCAST", "10485760")))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val t0 = System.nanoTime()
-    val quads = WindFarmGen.quads(spark, n).localCheckpoint()
+    val quads = if (sys.env.get("WF_STORE").contains("rdd"))
+      WindFarmGen.quads(spark, n).localCheckpoint()
+    else {
+      val path = java.nio.file.Files.createTempDirectory("graft_wfprobe").toString
+      graft.QuadStore(WindFarmGen.quads(spark, n)).save(path)
+      graft.QuadStore.load(spark, path).quads
+    }
     println(f"[wf] generate n=$n: ${quads.count()} quads in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     val g = Graft(quads)
     val explain = args.indexOf("--explain")
