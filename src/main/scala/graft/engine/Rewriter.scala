@@ -26,7 +26,8 @@ import graft.sparql.Algebra._
  */
 final class Rewriter(spark: SparkSession, quads: DataFrame,
                      fromNamed: Seq[String] = Nil,
-                     star: Option[StarSource] = None) {
+                     star: Option[StarSource] = None,
+                     fuseStars: Boolean = true) {
 
   import GraphScope._
 
@@ -194,7 +195,7 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
    * scopes fall back to quad scans.
    */
   private def bgpPlans(ps: Seq[TriplePattern], scope: GraphScope): Seq[SPlan] = {
-    if (scope != DefaultGraph) return ps.map(scanTriple(_, scope))
+    if (!fuseStars || scope != DefaultGraph) return ps.map(scanTriple(_, scope))
     def fusible(tp: TriplePattern): Option[(String, String)] = (tp.p, varName(tp.s)) match {
       case (TermPat(Iri(p)), Some(sv)) => Some((sv, p))
       case _ => None

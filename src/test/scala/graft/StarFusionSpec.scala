@@ -17,7 +17,9 @@ class StarFusionSpec extends SparkSpec {
 
   private def fusedAndPlain(tables: Seq[String], q: String): (DataFrame, DataFrame) = {
     val m = RdbToRdf.mapping(spark, dir, tables)
-    (Graft(m.quads, m).select(q), Graft(m.quads).select(q))
+    // baseline = fusion OFF (plain per-pattern joins); Graft(m.quads) would
+    // still fuse through the generic quad-star path
+    (Graft(m.quads, m).select(q), Graft.unfused(m.quads).select(q))
   }
 
   private def scanCount(df: DataFrame): Int =
