@@ -68,7 +68,8 @@ object SparkEntry {
     val res = graftOver(s, dir, "customer", "orders").select(
       """SELECT ?name WHERE {
         |  ?c <urn:g:customer#c_name> ?name .
-        |  MINUS { ?o <urn:g:orders#ref_customer> ?c }
+        |  MINUS { ?o <urn:g:orders#ref_customer> ?c .
+        |          ?o <urn:g:orders#o_orderstatus> "F" }
         |} ORDER BY ?name""".stripMargin)
     Graft.decode(res).orderBy("name")
   }
@@ -454,7 +455,8 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "sparql_minus" ->
       """SELECT c_name AS name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
         |ORDER BY 1""".stripMargin,
     "sparql_union" ->
       """SELECT name FROM (
