@@ -39,7 +39,8 @@ object WindFarmProbe {
       graft.QuadStore.load(spark, path).quads
     }
     println(f"[wf] generate n=$n: ${quads.count()} quads in ${(System.nanoTime() - t0) / 1e9}%.1f s")
-    val g = Graft(quads)
+    val g = if (sys.env.get("WF_FUSE").contains("off")) Graft.unfused(quads)
+            else Graft(quads)
     val explain = args.indexOf("--explain")
     names.foreach { q =>
       val text = new String(Files.readAllBytes(qdir.resolve(s"wind-farm-$q.sparql")), "UTF-8")
