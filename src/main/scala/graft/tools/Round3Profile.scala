@@ -16,9 +16,8 @@ object Round3Profile {
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000).selectExpr("sum(id)").collect()
 
-    val names = Seq("dedup_jaccard", "sparql_date_funcs", "dedup_minhash",
-      "dedup_simhash", "ann_ivf", "rolling_fp", "sparql_path_seq",
-      "sparql_optional_agg", "q3_top_revenue", "q5_region_revenue")
+    val names = Seq("dedup_simhash", "ann_ivf", "dedup_jaccard",
+      "dedup_minhash", "emb_near_dup", "sparql_date_funcs")
     for (n <- names; run <- 1 to 2) {
       val t0 = System.nanoTime()
       val df: DataFrame = graft.SparkEntry.queries(n)(spark, dir)

@@ -1,0 +1,298 @@
+package graft.web
+
+import java.io.OutputStream
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QuadStore
+import graft.engine.{Graft, Results}
+import graft.sources.{NTriples, RdfWriters}
+
+/**
+ * SPARQL-protocol HTTP endpoint — the Spark counterpart of the reference's
+ * `lib/web` axum server (/root/reference/lib/web/src/repositories/mod.rs:13-17):
+ *
+ *   GET  /repositories/default/query   SPARQL query; no/empty `query` param
+ *                                      returns the sd: service description
+ *                                      (service_description.rs:72-149)
+ *   POST /repositories/default/data    load RDF into the store, format from
+ *                                      Content-Type (data.rs:13-45)
+ *
+ * Content negotiation mirrors content_negotiation.rs: query results negotiate
+ * among sparql-results+{json,xml}, csv, tsv (default json); CONSTRUCT /
+ * DESCRIBE / service-description responses negotiate among the RDF formats
+ * (default n-quads). Protocol dataset parameters follow evaluate.rs:24-44:
+ * `using-union-graph` makes the default graph the union of all graphs;
+ * `using-graph-uri` / `using-named-graph-uri` re-scope the dataset.
+ *
+ * Built on the JDK's com.sun.net.httpserver — no extra dependencies; query
+ * evaluation, serialisation, and parsing all reuse the engine's distributed
+ * paths (results are collected only to stream the response body).
+ */
+final class SparqlServer private (spark: SparkSession, initial: DataFrame, port: Int) {
+
+  @volatile private var quads: DataFrame =
+    if (initial != null) initial
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      NTriples.quadSchema)
+  private val hasStore = new java.util.concurrent.atomic.AtomicBoolean(initial != null)
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  server.createContext("/repositories/default/query", (ex: HttpExchange) => handleSafe(ex, handleQuery))
+  server.createContext("/repositories/default/data", (ex: HttpExchange) => handleSafe(ex, handleData))
+  server.setExecutor(null) // single dispatch thread; Spark parallelises the work
+  server.start()
+
+  /** The bound port (useful when constructed with port 0). */
+  def boundPort: Int = server.getAddress.getPort
+  def stop(): Unit = server.stop(0)
+  /** Current store contents (for tests / embedding). */
+  def storeQuads: DataFrame = quads
+
+  // ------------------------------------------------------------------ routing
+
+  private def handleSafe(ex: HttpExchange, h: HttpExchange => Unit): Unit =
+    try h(ex)
+    catch {
+      case e: BadRequest => respond(ex, 400, "text/plain", e.getMessage.getBytes(UTF_8))
+      case e: NotAcceptable => respond(ex, 406, "text/plain", e.getMessage.getBytes(UTF_8))
+      case e: IllegalArgumentException => // parse / validation errors (data.rs maps these to 400)
+        respond(ex, 400, "text/plain", String.valueOf(e.getMessage).getBytes(UTF_8))
+      case e: Throwable => respond(ex, 500, "text/plain",
+        s"${e.getClass.getSimpleName}: ${e.getMessage}".getBytes(UTF_8))
+    } finally ex.close()
+
+  private final class BadRequest(msg: String) extends RuntimeException(msg)
+  private final class NotAcceptable(msg: String) extends RuntimeException(msg)
+
+  // ------------------------------------------------------------------- /query
+
+  private def handleQuery(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "GET")
+      return respond(ex, 405, "text/plain", "only GET is supported".getBytes(UTF_8))
+    val params = parseQueryParams(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
+    val accept = Option(ex.getRequestHeaders.getFirst("Accept"))
+    val queryText = params.get("query").flatMap(_.headOption).filter(_.nonEmpty)
+
+    queryText match {
+      case None =>
+        val (mt, fmt) = negotiate(accept, RdfFormats, "application/n-quads")
+        val union = params.get("using-union-graph").exists(_.headOption.forall(v => v.isEmpty || v == "true"))
+        respond(ex, 200, mt, serializeRdf(serviceDescription(union), fmt))
+      case Some(q) =>
+        val scoped = datasetView(params)
+        graft.sparql.SparqlParser.parse(q) match {
+          case _: graft.sparql.Algebra.SelectQuery =>
+            val (mt, fmt) = negotiate(accept, ResultFormats, "application/sparql-results+json")
+            val df = Graft(scoped).select(q)
+            respond(ex, 200, mt, serializeResults(df, fmt))
+          case _: graft.sparql.Algebra.AskQuery =>
+            val (mt, fmt) = negotiate(accept, ResultFormats, "application/sparql-results+json")
+            val b = Graft(scoped).askBoolean(q)
+            val body = fmt match {
+              case "json" => Results.booleanJson(b)
+              case "xml" => Results.booleanXml(b)
+              case _ => b.toString + "\n"
+            }
+            respond(ex, 200, mt, body.getBytes(UTF_8))
+          case _ => // CONSTRUCT / DESCRIBE → RDF triples
+            val (mt, fmt) = negotiate(accept, RdfFormats, "application/n-quads")
+            val triples = Graft(scoped).query(q)
+            val asQuads = triples.withColumn("graph", lit(null).cast(graft.encoding.TermCols.schema))
+              .select("graph", "subject", "predicate", "object")
+            respond(ex, 200, mt, serializeRdf(asQuads, fmt))
+        }
+    }
+  }
+
+  /** Apply SPARQL-protocol dataset parameters (evaluate.rs:24-44): the quads
+    * view the query runs against, with `graph IS NULL` = default graph. */
+  private def datasetView(params: Map[String, Seq[String]]): DataFrame = {
+    val union = params.get("using-union-graph").exists(_.headOption.forall(v => v.isEmpty || v == "true"))
+    val defaults = params.getOrElse("using-graph-uri", Nil)
+    val named = params.getOrElse("using-named-graph-uri", Nil)
+    if (union) {
+      // default graph := union of every graph; named graphs stay visible
+      quads.select(lit(null).cast(graft.encoding.TermCols.schema).as("graph"),
+          col("subject"), col("predicate"), col("object"))
+        .unionAll(quads.filter(col("graph").isNotNull))
+    } else if (defaults.nonEmpty || named.nonEmpty) {
+      val defView = quads
+        .filter(col("graph.t") === graft.model.TermType.Iri && col("graph.v").isin(defaults: _*))
+        .select(lit(null).cast(graft.encoding.TermCols.schema).as("graph"),
+          col("subject"), col("predicate"), col("object"))
+      val namedView = quads
+        .filter(col("graph.t") === graft.model.TermType.Iri && col("graph.v").isin(named: _*))
+      defView.unionAll(namedView)
+    } else quads
+  }
+
+  // -------------------------------------------------------------------- /data
+
+  private def handleData(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "POST")
+      return respond(ex, 405, "text/plain", "only POST is supported".getBytes(UTF_8))
+    val ct = Option(ex.getRequestHeaders.getFirst("Content-Type"))
+      .map(_.takeWhile(_ != ';').trim.toLowerCase).getOrElse("")
+    val ext = ContentTypeExt.getOrElse(ct, throw new BadRequest(s"Invalid content type: $ct"))
+    val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    val tmp = Files.createTempFile("graft_post", ext)
+    try {
+      Files.write(tmp, body.getBytes(UTF_8))
+      val parsed = QuadStore.loadFile(spark, tmp.toString).quads
+      // materialise before the temp file goes away (and so queries don't
+      // re-parse the upload); the store itself stays a lazy union of loads
+      val add = parsed.localCheckpoint()
+      synchronized {
+        quads = if (hasStore.getAndSet(true)) quads.unionAll(add) else add
+      }
+      respond(ex, 204, null, Array.emptyByteArray)
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  private val ContentTypeExt = Map(
+    "text/turtle" -> ".ttl", "application/turtle" -> ".ttl", "application/x-turtle" -> ".ttl",
+    "application/trig" -> ".trig", "text/n3" -> ".n3", "application/n3" -> ".n3",
+    "application/n-triples" -> ".nt", "text/plain" -> ".nt",
+    "application/n-quads" -> ".nq",
+    "application/rdf+xml" -> ".rdf", "application/xml" -> ".rdf")
+
+  // -------------------------------------------------- formats + serialisation
+
+  /** media type → canonical format key, in server preference order
+    * (content_negotiation.rs:23-37, 64-82). */
+  private val RdfFormats: Seq[(String, String)] = Seq(
+    "application/n-quads" -> "nquads",
+    "application/n-triples" -> "ntriples",
+    "text/plain" -> "ntriples",
+    "text/turtle" -> "turtle",
+    "application/turtle" -> "turtle",
+    "application/trig" -> "trig",
+    "text/n3" -> "turtle",
+    "application/n3" -> "turtle",
+    "application/rdf+xml" -> "rdfxml",
+    "application/xml" -> "rdfxml")
+  private val ResultFormats: Seq[(String, String)] = Seq(
+    "application/sparql-results+json" -> "json",
+    "application/json" -> "json",
+    "application/sparql-results+xml" -> "xml",
+    "application/xml" -> "xml",
+    "text/csv" -> "csv",
+    "text/tsv" -> "tsv",
+    "application/tab-separated-values" -> "tsv")
+
+  /** Accept-header negotiation: q-weighted, wildcard-aware; no header →
+    * default (content_negotiation.rs:102-119). */
+  private def negotiate(accept: Option[String], available: Seq[(String, String)],
+                        default: String): (String, String) = {
+    val table = available.toMap
+    accept.map(_.trim).filter(_.nonEmpty) match {
+      case None => (default, table(default))
+      case Some(h) =>
+        val ranges = h.split(',').toSeq.map(_.trim).filter(_.nonEmpty).map { part =>
+          val bits = part.split(';').map(_.trim)
+          val q = bits.drop(1).collectFirst {
+            case p if p.startsWith("q=") => try p.drop(2).toDouble catch { case _: Throwable => 0.0 }
+          }.getOrElse(1.0)
+          (bits.head.toLowerCase, q)
+        }.sortBy(-_._2)
+        val chosen = ranges.iterator.flatMap { case (range, q) =>
+          if (q <= 0) Iterator.empty
+          else if (range == "*/*") Iterator.single(default)
+          else if (range.endsWith("/*")) {
+            val major = range.dropRight(1) // e.g. "text/"
+            available.map(_._1).find(_.startsWith(major)).iterator
+          } else available.map(_._1).find(_ == range).iterator
+        }.nextOption()
+        chosen match {
+          case Some(mt) => (mt, table(mt))
+          case None => throw new NotAcceptable(
+            s"The accept header does not provide any accepted format (available: ${available.map(_._1).distinct.mkString(", ")}).")
+        }
+    }
+  }
+
+  private def serializeResults(df: DataFrame, fmt: String): Array[Byte] = (fmt match {
+    case "json" => Results.toJson(df)
+    case "xml" => Results.toXml(df)
+    case "csv" => Results.csvString(df)
+    case "tsv" => Results.tsvString(df)
+  }).getBytes(UTF_8)
+
+  /** Serialise a quads DataFrame in the negotiated RDF format. Line-based
+    * formats stream straight from the writers' line DataFrames; turtle/trig/
+    * rdf-xml reuse the distributed renderers with a collect at the edge. */
+  private def serializeRdf(qs: DataFrame, fmt: String): Array[Byte] = {
+    val lines: Seq[String] = fmt match {
+      case "nquads" => NTriples.toNQuadLines(qs).collect().toSeq.map(_.getString(0))
+      case "ntriples" =>
+        NTriples.toNQuadLines(qs.filter(col("graph").isNull)).collect().toSeq.map(_.getString(0))
+      case "turtle" =>
+        RdfWriters.turtleLines(qs.filter(col("graph").isNull).drop("graph"))
+          .collect().toSeq.map(_.getString(0))
+      case "trig" => RdfWriters.trigLines(qs).collect().toSeq.map(_.getString(0))
+      case "rdfxml" =>
+        RdfWriters.rdfXmlLines(qs.filter(col("graph").isNull).drop("graph"))
+          .collect().toSeq.map(_.getString(0))
+    }
+    (lines.mkString("\n") + "\n").getBytes(UTF_8)
+  }
+
+  /** The reference's sd: service description triples
+    * (service_description.rs:72-149), as a quads DataFrame so responses go
+    * through the same RDF serialisation as CONSTRUCT. */
+  private def serviceDescription(unionDefaultGraph: Boolean): DataFrame = {
+    val sd = "http://www.w3.org/ns/sparql-service-description#"
+    val root = "sd_service_root"
+    def iri(v: String) = graft.model.Iri(v)
+    val triples = Seq.newBuilder[(String, graft.model.RdfTerm)]
+    triples += (("http://www.w3.org/1999/02/22-rdf-syntax-ns#type", iri(sd + "Service")))
+    triples += ((sd + "supportedLanguage", iri(sd + "SPARQL10Query")))
+    triples += ((sd + "supportedLanguage", iri(sd + "SPARQL11Query")))
+    Seq("SPARQL_Results_JSON", "SPARQL_Results_XML", "SPARQL_Results_CSV", "SPARQL_Results_TSV")
+      .foreach(f => triples += ((sd + "resultFormat", iri("http://www.w3.org/ns/formats/" + f))))
+    Seq("N-Triples", "N-Quads", "Turtle", "TriG", "N3", "RDF_XML")
+      .foreach(f => triples += ((sd + "resultFormat", iri("http://www.w3.org/ns/formats/" + f))))
+    if (unionDefaultGraph) triples += ((sd + "feature", iri(sd + "UnionDefaultGraph")))
+    triples += ((sd + "defaultEntailmentRegime", iri("http://www.w3.org/ns/entailment/Simple")))
+    val nt = triples.result().map { case (p, o) =>
+      val oStr = o match { case graft.model.Iri(v) => s"<$v>"; case other => other.toString }
+      s"_:$root <$p> $oStr ."
+    }.mkString("\n")
+    NTriples.fromString(spark, nt)
+      .withColumn("graph", lit(null).cast(graft.encoding.TermCols.schema))
+      .select("graph", "subject", "predicate", "object")
+  }
+
+  // -------------------------------------------------------------------- misc
+
+  private def parseQueryParams(raw: String): Map[String, Seq[String]] =
+    raw.split('&').toSeq.filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf('=')
+      val (k, v) = if (i < 0) (kv, "") else (kv.take(i), kv.drop(i + 1))
+      (java.net.URLDecoder.decode(k, UTF_8), java.net.URLDecoder.decode(v, UTF_8))
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+
+  private def respond(ex: HttpExchange, status: Int, contentType: String, body: Array[Byte]): Unit = {
+    if (contentType != null)
+      ex.getResponseHeaders.set("Content-Type",
+        if (contentType.startsWith("text/") || contentType.endsWith("json") || contentType.endsWith("xml"))
+          contentType + ";charset=utf-8"
+        else contentType)
+    ex.sendResponseHeaders(status, if (body.isEmpty) -1 else body.length.toLong)
+    if (body.nonEmpty) {
+      val os: OutputStream = ex.getResponseBody
+      os.write(body); os.flush()
+    }
+  }
+}
+
+object SparqlServer {
+  /** Start a server on `port` (0 = ephemeral) over an initial quads frame
+    * (null/empty = empty store). */
+  def start(spark: SparkSession, quads: DataFrame = null, port: Int = 0): SparqlServer =
+    new SparqlServer(spark, quads, port)
+}
