@@ -23,7 +23,8 @@ import graft.sources.{NTriples, Turtle}
  * gives selective min/max row-group pruning for the dominant access path
  * (bound predicate), and the driver's column pruning handles the rest.
  */
-final class QuadStore private (val quads: DataFrame) {
+final class QuadStore private (val quads: DataFrame,
+                               registered: Set[RdfTerm] = Set.empty) {
 
   private def spark: SparkSession = quads.sparkSession
   private lazy val engine = Graft(quads)
@@ -34,6 +35,14 @@ final class QuadStore private (val quads: DataFrame) {
   def query(sparql: String): DataFrame = engine.query(sparql)
   def select(sparql: String): DataFrame = engine.select(sparql)
   def ask(sparql: String): Boolean = engine.askBoolean(sparql)
+
+  /** Planner output for a query — the counterpart of the reference's
+    * Store::explain_query_opt (store.rs:237-270), which returns the logical
+    * and execution plans; here both come from Catalyst's explain modes
+    * ("simple" | "extended" | "formatted" | "cost" | "codegen"). */
+  def explain(sparql: String, mode: String = "formatted"): String =
+    query(sparql).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString(mode))
 
   /**
    * Programmatic pattern scan (reference Store::quads_for_pattern,
@@ -56,17 +65,58 @@ final class QuadStore private (val quads: DataFrame) {
   def count(): Long = quads.count()
   def isEmpty: Boolean = quads.isEmpty
 
-  /** Distinct named-graph terms (reference Store::named_graphs). */
-  def namedGraphs(): DataFrame =
-    quads.filter(col("graph").isNotNull).select(col("graph")).dropDuplicates()
+  /** Whether the store contains this exact quad (reference Store::contains,
+    * store.rs:332-359). */
+  def contains(q: RdfQuad): Boolean =
+    !quadsForPattern(Some(q.graph), Some(q.subject), Some(q.predicate), Some(q.obj)).isEmpty
+
+  /** Distinct named-graph terms, including graphs registered empty via
+    * [[insertNamedGraph]]/[[clearGraph]] (reference Store::named_graphs). */
+  def namedGraphs(): DataFrame = {
+    val inData = quads.filter(col("graph").isNotNull).select(col("graph")).dropDuplicates()
+    if (registered.isEmpty) inData
+    else inData.unionAll(Turtle.quadsToDF(spark,
+        registered.toSeq.map(g => RdfQuad(Some(g), g, Iri("urn:graft:reg"), g)))
+      .select(col("graph"))).dropDuplicates()
+  }
+
+  /** Whether `g` exists as a named graph — non-empty or registered empty
+    * (reference Store::contains_named_graph, store.rs:678-688). */
+  def containsNamedGraph(g: RdfTerm): Boolean =
+    registered.contains(g) ||
+      !quads.filter(QuadStore.termEq(col("graph"), g)).isEmpty
 
   // ---------------------------------------------------------------- mutation
 
   /** Add quads from another DataFrame (reference Store::extend). */
-  def union(other: DataFrame): QuadStore = new QuadStore(quads.unionByName(other))
+  def union(other: DataFrame): QuadStore = new QuadStore(quads.unionByName(other), registered)
 
   def insert(qs: Seq[RdfQuad]): QuadStore =
     union(Turtle.quadsToDF(spark, qs))
+
+  /** Register a (possibly empty) named graph (reference
+    * Store::insert_named_graph, store.rs:710-738). Immutable-value style:
+    * returns the new store; "was it new" = !containsNamedGraph before. */
+  def insertNamedGraph(g: RdfTerm): QuadStore =
+    new QuadStore(quads, registered + g)
+
+  /** Empty a graph but keep it in [[namedGraphs]] (reference
+    * Store::clear_graph, store.rs:740-766: after clear_graph the graph still
+    * lists). `None` = default graph (which is never listed). */
+  def clearGraph(g: Option[RdfTerm]): QuadStore = g match {
+    case None => new QuadStore(quads.filter(col("graph").isNotNull), registered)
+    case Some(t) =>
+      new QuadStore(
+        quads.filter(!coalesce(QuadStore.termEq(col("graph"), t), lit(false))),
+        registered + t)
+  }
+
+  /** Drop a named graph and its quads entirely (reference
+    * Store::remove_named_graph, store.rs:769-796). */
+  def removeNamedGraph(g: RdfTerm): QuadStore =
+    new QuadStore(
+      quads.filter(!coalesce(QuadStore.termEq(col("graph"), g), lit(false))),
+      registered - g)
 
   /** Remove all quads matching the given components (reference Store::remove
     * / clear_graph / remove_named_graph). */
@@ -80,9 +130,18 @@ final class QuadStore private (val quads: DataFrame) {
     subject.foreach(t => cond = cond && QuadStore.termEq(col("subject"), t))
     predicate.foreach(t => cond = cond && QuadStore.termEq(col("predicate"), t))
     obj.foreach(t => cond = cond && QuadStore.termEq(col("object"), t))
-    new QuadStore(quads.filter(!cond))
+    // graph existence survives quad removal (oxigraph/reference semantics);
+    // a graph-targeted remove registers the now-possibly-empty graph
+    val reg2 = graph match {
+      case Some(Some(g)) => registered + g
+      case _ => registered
+    }
+    // null-safe negation: termEq on a NULL graph struct is NULL, and
+    // filter(!NULL) would silently drop every default-graph quad
+    new QuadStore(quads.filter(!coalesce(cond, lit(false))), reg2)
   }
 
+  /** Remove everything, graphs included (reference Store::clear). */
   def clear(): QuadStore = new QuadStore(quads.limit(0))
 
   // ------------------------------------------------------------- persistence
@@ -100,6 +159,15 @@ final class QuadStore private (val quads: DataFrame) {
   /** Serialise to N-Quads text files (reference Store::dump_to_writer). */
   def dumpNQuads(path: String): Unit =
     NTriples.toNQuadLines(quads).write.mode("overwrite").text(path)
+
+  /** Serialise ONE graph's triples to N-Triples text files (reference
+    * Store::dump_graph_to_writer, store.rs:624-639: a pattern scan of the
+    * graph serialised as triples). `None` = default graph. */
+  def dumpGraph(path: String, graph: Option[RdfTerm]): Unit = {
+    val scoped = quadsForPattern(graph = Some(graph))
+      .withColumn("graph", lit(null).cast(TermCols.schema))
+    NTriples.toNQuadLines(scoped).write.mode("overwrite").text(path)
+  }
 
   /** Serialise the default graph to Turtle (errors if named graphs exist —
     * Turtle is a triple format; same contract as the reference's dump). */

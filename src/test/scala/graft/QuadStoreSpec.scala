@@ -48,4 +48,69 @@ class QuadStoreSpec extends SparkSpec {
     val df = store.select(s"""SELECT ?s WHERE { ?s <${EX}p> ?o }""")
     assert(lex(df, "s") == Seq(EX + "a")) // default graph only
   }
+
+  // ---- round-3 Store-API parity (store.rs doc examples re-expressed) ----
+
+  test("contains checks an exact quad incl. graph position") {
+    assert(store.contains(RdfQuad(None, Iri(EX + "a"), Iri(EX + "p"), Iri(EX + "b"))))
+    assert(store.contains(RdfQuad(Some(Iri(EX + "g1")), Iri(EX + "b"), Iri(EX + "p"), Iri(EX + "c"))))
+    assert(!store.contains(RdfQuad(None, Iri(EX + "b"), Iri(EX + "p"), Iri(EX + "c"))))
+    assert(!store.contains(RdfQuad(None, Iri(EX + "a"), Iri(EX + "p"), Lit.simple("x"))))
+  }
+
+  test("insertNamedGraph registers an empty graph (store.rs:710-738)") {
+    val g = Iri(EX + "empty")
+    assert(!store.containsNamedGraph(g))
+    val s2 = store.insertNamedGraph(g)
+    assert(s2.containsNamedGraph(g))
+    assert(lex(s2.namedGraphs(), "graph").toSet == Set(EX + "g1", EX + "empty"))
+    // idempotent
+    assert(lex(s2.insertNamedGraph(g).namedGraphs(), "graph").size == 2)
+  }
+
+  test("clearGraph empties but keeps the graph listed (store.rs:740-766)") {
+    val g = Iri(EX + "g1")
+    val s2 = store.clearGraph(Some(g))
+    assert(s2.quadsForPattern(graph = Some(Some(g))).isEmpty)
+    assert(s2.containsNamedGraph(g))
+    assert(lex(s2.namedGraphs(), "graph") == Seq(EX + "g1"))
+    // default graph: cleared quads gone, named graph untouched
+    val s3 = store.clearGraph(None)
+    assert(s3.quadsForPattern(graph = Some(None)).isEmpty)
+    assert(s3.count() == 1)
+  }
+
+  test("removeNamedGraph drops graph and quads (store.rs:769-796)") {
+    val g = Iri(EX + "g1")
+    val s2 = store.removeNamedGraph(g)
+    assert(s2.count() == 2 && !s2.containsNamedGraph(g))
+    assert(s2.namedGraphs().isEmpty)
+    // removal after registration unregisters too
+    assert(!store.insertNamedGraph(Iri(EX + "t")).removeNamedGraph(Iri(EX + "t"))
+      .containsNamedGraph(Iri(EX + "t")))
+  }
+
+  test("graph survives removal of its last quad (remove registers it)") {
+    val g = Iri(EX + "g1")
+    val s2 = store.remove(graph = Some(Some(g)))
+    assert(s2.quadsForPattern(graph = Some(Some(g))).isEmpty)
+    assert(s2.containsNamedGraph(g))
+    // regression: graph-targeted remove must NOT drop default-graph quads
+    // (termEq over a NULL graph struct is NULL; filter(!NULL) ate them)
+    assert(s2.count() == 2)
+  }
+
+  test("dumpGraph writes one graph as N-Triples") {
+    val dir = java.nio.file.Files.createTempDirectory("qs_dumpg").toString + "/g1"
+    store.dumpGraph(dir, Some(Iri(EX + "g1")))
+    val back = NTriples.read(spark, dir)
+    assert(back.count() == 1)
+    assert(QuadStore(back).contains(RdfQuad(None, Iri(EX + "b"), Iri(EX + "p"), Iri(EX + "c"))))
+  }
+
+  test("explain returns Catalyst plans for a query") {
+    val txt = store.explain(s"SELECT ?o WHERE { <${EX}a> <${EX}p> ?o }")
+    assert(txt.contains("Physical Plan"))
+    assert(store.explain(s"ASK { ?s ?p ?o }", mode = "simple").nonEmpty)
+  }
 }
