@@ -146,11 +146,26 @@ final class QuadStore private (val quads: DataFrame,
 
   // ------------------------------------------------------------- persistence
 
-  /** Persist as Parquet, sorted so row-group min/max stats prune pattern
-    * scans (reference parquet persistence: lib/storage/src/memory/
-    * persistence/parquet.rs:28-60 — flat PlainTerm quads file). */
+  /** Persist as Parquet clustered for pattern scans (reference parquet
+    * persistence: lib/storage/src/memory/persistence/parquet.rs:28-60 —
+    * flat PlainTerm quads file).
+    *
+    * Layout = range-repartition by (predicate, subject) THEN sort within
+    * partitions: the repartition gives FILE-level predicate locality (a
+    * bound-predicate scan opens only the files whose range covers that
+    * predicate — without it every file contains every predicate and each
+    * scan opens all of them), the sort gives ROW-GROUP-level min/max
+    * pruning inside each file plus subject clustering for the dominant
+    * (p,s)-bound access. One shuffle at write time, paid once for a
+    * read-many store — the virtual analogue of the reference's GSPO/GPOS
+    * permutation indexes. Skew is handled by the range partitioner itself:
+    * a hot predicate spans several partitions split by subject (the key
+    * includes subject), so write parallelism survives Zipfian predicates. */
   def save(path: String, partitions: Int = 0): Unit = {
-    val base = if (partitions > 0) quads.repartition(partitions) else quads
+    val base =
+      if (partitions > 0)
+        quads.repartitionByRange(partitions, col("predicate.v"), col("subject.v"))
+      else quads.repartitionByRange(col("predicate.v"), col("subject.v"))
     base
       .sortWithinPartitions(col("predicate.v"), col("subject.v"), col("object.v"))
       .write.mode("overwrite").parquet(path)
