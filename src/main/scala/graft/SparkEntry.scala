@@ -251,6 +251,16 @@ object SparkEntry {
       numHashes = 32, bands = 8, threshold = 0.3, shingleK = 3)
       .orderBy("id_a", "id_b")
 
+  /** Near-dup clustering: MinHash-LSH pairs -> connected components ->
+    * every document labelled with its cluster's canonical (min) doc id —
+    * the decision relation a corpus-scale dedup pipeline keeps. */
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      numHashes = 32, bands = 8, threshold = 0.3, shingleK = 3)
+    Dedup.clusters(docs, "doc_id", pairs).orderBy("doc_id")
+  }
+
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 16)
       .orderBy("id_a", "id_b")
@@ -405,6 +415,7 @@ object SparkEntry {
     "dedup_exact" -> dedupExact,
     "dedup_jaccard" -> dedupJaccard,
     "dedup_minhash" -> dedupMinhash,
+    "dedup_clusters" -> dedupClusters,
     "dedup_simhash" -> dedupSimhash,
     "ann_cosine" -> annCosine,
     "ann_lsh" -> annLsh,
@@ -420,6 +431,27 @@ object SparkEntry {
     "multimodal_features" -> multimodalFeatures,
     "windfarm_production" -> windfarmProduction,
     "windfarm_grouped_prod" -> windfarmGroupedProd)
+
+  /** Shared DuckDB CTE chain deriving the portable MinHash-LSH candidate
+    * pairs (tokens -> 3-shingles -> 60-bit md5-prefix hashes -> 32 LCG
+    * minhashes -> 8 banded buckets -> bucket self-join): the base of the
+    * dedup_minhash AND dedup_clusters oracles. */
+  private val MhPairCtes: String =
+    """w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+      |                                 x -> len(x) > 0) AS ws FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+      |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS tok
+      |       FROM w WHERE len(ws) >= 3),
+      |th AS (SELECT doc_id, CAST(list_sum(list_transform(range(1,16), j -> (strpos('0123456789abcdef', substr(md5(tok),j,1))-1)::BIGINT * ([72057594037927936,4503599627370496,281474976710656,17592186044416,1099511627776,68719476736,4294967296,268435456,16777216,1048576,65536,4096,256,16,1])[j])) AS BIGINT) % 1073741789 AS hm FROM sh),
+      |mh AS (SELECT doc_id, i,
+      |         min((hm * ((1103515245 * (i+1)) % 2147483629) + ((12345 * (i+1)) % 2147483647)) % 2147483647) AS m
+      |       FROM th, range(0, 32) t(i) GROUP BY 1, 2),
+      |sigs AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY 1),
+      |bd AS (SELECT doc_id, sig, b,
+      |         md5(array_to_string(sig[b*4+1:b*4+4], ',') || '#' || b) AS bh
+      |       FROM sigs, range(0, 8) t(b)),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, a.sig AS sig_a, c.doc_id AS id_b, c.sig AS sig_b
+      |         FROM bd a JOIN bd c ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id)""".stripMargin
 
   /** DuckDB replica of WindFarmGen's portable series w4 (turbine A1 at
     * Wind Mountain with 16 turbines): 40-bit md5-prefix uniforms,
@@ -646,27 +678,22 @@ object SparkEntry {
         |             + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 8) AS INT) AS band, min(h) AS fp_hash
         |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "dedup_minhash" ->
-      """WITH 
-        |w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
-        |                                 x -> len(x) > 0) AS ws FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
-        |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS tok
-        |       FROM w WHERE len(ws) >= 3),
-        |th AS (SELECT doc_id, CAST(list_sum(list_transform(range(1,16), j -> (strpos('0123456789abcdef', substr(md5(tok),j,1))-1)::BIGINT * ([72057594037927936,4503599627370496,281474976710656,17592186044416,1099511627776,68719476736,4294967296,268435456,16777216,1048576,65536,4096,256,16,1])[j])) AS BIGINT) % 1073741789 AS hm FROM sh),
-        |mh AS (SELECT doc_id, i,
-        |         min((hm * ((1103515245 * (i+1)) % 2147483629) + ((12345 * (i+1)) % 2147483647)) % 2147483647) AS m
-        |       FROM th, range(0, 32) t(i) GROUP BY 1, 2),
-        |sigs AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY 1),
-        |bd AS (SELECT doc_id, sig, b,
-        |         md5(array_to_string(sig[b*4+1:b*4+4], ',') || '#' || b) AS bh
-        |       FROM sigs, range(0, 8) t(b)),
-        |cand AS (SELECT DISTINCT a.doc_id AS id_a, a.sig AS sig_a, c.doc_id AS id_b, c.sig AS sig_b
-        |         FROM bd a JOIN bd c ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id)
+      s"""WITH $MhPairCtes
         |SELECT id_a, id_b,
         |       round(len(list_filter(range(1, 33), i -> sig_a[i] = sig_b[i])) / 32.0, 6) AS est_jaccard
         |FROM cand
         |WHERE round(len(list_filter(range(1, 33), i -> sig_a[i] = sig_b[i])) / 32.0, 6) >= 0.3
         |ORDER BY 1, 2""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $MhPairCtes,
+        |prs AS (SELECT id_a, id_b FROM cand
+        |        WHERE round(len(list_filter(range(1, 33), i -> sig_a[i] = sig_b[i])) / 32.0, 6) >= 0.3),
+        |e AS (SELECT id_a AS u, id_b AS v FROM prs UNION ALL SELECT id_b, id_a FROM prs),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.a, e.v FROM reach r JOIN e ON e.u = r.b)
+        |SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a ORDER BY 1""".stripMargin,
     "dedup_simhash" ->
       """WITH tk AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
         |                                  x -> len(x) > 0)) AS tok FROM documents),

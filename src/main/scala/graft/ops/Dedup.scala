@@ -288,4 +288,57 @@ object Dedup {
       .where(col("dist") <= maxDist)
       .select("id_a", "id_b", "dist")
   }
+
+  /**
+   * Connected components over a pair relation — the step that turns
+   * near-duplicate PAIRS into duplicate CLUSTERS (one canonical id per
+   * group), which is what a dedup pipeline actually keys its "keep one copy"
+   * decision on at corpus scale.
+   *
+   * Algorithm: distributed min-label propagation with pointer jumping.
+   * Each node starts labelled with itself; every round takes the minimum
+   * label over its neighbourhood (one shuffle join + grouped MIN — map-side
+   * combinable), then shortcuts label chains by one hop
+   * (comp(v) ← comp(comp(v)), the pointer-jumping step of classic PRAM CC /
+   * Hash-to-Min), so convergence is O(log diameter) rounds rather than
+   * O(diameter). Every round's shuffle volume is |E| + |V| — never the
+   * quadratic reachability relation — and each round cuts lineage with
+   * localCheckpoint, the same loop discipline as the property-path closure.
+   * The result labels every node with the MINIMUM id reachable from it
+   * (a deterministic canonical representative).
+   */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e0 = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+    val edges = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+      .dropDuplicates().localCheckpoint()
+    var labels = edges.select(col("u").as("id")).dropDuplicates()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "u").withColumnRenamed("comp", "nc"), "u")
+        .groupBy(col("v").as("id")).agg(min(col("nc")).as("nbr"))
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+      // pointer jumping: follow the label one hop (comp is itself a node id)
+      val compOf = stepped.select(col("id").as("jid"), col("comp").as("jcomp"))
+      val next = stepped.join(compOf, stepped("comp") === compOf("jid"), "left")
+        .select(stepped("id"), coalesce(col("jcomp"), stepped("comp")).as("comp"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") =!= col("prev")).count()
+      labels = next
+    }
+    labels
+  }
+
+  /** Full corpus clustering: every document labelled with its duplicate
+    * cluster's canonical (minimum) id; documents in no pair are their own
+    * singleton cluster. */
+  def clusters(df: DataFrame, idCol: String, pairs: DataFrame,
+               aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol)
+    df.select(col(idCol).as("id")).join(cc, Seq("id"), "left")
+      .select(col("id").as(idCol), coalesce(col("comp"), col("id")).as("cluster"))
+  }
 }

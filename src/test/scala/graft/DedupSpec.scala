@@ -34,4 +34,57 @@ class DedupSpec extends SparkSpec {
     assert(pre == inv)
     assert(pre.exists { case (a, b, j) => a == 1L && b == 2L && math.abs(j - 2.0 / 3) < 1e-5 })
   }
+
+  // ---- connected components / clustering (round 3) ----
+
+  test("connectedComponents labels chains, cliques and singleton-free graphs") {
+    import spark.implicits._
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21} (pair)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents handles long paths (pointer jumping converges)") {
+    import spark.implicits._
+    // one path 0-1-2-...-40: worst case for plain propagation
+    val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b").collect()
+    assert(cc.length == 41 && cc.forall(_.getLong(1) == 0L))
+  }
+
+  test("connectedComponents matches driver union-find on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val n = 200
+    val es = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(e => e._1 != e._2)
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = es.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(v => v -> {
+        // canonical = min node id in the component, over touched nodes
+        val r = find(v.toInt)
+        es.flatMap(e => Seq(e._1, e._2)).distinct.filter(u => find(u.toInt) == r).min
+      }).toMap
+    val cc = Dedup.connectedComponents(es.toDF("id_a", "id_b"), "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == expect)
+  }
+
+  test("clusters assigns singletons their own id") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((2L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.clusters(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 2L, 5L -> 5L))
+  }
 }
