@@ -306,11 +306,24 @@ object Dedup {
    * localCheckpoint, the same loop discipline as the property-path closure.
    * The result labels every node with the MINIMUM id reachable from it
    * (a deterministic canonical representative).
+   *
+   * Adaptive small-graph path: the symmetrised edge relation is already
+   * materialised (checkpoint) before the loop, so its size is known; when it
+   * fits comfortably on the driver (≤ `localThreshold` edges, long/int ids)
+   * the components come from a driver-side union-find instead of 2-3 cluster
+   * rounds — the same adaptivity Spark itself applies when it broadcasts a
+   * small join side, with an identical result by construction. Pair graphs
+   * ARE usually small relative to the corpus (only near-dups create edges);
+   * web-scale edge sets take the distributed loop.
    */
-  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          localThreshold: Long = 1L << 20): DataFrame = {
     val e0 = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
     val edges = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
       .dropDuplicates().localCheckpoint()
+    val integral = edges.schema.fields.forall(f =>
+      f.dataType == LongType || f.dataType == IntegerType)
+    if (integral && edges.count() <= localThreshold) return localComponents(edges)
     var labels = edges.select(col("u").as("id")).dropDuplicates()
       .withColumn("comp", col("id")).localCheckpoint()
     var changed = 1L
@@ -319,17 +332,49 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "u").withColumnRenamed("comp", "nc"), "u")
         .groupBy(col("v").as("id")).agg(min(col("nc")).as("nbr"))
       val stepped = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
-      // pointer jumping: follow the label one hop (comp is itself a node id)
+        .select(col("id"), col("comp").as("prev"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+      // pointer jumping: follow the label one hop (comp is itself a node id);
+      // `prev` rides along so convergence needs no extra join afterwards
       val compOf = stepped.select(col("id").as("jid"), col("comp").as("jcomp"))
       val next = stepped.join(compOf, stepped("comp") === compOf("jid"), "left")
-        .select(stepped("id"), coalesce(col("jcomp"), stepped("comp")).as("comp"))
+        .select(stepped("id"), coalesce(col("jcomp"), stepped("comp")).as("comp"),
+          (coalesce(col("jcomp"), stepped("comp")) =!= col("prev")).as("chg"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") =!= col("prev")).count()
-      labels = next
+      changed = next.filter(col("chg")).count() // over checkpointed blocks — no recompute
+      labels = next.drop("chg")
     }
     labels
+  }
+
+  /** Driver union-find over a collected (symmetric) edge set; canonical
+    * label = min id per component — identical to the distributed loop. */
+  private def localComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val es = edges.collect().map(r => (asLong(r.get(0)), asLong(r.get(1))))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSeq.distinct
+    val out = nodes.map(v => org.apache.spark.sql.Row(v, find(v)))
+    spark.createDataFrame(spark.sparkContext.parallelize(out, 1),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("comp", LongType, nullable = false))))
+  }
+
+  private def asLong(x: Any): Long = x match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case other => throw new IllegalArgumentException(s"non-integral id: $other")
   }
 
   /** Full corpus clustering: every document labelled with its duplicate

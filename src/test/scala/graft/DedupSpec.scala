@@ -50,10 +50,23 @@ class DedupSpec extends SparkSpec {
 
   test("connectedComponents handles long paths (pointer jumping converges)") {
     import spark.implicits._
-    // one path 0-1-2-...-40: worst case for plain propagation
+    // one path 0-1-2-...-40: worst case for plain propagation; threshold 0
+    // forces the DISTRIBUTED loop (the small-graph union-find is covered by
+    // the differential test below, which runs both paths)
     val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b").collect()
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b", localThreshold = 0).collect()
     assert(cc.length == 41 && cc.forall(_.getLong(1) == 0L))
+  }
+
+  test("distributed loop and local union-find agree on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val es = Seq.fill(120)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter(e => e._1 != e._2).toDF("id_a", "id_b").localCheckpoint()
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(Dedup.connectedComponents(es, "id_a", "id_b", localThreshold = 0)) ==
+           m(Dedup.connectedComponents(es, "id_a", "id_b")))
   }
 
   test("connectedComponents matches driver union-find on a random graph") {
