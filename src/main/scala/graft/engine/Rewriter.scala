@@ -393,8 +393,33 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
 
     if (idKeys.isEmpty) {
       if (shared.isEmpty && filter.isEmpty) {
-        val df = if (joinType == "inner") ldf.crossJoin(rdf)
-                 else ldf.join(rdf, lit(true), "left")
+        // Runtime-adaptive cartesian: CartesianProduct launches |left parts| ×
+        // |right parts| tasks and multiplies through chained components
+        // (BSBM BI-Q4's DISTINCT-subquery × pattern-block shape). An
+        // aggregate/distinct-rooted side is usually small but Catalyst's
+        // static stats can't see it — materialise such a side once (the
+        // cross join would materialise it anyway) and broadcast if its
+        // actual size permits, turning the cartesian into a
+        // BroadcastNestedLoopJoin that preserves the streamed side's
+        // partitioning. Counting a non-small side costs one pass over an
+        // already-needed intermediate; sides without aggregation are left
+        // alone (could be the whole corpus).
+        var (ldf2, rdf2) = (ldf, rdf)
+        if (!l.tiny && !r.tiny) {
+          def aggRooted(df: DataFrame): Boolean =
+            df.queryExecution.analyzed.find { n =>
+              val c = n.getClass.getSimpleName
+              c == "Aggregate" || c == "Deduplicate" || c == "Distinct"
+            }.isDefined
+          def adapt(df: DataFrame): DataFrame = {
+            val mat = df.localCheckpoint()
+            if (mat.count() <= Rewriter.CrossBroadcastRows) broadcast(mat) else mat
+          }
+          if (aggRooted(rdf2)) rdf2 = adapt(rdf2)
+          else if (joinType == "inner" && aggRooted(ldf2)) ldf2 = adapt(ldf2)
+        }
+        val df = if (joinType == "inner") ldf2.crossJoin(rdf2)
+                 else ldf2.join(rdf2, lit(true), "left")
         val mu = l.maybeUnbound ++ (if (joinType == "left") r.vars.toSet else r.maybeUnbound)
         return SPlan(df, outVars, mu, mergeKinds(l, r), outTiny)
       }
@@ -1246,4 +1271,10 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     }
     d.orderBy(keys: _*).drop(tmps: _*)
   }
+}
+
+object Rewriter {
+  /** Row bound under which a materialised aggregate-rooted cross-join side
+    * broadcasts (~100k term-struct rows ≈ tens of MB serialized). */
+  private[engine] val CrossBroadcastRows: Long = 1L << 17
 }

@@ -20,7 +20,13 @@ object BsbmProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val t0 = System.nanoTime()
-    val quads = BsbmGen.quads(spark, n).repartition(32).localCheckpoint()
+    val quads = if (sys.env.get("BSBM_STORE").contains("rdd"))
+      BsbmGen.quads(spark, n).repartition(32).localCheckpoint()
+    else {
+      val path = java.nio.file.Files.createTempDirectory("graft_bsbm").toString
+      graft.QuadStore(BsbmGen.quads(spark, n)).save(path)
+      graft.QuadStore.load(spark, path).quads
+    }
     println(f"[bsbm] generate n=$n: ${quads.count()} quads in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     val g = Graft(quads)
     val qdir = Paths.get("/root/reference/bench/tests/query_results/queries")
