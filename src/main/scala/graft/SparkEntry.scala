@@ -276,6 +276,22 @@ object SparkEntry {
     Similarity.annTopK(t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L, k = 10,
       nPlanes = 6, probeHamming = 1)
 
+  /** Class centroids: element-wise mean embedding per label, exploded to
+    * (label, dim, mean) rows so the oracle compares scalars. */
+  private def embCentroids(s: SparkSession, dir: String): DataFrame =
+    Similarity.centroids(t(s, dir, "embeddings"), "label", "embedding")
+      .select(col("label"), posexplode(col("centroid")))
+      .select(col("label"), col("pos").cast(LongType).as("dim"),
+        round(col("col"), 4).as("m"))
+      .orderBy("label", "dim")
+
+  /** Context-window chunking: 64-token chunks, 8-token overlap. */
+  private def docChunks(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunk(t(s, dir, "documents"), "doc_id", "text", size = 64, overlap = 8)
+      .select(col("id").as("doc_id"), col("chunk_index").cast(LongType),
+        col("chunk_text"), col("n_tokens").cast(LongType))
+      .orderBy("doc_id", "chunk_index")
+
   private def textQuality(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.quality(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")
 
@@ -427,6 +443,8 @@ object SparkEntry {
     "rolling_fp" -> rollingFp,
     "quality_score" -> qualityScore,
     "emb_near_dup" -> embNearDup,
+    "emb_centroids" -> embCentroids,
+    "doc_chunks" -> docChunks,
     "frame_sample" -> frameSample,
     "multimodal_features" -> multimodalFeatures,
     "windfarm_production" -> windfarmProduction,
@@ -677,6 +695,24 @@ object SparkEntry {
         |SELECT id, CAST(((16 * (strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
         |             + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 8) AS INT) AS band, min(h) AS fp_hash
         |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "emb_centroids" ->
+      """WITH x AS (SELECT label, i, embedding[CAST(i+1 AS INT)]::DOUBLE AS v
+        |           FROM embeddings, range(0, 64) t(i))
+        |SELECT label, CAST(i AS BIGINT) AS dim, round(avg(v), 4) AS m
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "doc_chunks" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+        |                                 x -> len(x) > 0) AS ws FROM documents),
+        |n AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) > 0),
+        |c AS (SELECT doc_id, unnest(list_transform(
+        |        range(0, greatest(CAST(ceil((n - 8)/56.0) AS BIGINT), 1)),
+        |        i -> struct_pack(ci := i,
+        |               t := array_to_string(list_slice(ws, i*56+1, i*56+64), ' '),
+        |               nt := len(list_slice(ws, i*56+1, i*56+64))))) AS ch
+        |      FROM n)
+        |SELECT doc_id, CAST(ch.ci AS BIGINT) AS chunk_index, ch.t AS chunk_text,
+        |       CAST(ch.nt AS BIGINT) AS n_tokens
+        |FROM c WHERE ch.nt > 0 ORDER BY 1, 2""".stripMargin,
     "dedup_minhash" ->
       s"""WITH $MhPairCtes
         |SELECT id_a, id_b,

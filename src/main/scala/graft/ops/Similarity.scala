@@ -263,4 +263,19 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(cosine(col("va"), col("vb")), 6).as("sim"))
       .where(col("sim") >= minCosine)
   }
+
+  /**
+   * Per-group mean embedding (class centroids): element-wise average of the
+   * group's vectors — the building block for class/topic centroids, nearest-
+   * centroid classification, and IVF-style coarse quantizers over labelled
+   * corpora. Pure column-expression pipeline: one posexplode + one grouped
+   * AVG per (group, dimension) + one array rebuild — map-side combinable,
+   * shuffle volume = |rows| × dims scalars (no vector structs cross the
+   * wire), group count bounded by label cardinality.
+   */
+  def centroids(emb: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    emb.select(col(groupCol).as("grp"), posexplode(toDouble(col(vecCol))))
+      .groupBy(col("grp"), col("pos")).agg(avg(col("col")).as("m"))
+      .groupBy(col("grp")).agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("grp").as(groupCol), transform(col("pm"), x => x.getField("m")).as("centroid"))
 }

@@ -111,4 +111,32 @@ object TextAnalysis {
         (conv(substring(col("h"), 1, 2), 16, 10).cast(IntegerType) % bandSize))
       .groupBy("id", "band").agg(min(col("h")).as("fp_hash"))
   }
+
+  /**
+   * Fixed-size token chunking with overlap — the standard training-data
+   * prep step (context-window packing / RAG chunking): each document's
+   * token array becomes ⌈(n−overlap)/(size−overlap)⌉ chunks of `size`
+   * tokens, consecutive chunks sharing `overlap` tokens; the final chunk
+   * may be short, empty docs yield none. Chunk derivation is a per-row
+   * array transform (no shuffle); the explode only pays for rows that
+   * downstream stages actually consume.
+   */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            size: Int = 64, overlap: Int = 8): DataFrame = {
+    require(size > overlap && overlap >= 0, "need size > overlap >= 0")
+    val step = size - overlap
+    // canonical normalised tokens (lowercase, alnum runs) — same token
+    // stream as the dedup/shingle family, NOT the raw whitespace split
+    val ts = filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+    val nChunks = when(size_(ts) === 0, 0)
+      .otherwise(ceil((size_(ts) - lit(overlap)).cast("double") / step).cast("int"))
+    df.select(col(idCol).as("id"),
+        posexplode(transform(sequence(lit(0), greatest(nChunks, lit(1)) - 1),
+          i => array_join(slice(ts, i * step + 1, lit(size)), " "))))
+      .where(size_(filter(split(col("col"), " "), t => length(t) > 0)) > 0)
+      .select(col("id"), col("pos").as("chunk_index"), col("col").as("chunk_text"),
+        size_(filter(split(col("col"), " "), t => length(t) > 0)).as("n_tokens"))
+  }
+
+  private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
 }

@@ -41,7 +41,12 @@ object BiQ4Probe {
     } GROUP BY ?feature""")
     val text = new String(Files.readAllBytes(
       Paths.get("/root/reference/bench/tests/query_results/queries/bi-q4.sparql")), "UTF-8")
-    val t = System.nanoTime(); val n = g.select(text).collect().length
+    val df = g.select(text)
+    val t = System.nanoTime(); val n = df.collect().length
     println(f"[biq4] full          rows $n%6d  ${(System.nanoTime()-t)/1e9}%6.1f s")
+    val fin = df.queryExecution.executedPlan.toString
+    println("[biq4] final joins: " + "(\\w*Join\\w*|CartesianProduct)".r
+      .findAllIn(fin).toSeq.groupBy(identity).view.mapValues(_.size).toMap)
+    println("[biq4] finalPlan? " + fin.contains("isFinalPlan=true"))
   }
 }

@@ -33,4 +33,14 @@ class SimilaritySpec extends SparkSpec {
     val ann = Similarity.annTopK(emb, "vec_id", "embedding", 0L, 10, nPlanes = 6)
     assert(ann.count() == 10)
   }
+
+  test("centroids: element-wise mean per label, dimension order preserved") {
+    import spark.implicits._
+    val emb = Seq(("a", Seq(1.0f, 2.0f, 30.0f)), ("a", Seq(3.0f, 6.0f, 10.0f)),
+      ("b", Seq(5.0f, 5.0f, 5.0f))).toDF("label", "embedding")
+    val out = Similarity.centroids(emb, "label", "embedding")
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(out("a") == Seq(2.0, 4.0, 20.0))
+    assert(out("b") == Seq(5.0, 5.0, 5.0))
+  }
 }
