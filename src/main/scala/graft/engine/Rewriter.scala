@@ -27,23 +27,14 @@ import graft.sparql.Algebra._
 final class Rewriter(spark: SparkSession, quads: DataFrame,
                      fromNamed: Seq[String] = Nil,
                      star: Option[StarSource] = None,
-                     fuseStars: Boolean = true) {
+                     fuseStars: Boolean = true,
+                     quadStarFusion: Boolean = false) {
 
   import GraphScope._
 
   private var counter = 0
   private def fresh(p: String): String = { counter += 1; s"__${p}_$counter" }
 
-  /** Whether the quad relation bottoms out in a file source (parquet & co):
-    * such scans prune columns + push predicate filters, so re-scanning per
-    * pattern is cheap and generic star fusion is counter-productive. */
-  private lazy val quadsFileBacked: Boolean =
-    // analyzed, not logical: Spark 4 leaves UnresolvedDataSource in the
-    // pre-analysis plan and only resolves the relation during analysis
-    quads.queryExecution.analyzed.collectLeaves().exists { l =>
-      val n = l.getClass.getSimpleName
-      n.contains("LogicalRelation") || n.contains("DataSourceV2Relation")
-    }
 
   /** Project a compiled term expression as a column, materialising complex
     * sub-operands as intermediate columns first (see Env.bind) and dropping
@@ -212,14 +203,16 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
       case _ => None
     }
     // group key: subject variable; groups of ≥2 fusible patterns become one
-    // scan — through the mapped property table when the StarSource answers
-    // the star, else (for non-file-backed stores only) through the generic
-    // quad-star aggregation. The file-backed restriction is measured, not
-    // aesthetic: with a pruned columnar layout, N predicate-pushdown scans +
-    // codegen'd hash joins beat one disjunction scan + a non-codegen
-    // object-hash aggregate (wind farm probe: every query faster unfused);
-    // only when every scan must re-read the whole store (RDD/in-memory
-    // quads) does the one-pass aggregation pay for itself.
+    // scan through the mapped property table when the StarSource answers the
+    // star. The GENERIC quad-star aggregation (quadStarPlan) is opt-in only:
+    // measured in both storage regimes it loses — on a pruned columnar
+    // layout, N predicate-pushdown scans + codegen'd hash joins beat one
+    // disjunction scan + a non-codegen object-hash aggregate (wind-farm
+    // probe: every query faster unfused), and on an RDD-backed 20M-quad
+    // store the collect-list aggregate is ~4× the join plan (ScaleProbe
+    // star BGP 19.7s fused vs 4.5s unfused). It remains available for
+    // stores where rescanning is catastrophically expensive (e.g. a remote
+    // source read over the network).
     val groups: Map[String, Seq[TriplePattern]] =
       ps.flatMap(tp => fusible(tp).map { case (sv, _) => sv -> tp })
         .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
@@ -229,7 +222,7 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
       val viaMapped = star.filter(_ => scope == DefaultGraph)
         .flatMap(_.starScan(preds).map { case (df, names) => starPlan(df, names, sv, group) })
       viaMapped.orElse(
-        if (quadsFileBacked) None else Some(quadStarPlan(sv, group, scope))
+        if (quadStarFusion) Some(quadStarPlan(sv, group, scope)) else None
       ).foreach(fused(sv) = _)
     }
     // emit: fused plan at its group's first pattern, others individually
