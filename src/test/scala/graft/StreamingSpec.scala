@@ -66,4 +66,48 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("dedup").count() == 2)
     } finally q.stop()
   }
+
+  test("streaming N-Quads ingestion: pattern filter over a file stream") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("rdf_stream").toString
+    Files.write(java.nio.file.Paths.get(dir, "batch1.nq"),
+      ("""<urn:a> <urn:name> "alice" .
+         |<urn:a> <urn:age> "30"^^<http://www.w3.org/2001/XMLSchema#integer> .
+         |<urn:b> <urn:name> "bob" <urn:g1> .
+         |not a triple at all
+         |""".stripMargin).getBytes("UTF-8"))
+    val quads = graft.streaming.RdfStreams.readNQuads(spark, dir, lenient = true)
+    assert(quads.isStreaming)
+    // same field-level pattern predicates as the batch store
+    val names = quads.filter(org.apache.spark.sql.functions.col("predicate.v") === "urn:name")
+      .select(org.apache.spark.sql.functions.col("subject.v").as("s"),
+        org.apache.spark.sql.functions.col("object.v").as("n"),
+        org.apache.spark.sql.functions.col("graph.v").as("g"))
+    val q = names.writeStream.format("memory").queryName("rdf_names")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("rdf_names").collect()
+        .map(r => (r.getString(0), r.getString(1), Option(r.getString(2)))).toSet
+      assert(rows == Set(("urn:a", "alice", None), ("urn:b", "bob", Some("urn:g1"))))
+      // second micro-batch: a new file arrives
+      Files.write(java.nio.file.Paths.get(dir, "batch2.nq"),
+        "<urn:c> <urn:name> \"carol\" .\n".getBytes("UTF-8"))
+      q.processAllAvailable()
+      assert(spark.table("rdf_names").count() == 3)
+    } finally q.stop()
+  }
+
+  test("streaming N-Quads: strict mode fails the stream on malformed lines") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("rdf_stream_strict").toString
+    Files.write(java.nio.file.Paths.get(dir, "bad.nq"), "garbage line\n".getBytes("UTF-8"))
+    val q = graft.streaming.RdfStreams.readNQuads(spark, dir)
+      .writeStream.format("memory").queryName("rdf_strict").outputMode("append").start()
+    try {
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+  }
 }
