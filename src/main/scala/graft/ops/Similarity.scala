@@ -200,17 +200,20 @@ object Similarity {
    */
   /** Built IVF indexes, memoised per (session, corpus plan, params): an
     * inverted-file index is a build-once query-many artifact (the FAISS
-    * model); the centroids + radii are a few KB of driver state and the
-    * assignment column is re-derived lazily, so caching costs nothing and
-    * repeated searches skip the sample + radius jobs. */
+    * model). The cache holds the centroids + per-cluster radii (KBs of
+    * driver state) AND the materialised assignment relation (id, raw/unit
+    * vector, cluster) — a real index is a stored structure, so searches
+    * scan the checkpointed assignment instead of re-deriving it from the
+    * source per query. */
   private val ivfCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, String, Int), (Array[Array[Double]], Map[Int, Double])]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, String, Int), (Array[Array[Double]], Map[Int, Double], DataFrame)]()
 
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
               k: Int, nClusters: Int = 16, nProbe: Int = 4): DataFrame = {
     val key = (System.identityHashCode(emb.sparkSession), emb.semanticHash(), vecCol, nClusters)
-    val (centroids, radii) = ivfCache.computeIfAbsent(key, { _ =>
-      val (cents, idx) = ivfIndex(emb, idCol, vecCol, nClusters)
+    val (centroids, radii, indexed) = ivfCache.computeIfAbsent(key, { _ =>
+      val (cents, idx0) = ivfIndex(emb, idCol, vecCol, nClusters)
+      val idx = idx0.localCheckpoint()
       val cLit = typedlit(cents.map(_.toSeq).toSeq)
       // per-cluster radius: max member distance to its centroid (unit sphere)
       val memberDist = sqrt(aggregate(
@@ -218,9 +221,8 @@ object Similarity {
         lit(0.0d), (acc, x) => acc + x))
       val rs = idx.groupBy("cluster").agg(max(memberDist).as("r"))
         .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-      (cents, rs)
+      (cents, rs, idx)
     })
-    val indexed = ivfIndex(emb, idCol, vecCol, nClusters, cachedCentroids = Some(centroids))._2
     val qRow = indexed.where(col(idCol) === queryId).select(col("vr"), col("v")).collect()(0)
     val qRaw = qRow.getSeq[Double](0).toArray
     val qHat = qRow.getSeq[Double](1).toArray
