@@ -89,14 +89,32 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     case Group(inner, keys, aggs) => group(pattern(inner, scope), keys, aggs, scope)
     case SubSelect(q) => select(q, scope)
     case Lateral(l, r) => lateral(pattern(l, scope), r, scope)
-    case Service(_, inner, _) =>
-      // Federation is unsupported (as in the reference, testsuite/tests/
-      // sparql.rs ignore list). The empty relation reproduces the lazily-
-      // erroring stream's observable behaviour in ASK/UNION/JOIN.
-      val vars = inScopeVars(inner).map(_.name)
-      SPlan(spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        StructType(vars.map(v => StructField(v, graft.encoding.TermCols.schema)))),
-        vars, vars.toSet)
+    case Service(ep, inner, silent) =>
+      // Federation over the SPARQL protocol — beyond the reference (which
+      // parses SERVICE but evaluates a lazily-erroring stream). BGP-bodied
+      // blocks against a constant IRI endpoint execute remotely and land as
+      // a broadcastable local relation (the VALUES shape); unsupported
+      // bodies / variable endpoints keep the reference's observable
+      // empty-relation behaviour; transport errors honour SILENT.
+      def emptyService: SPlan = {
+        val vars = inScopeVars(inner).map(_.name)
+        SPlan(spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          StructType(vars.map(v => StructField(v, graft.encoding.TermCols.schema)))),
+          vars, vars.toSet)
+      }
+      (ep, ServiceExecutor.render(inner)) match {
+        case (TermPat(Iri(endpoint)), Some(queryText)) =>
+          try {
+            val (vars0, rows) = ServiceExecutor.execute(endpoint, queryText)
+            // bnode-pattern placeholders joined remotely but are not in scope
+            val vars = vars0.filterNot(_.startsWith("__bn_"))
+            values(vars.map(Var(_)),
+              rows.map(m => vars.map(m.get)))
+          } catch {
+            case e: Throwable if silent => emptyService
+          }
+        case _ => emptyService
+      }
   }
 
   /** Single-row zero-variable relation — the join identity

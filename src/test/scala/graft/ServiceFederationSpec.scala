@@ -1,0 +1,83 @@
+package graft
+
+import graft.engine.Graft
+import graft.sources.NTriples
+import graft.web.SparqlServer
+
+/** SERVICE federation end-to-end: a Graft engine federates a BGP block to a
+  * live SparqlServer over HTTP and joins the remote solutions with local
+  * patterns. SILENT and unsupported-shape fallbacks keep the reference's
+  * observable behaviour. */
+class ServiceFederationSpec extends SparkSpec {
+
+  // remote store behind an HTTP endpoint
+  private lazy val server = SparqlServer.start(spark, NTriples.fromString(spark,
+    """<urn:a> <urn:name> "alice" .
+      |<urn:b> <urn:name> "bob" .
+      |<urn:a> <urn:knows> <urn:b> .
+      |""".stripMargin))
+  private def endpoint = s"http://127.0.0.1:${server.boundPort}/repositories/default/query"
+
+  // local store with different facts about the same resources
+  private lazy val local = Graft(NTriples.fromString(spark,
+    """<urn:a> <urn:age> "30"^^<http://www.w3.org/2001/XMLSchema#integer> .
+      |<urn:b> <urn:age> "40"^^<http://www.w3.org/2001/XMLSchema#integer> .
+      |<urn:c> <urn:age> "50"^^<http://www.w3.org/2001/XMLSchema#integer> .
+      |""".stripMargin))
+
+  override def afterAll(): Unit = {
+    try server.stop() finally super.afterAll()
+  }
+
+  test("SERVICE joins remote solutions with local patterns") {
+    val df = local.select(
+      s"""SELECT ?s ?n ?a WHERE {
+         |  ?s <urn:age> ?a .
+         |  SERVICE <$endpoint> { ?s <urn:name> ?n }
+         |} ORDER BY ?s""".stripMargin)
+    assert(rows(df, "s", "n", "a") == Set(
+      Seq("urn:a", "alice", "30"), Seq("urn:b", "bob", "40")))
+  }
+
+  test("SERVICE with a multi-pattern body executes remotely") {
+    val df = local.select(
+      s"""SELECT ?x ?y WHERE {
+         |  SERVICE <$endpoint> { ?x <urn:knows> ?y . ?y <urn:name> "bob" }
+         |}""".stripMargin)
+    assert(rows(df, "x", "y") == Set(Seq("urn:a", "urn:b")))
+  }
+
+  test("SERVICE SILENT with unreachable endpoint yields the empty relation") {
+    val df = local.select(
+      """SELECT ?s ?n WHERE {
+        |  ?s <urn:age> ?a .
+        |  SERVICE SILENT <http://127.0.0.1:9/nope> { ?s <urn:name> ?n }
+        |}""".stripMargin)
+    assert(df.count() == 0)
+  }
+
+  test("non-SILENT SERVICE with unreachable endpoint errors") {
+    intercept[Exception] {
+      local.select(
+        """SELECT ?n WHERE {
+          |  SERVICE <http://127.0.0.1:9/nope> { ?s <urn:name> ?n }
+          |}""".stripMargin).collect()
+    }
+  }
+
+  test("unsupported SERVICE body falls back to the empty relation") {
+    val df = local.select(
+      s"""SELECT ?s ?n WHERE {
+         |  SERVICE <$endpoint> { OPTIONAL { ?s <urn:name> ?n } }
+         |}""".stripMargin)
+    assert(df.count() == 0)
+  }
+
+  test("literal terms round-trip through the serialised body") {
+    val df = local.select(
+      s"""SELECT ?x WHERE {
+         |  SERVICE <$endpoint> { ?x <urn:name> "alice" }
+         |}""".stripMargin)
+    assert(rows(df, "x") == Set(Seq("urn:a")))
+  }
+}
