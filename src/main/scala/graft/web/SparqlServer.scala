@@ -32,7 +32,8 @@ import graft.sources.{NTriples, RdfWriters}
  * evaluation, serialisation, and parsing all reuse the engine's distributed
  * paths (results are collected only to stream the response body).
  */
-final class SparqlServer private (spark: SparkSession, initial: DataFrame, port: Int) {
+final class SparqlServer private (spark: SparkSession, initial: DataFrame, port: Int,
+                                  unionDefaultGraph: Boolean) {
 
   @volatile private var quads: DataFrame =
     if (initial != null) initial
@@ -80,7 +81,8 @@ final class SparqlServer private (spark: SparkSession, initial: DataFrame, port:
     queryText match {
       case None =>
         val (mt, fmt) = negotiate(accept, RdfFormats, "application/n-quads")
-        val union = params.get("using-union-graph").exists(_.headOption.forall(v => v.isEmpty || v == "true"))
+        val union = unionDefaultGraph ||
+          params.get("using-union-graph").exists(_.headOption.forall(v => v.isEmpty || v == "true"))
         respond(ex, 200, mt, serializeRdf(serviceDescription(union), fmt))
       case Some(q) =>
         val scoped = datasetView(params)
@@ -111,7 +113,8 @@ final class SparqlServer private (spark: SparkSession, initial: DataFrame, port:
   /** Apply SPARQL-protocol dataset parameters (evaluate.rs:24-44): the quads
     * view the query runs against, with `graph IS NULL` = default graph. */
   private def datasetView(params: Map[String, Seq[String]]): DataFrame = {
-    val union = params.get("using-union-graph").exists(_.headOption.forall(v => v.isEmpty || v == "true"))
+    val union = unionDefaultGraph ||
+      params.get("using-union-graph").exists(_.headOption.forall(v => v.isEmpty || v == "true"))
     val defaults = params.getOrElse("using-graph-uri", Nil)
     val named = params.getOrElse("using-named-graph-uri", Nil)
     if (union) {
@@ -292,7 +295,10 @@ final class SparqlServer private (spark: SparkSession, initial: DataFrame, port:
 
 object SparqlServer {
   /** Start a server on `port` (0 = ephemeral) over an initial quads frame
-    * (null/empty = empty store). */
-  def start(spark: SparkSession, quads: DataFrame = null, port: Int = 0): SparqlServer =
-    new SparqlServer(spark, quads, port)
+    * (null/empty = empty store). `unionDefaultGraph` makes every query see
+    * the union of all graphs as its default graph (the reference CLI's
+    * --union-default-graph). */
+  def start(spark: SparkSession, quads: DataFrame = null, port: Int = 0,
+            unionDefaultGraph: Boolean = false): SparqlServer =
+    new SparqlServer(spark, quads, port, unionDefaultGraph)
 }
