@@ -54,20 +54,57 @@ object ServiceExecutor {
 
   /**
    * Serialise a SERVICE body back to SPARQL text. Supported: basic graph
-   * patterns (incl. blank nodes as variables — standard SERVICE semantics)
-   * and conjunctions of them. Anything else returns None and the caller
+   * patterns (incl. blank nodes as variables — standard SERVICE semantics),
+   * conjunctions of them, and FILTERs over the serialisable expression
+   * subset (comparisons, logic, arithmetic, IN, BOUND, and builtin calls
+   * with serialisable arguments). Anything else returns None and the caller
    * falls back to the reference's empty-relation behaviour.
    */
-  def render(p: GraphPattern): Option[String] = flatten(p).map { tps =>
+  def render(p: GraphPattern): Option[String] = flatten(p).map { case (tps, filters) =>
     val body = tps.map(tp =>
       s"${slot(tp.s)} ${slot(tp.p)} ${slot(tp.o)} .").mkString("\n  ")
-    s"SELECT * WHERE {\n  $body\n}"
+    val fs = filters.map(f => s"\n  FILTER(${f})").mkString
+    s"SELECT * WHERE {\n  $body$fs\n}"
   }
 
-  private def flatten(p: GraphPattern): Option[Seq[TriplePattern]] = p match {
-    case Bgp(ps) => Some(ps)
-    case Join(l, r) => for (a <- flatten(l); b <- flatten(r)) yield a ++ b
+  private def flatten(p: GraphPattern): Option[(Seq[TriplePattern], Seq[String])] = p match {
+    case Bgp(ps) => Some((ps, Nil))
+    case Join(l, r) =>
+      for (a <- flatten(l); b <- flatten(r)) yield (a._1 ++ b._1, a._2 ++ b._2)
+    case Filter(e, inner) =>
+      for (i <- flatten(inner); f <- renderExpr(e)) yield (i._1, i._2 :+ f)
     case _ => None
+  }
+
+  /** Serialisable expression subset → SPARQL text (None = unsupported). */
+  private def renderExpr(e: Expr): Option[String] = e match {
+    case ETerm(t) => Some(renderTerm(t))
+    case EVar(v) => Some(s"?${v.name}")
+    case EOr(l, r) => bin(l, r, "||")
+    case EAnd(l, r) => bin(l, r, "&&")
+    case ENot(x) => renderExpr(x).map(s => s"(!($s))")
+    case ECmp(op, l, r) => bin(l, r, op)
+    case EArith(op, l, r) => bin(l, r, op)
+    case ENeg(x) => renderExpr(x).map(s => s"(-($s))")
+    case EBound(v) => Some(s"BOUND(?${v.name})")
+    case EIn(x, list, neg) =>
+      for (s <- renderExpr(x); items <- traverse(list)) yield
+        s"($s ${if (neg) "NOT IN" else "IN"} (${items.mkString(", ")}))"
+    case ECall(name, args) if !name.contains(":") || name.startsWith("http") =>
+      // builtin (parser keyword) or full-IRI custom function
+      traverse(args).map { as =>
+        val fn = if (name.startsWith("http")) s"<$name>" else name
+        s"$fn(${as.mkString(", ")})"
+      }
+    case _ => None // EXISTS / IF / COALESCE / aggregates: not serialised (yet)
+  }
+
+  private def bin(l: Expr, r: Expr, op: String): Option[String] =
+    for (a <- renderExpr(l); b <- renderExpr(r)) yield s"($a $op $b)"
+
+  private def traverse(es: Seq[Expr]): Option[Seq[String]] = {
+    val rs = es.map(renderExpr)
+    if (rs.forall(_.isDefined)) Some(rs.map(_.get)) else None
   }
 
   private def slot(t: TermPattern): String = t match {

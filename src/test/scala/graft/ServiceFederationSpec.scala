@@ -80,4 +80,21 @@ class ServiceFederationSpec extends SparkSpec {
          |}""".stripMargin)
     assert(rows(df, "x") == Set(Seq("urn:a")))
   }
+
+  test("FILTER inside the SERVICE body is pushed to the endpoint") {
+    val df = local.select(
+      s"""SELECT ?s ?n WHERE {
+         |  SERVICE <$endpoint> { ?s <urn:name> ?n . FILTER(?n = "alice" || STRLEN(?n) > 5) }
+         |}""".stripMargin)
+    assert(rows(df, "s", "n") == Set(Seq("urn:a", "alice")))
+  }
+
+  test("non-serialisable FILTER body falls back to empty (reference behaviour)") {
+    val df = local.select(
+      s"""SELECT ?s ?n WHERE {
+         |  SERVICE <$endpoint> { ?s <urn:name> ?n .
+         |                        FILTER(EXISTS { ?s <urn:knows> ?o }) }
+         |}""".stripMargin)
+    assert(df.count() == 0)
+  }
 }
