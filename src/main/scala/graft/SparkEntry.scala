@@ -340,13 +340,19 @@ object SparkEntry {
     * Values are portable-deterministic (see WindFarmGen), which is what
     * makes the DuckDB oracles below possible. */
   @transient private var wfCache: (SparkSession, DataFrame) = null
+  /** Static kinds the generator vouches for: timestamps are uniformly
+    * xsd:dateTime in the fixed lexical shape (kind 4), so date-part
+    * accessors and range comparisons compile without the datatype CASE
+    * ladder. hasValue stays dynamic — operating-series values are booleans. */
+  private val WfKinds = graft.engine.StarSource.kindsOnly(
+    Map("https://github.com/magbak/chrontext#hasTimestamp" -> 4))
   private def wfGraft(s: SparkSession): Graft = synchronized {
     if (wfCache == null || (wfCache._1 ne s)) {
       val path = java.nio.file.Files.createTempDirectory("graft_wf").toString
       QuadStore(graft.gen.WindFarmGen.quads(s, 16)).save(path)
       wfCache = (s, QuadStore.load(s, path).quads)
     }
-    Graft(wfCache._2)
+    Graft(wfCache._2, WfKinds)
   }
 
   private val WfPrefixes = """PREFIX xsd:<http://www.w3.org/2001/XMLSchema#>

@@ -44,3 +44,16 @@ trait StarSource {
    */
   def predKind(predIri: String): Option[Int] = None
 }
+
+object StarSource {
+  /** A kinds-only capability for plain quad stores: no property-table scan
+    * (starScan always declines), but per-predicate static object kinds so
+    * the expression compiler pre-dispatches arithmetic/date accessors (the
+    * datatype CASE trees constant-fold) — usable whenever the data producer
+    * can vouch for uniform, canonically-rendered object types per predicate
+    * (e.g. a generated or schema-validated dataset). */
+  def kindsOnly(kinds: Map[String, Int]): StarSource = new StarSource {
+    override def starScan(predIris: Seq[String]): Option[(DataFrame, Map[String, String])] = None
+    override def predKind(predIri: String): Option[Int] = kinds.get(predIri)
+  }
+}

@@ -39,8 +39,11 @@ object WindFarmProbe {
       graft.QuadStore.load(spark, path).quads
     }
     println(f"[wf] generate n=$n: ${quads.count()} quads in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val kinds = graft.engine.StarSource.kindsOnly(
+      Map("https://github.com/magbak/chrontext#hasTimestamp" -> 4))
     val g = if (sys.env.get("WF_FUSE").contains("off")) Graft.unfused(quads)
-            else Graft(quads)
+            else if (sys.env.get("WF_KINDS").contains("off")) Graft(quads)
+            else Graft(quads, kinds)
     val explain = args.indexOf("--explain")
     names.foreach { q =>
       val text = new String(Files.readAllBytes(qdir.resolve(s"wind-farm-$q.sparql")), "UTF-8")
