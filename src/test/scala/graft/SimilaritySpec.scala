@@ -43,4 +43,28 @@ class SimilaritySpec extends SparkSpec {
     assert(out("a") == Seq(2.0, 4.0, 20.0))
     assert(out("b") == Seq(5.0, 5.0, 5.0))
   }
+
+  test("IVF top-k is EXACT vs brute force on random + clustered embeddings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // half clustered tightly (stresses the probe path), half uniform
+    // (stresses the radius bound: neighbours spread across many cells)
+    val dims = 16
+    val centers = Array.fill(3)(Array.fill(dims)(rnd.nextDouble() * 2 - 1))
+    val vecs = (0L until 400L).map { i =>
+      val v = if (i % 2 == 0) {
+        val c = centers(rnd.nextInt(3))
+        c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat)
+      } else Array.fill(dims)((rnd.nextDouble() * 2 - 1).toFloat)
+      (i, v.toSeq)
+    }.toDF("vec_id", "embedding").localCheckpoint()
+    for (qid <- Seq(0L, 7L, 123L)) {
+      val exact = Similarity.cosineTopK(vecs, "vec_id", "embedding", qid, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val ivf = Similarity.ivfTopK(vecs, "vec_id", "embedding", qid,
+          k = 10, nClusters = 8, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(ivf.toSeq == exact.toSeq, s"query $qid: ivf != exact")
+    }
+  }
 }
