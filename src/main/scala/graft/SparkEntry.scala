@@ -246,6 +246,15 @@ object SparkEntry {
     Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", threshold = 0.05, shingleK = 3)
       .orderBy("id_a", "id_b")
 
+  /** Same exact-Jaccard relation through the AllPairs PREFIX-FILTERED path
+    * (the web-scale candidate generator) at a threshold where the prefix
+    * actually prunes — gate-verifies the scale path end-to-end, not just
+    * the spec-level equivalence. */
+  private def dedupJaccardPrefix(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairsPrefix(t(s, dir, "documents"), "doc_id", "text",
+      threshold = 0.6, shingleK = 3)
+      .orderBy("id_a", "id_b")
+
   private def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
       numHashes = 32, bands = 8, threshold = 0.3, shingleK = 3)
@@ -436,6 +445,7 @@ object SparkEntry {
     "events_sessionize" -> eventsSessionize,
     "dedup_exact" -> dedupExact,
     "dedup_jaccard" -> dedupJaccard,
+    "dedup_jaccard_prefix" -> dedupJaccardPrefix,
     "dedup_minhash" -> dedupMinhash,
     "dedup_clusters" -> dedupClusters,
     "dedup_simhash" -> dedupSimhash,
@@ -610,6 +620,26 @@ object SparkEntry {
         |FROM inter JOIN sizes sa ON sa.doc_id = id_a
         |           JOIN sizes sb ON sb.doc_id = id_b
         |WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.05
+        |ORDER BY 1, 2""".stripMargin,
+    "dedup_jaccard_prefix" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                             x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+        |                                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS tok
+        |  FROM w WHERE len(ws) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |       round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = id_a
+        |           JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.6
         |ORDER BY 1, 2""".stripMargin,
     "ann_cosine" ->
       """SELECT vec_id,
