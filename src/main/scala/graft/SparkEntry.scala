@@ -270,6 +270,27 @@ object SparkEntry {
     Dedup.clusters(docs, "doc_id", pairs).orderBy("doc_id")
   }
 
+  /** The dedup DECISION relation: cluster near-dups (MinHash-LSH pairs ->
+    * connected components), keep the longest document per cluster
+    * (ties -> min id). */
+  private def dedupKeep(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      numHashes = 32, bands = 8, threshold = 0.3, shingleK = 3)
+    val cl = Dedup.clusters(docs, "doc_id", pairs)
+    Dedup.keepBest(cl, docs.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars")
+      .select(col("cluster"), col("kept_id"), col("n_docs").cast(LongType),
+        col("best_score").cast(LongType).as("best_chars"))
+      .orderBy("cluster")
+  }
+
+  /** Deterministic stratified sample (data mixing): per-language keep rates
+    * with the portable md5 40-bit uniform — same sample on any engine. */
+  private def docSample(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
+      rates = Map("en" -> 0.5, "de" -> 0.2), salt = "mix1", defaultRate = 0.05)
+      .select(col("doc_id"), col("lang")).orderBy("doc_id")
+
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 16)
       .orderBy("id_a", "id_b")
@@ -448,6 +469,8 @@ object SparkEntry {
     "dedup_jaccard_prefix" -> dedupJaccardPrefix,
     "dedup_minhash" -> dedupMinhash,
     "dedup_clusters" -> dedupClusters,
+    "dedup_keep" -> dedupKeep,
+    "doc_sample" -> docSample,
     "dedup_simhash" -> dedupSimhash,
     "ann_cosine" -> annCosine,
     "ann_lsh" -> annLsh,
@@ -749,6 +772,31 @@ object SparkEntry {
         |SELECT doc_id, CAST(ch.ci AS BIGINT) AS chunk_index, ch.t AS chunk_text,
         |       CAST(ch.nt AS BIGINT) AS n_tokens
         |FROM c WHERE ch.nt > 0 ORDER BY 1, 2""".stripMargin,
+    "dedup_keep" ->
+      s"""WITH RECURSIVE $MhPairCtes,
+        |prs AS (SELECT id_a, id_b FROM cand
+        |        WHERE round(len(list_filter(range(1, 33), i -> sig_a[i] = sig_b[i])) / 32.0, 6) >= 0.3),
+        |e AS (SELECT id_a AS u, id_b AS v FROM prs UNION ALL SELECT id_b, id_a FROM prs),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.a, e.v FROM reach r JOIN e ON e.u = r.b),
+        |cl AS (SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a),
+        |sel AS (SELECT cl.cluster, d.doc_id, d.n_chars,
+        |          row_number() OVER (PARTITION BY cl.cluster ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+        |          count(*) OVER (PARTITION BY cl.cluster) AS nd
+        |        FROM cl JOIN documents d USING (doc_id))
+        |SELECT cluster, doc_id AS kept_id, CAST(nd AS BIGINT) AS n_docs,
+        |       CAST(n_chars AS BIGINT) AS best_chars
+        |FROM sel WHERE rn = 1 ORDER BY cluster""".stripMargin,
+    "doc_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ((list_sum(list_transform(range(0,10), j ->
+        |         (strpos('0123456789abcdef', substr(md5('mix1|' || doc_id), 1+j, 1))-1)::BIGINT
+        |           * ([68719476736,4294967296,268435456,16777216,1048576,65536,4096,256,16,1])[j+1]))::DOUBLE + 0.5)
+        |       / 1099511627776.0)
+        |      < (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.2 ELSE 0.05 END)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_minhash" ->
       s"""WITH $MhPairCtes
         |SELECT id_a, id_b,

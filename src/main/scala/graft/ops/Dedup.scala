@@ -386,4 +386,23 @@ object Dedup {
     df.select(col(idCol).as("id")).join(cc, Seq("id"), "left")
       .select(col("id").as(idCol), coalesce(col("comp"), col("id")).as("cluster"))
   }
+
+  /**
+   * The dedup DECISION: per duplicate cluster keep the best document
+   * (highest score, ties → lowest id) — the relation a pipeline joins
+   * against to drop redundant copies while keeping the best exemplar.
+   * One window over the cluster relation; shuffle key = cluster id.
+   */
+  def keepBest(clusters: DataFrame, scores: DataFrame, idCol: String,
+               scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = clusters.withColumnRenamed(idCol, "id")
+      .join(scores.select(col(idCol).as("id"), col(scoreCol).as("__s")), Seq("id"))
+    val w = Window.partitionBy("cluster").orderBy(col("__s").desc, col("id").asc)
+    joined
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy("cluster")))
+      .where(col("__rn") === 1)
+      .select(col("cluster"), col("id").as("kept_id"), col("n_docs"), col("__s").as("best_score"))
+  }
 }

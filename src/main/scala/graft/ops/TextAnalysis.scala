@@ -139,4 +139,23 @@ object TextAnalysis {
   }
 
   private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
+
+  /**
+   * Deterministic stratified sampling — the data-mixing step of a training
+   * pipeline: keep each row iff hash(salt|id) < rate(stratum), with a
+   * portable md5-derived 40-bit uniform (the engine's standard portable
+   * RNG), so the SAME sample falls out on any engine/run — reproducible
+   * data recipes, no RNG state, no shuffle (a pure per-row filter with
+   * full pushdown of the stratum column).
+   */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       rates: Map[String, Double], salt: String,
+                       defaultRate: Double = 0.0): DataFrame = {
+    val u = (conv(substring(md5(concat(lit(salt + "|"), col(idCol).cast("string"))), 1, 10), 16, 10)
+      .cast("double") + 0.5) / 1099511627776.0d
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
+      when(col(strataCol) === k, lit(r)).otherwise(acc)
+    }
+    df.where(u < rate)
+  }
 }

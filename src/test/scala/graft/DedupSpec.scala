@@ -100,4 +100,32 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 2L, 5L -> 5L))
   }
+
+  test("keepBest keeps the highest score per cluster, ties to lowest id") {
+    import spark.implicits._
+    val cl = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L), (5L, 5L)).toDF("doc_id", "cluster")
+    val sc = Seq((1L, 10L), (2L, 99L), (3L, 7L), (4L, 7L), (5L, 1L)).toDF("doc_id", "n_chars")
+    val out = Dedup.keepBest(cl, sc, "doc_id", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // cluster 1: doc 2 wins on score; cluster 3: tie -> doc 3; singleton 5
+    assert(out == Set((1L, 2L, 2L), (3L, 3L, 2L), (5L, 5L, 1L)))
+  }
+
+  test("stratifiedSample is deterministic, rate-respecting, and salt-sensitive") {
+    import spark.implicits._
+    val docs = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    def ids(salt: String, rates: Map[String, Double]) =
+      graft.ops.TextAnalysis.stratifiedSample(docs, "doc_id", "lang", rates, salt)
+        .collect().map(_.getLong(0)).toSet
+    val a = ids("s1", Map("en" -> 0.5, "de" -> 0.1))
+    assert(a == ids("s1", Map("en" -> 0.5, "de" -> 0.1))) // deterministic
+    assert(a != ids("s2", Map("en" -> 0.5, "de" -> 0.1))) // salt matters
+    val en = a.count(_ % 2 == 0); val de = a.count(_ % 2 == 1)
+    assert(math.abs(en - 500) < 80, s"en=$en")   // ~0.5 of 1000
+    assert(math.abs(de - 100) < 50, s"de=$de")   // ~0.1 of 1000
+    // a higher rate strictly extends the sample (nested samples property)
+    val wider = ids("s1", Map("en" -> 0.8, "de" -> 0.1))
+    assert(a.filter(_ % 2 == 0).subsetOf(wider))
+  }
 }
