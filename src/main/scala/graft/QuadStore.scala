@@ -171,6 +171,28 @@ final class QuadStore private (val quads: DataFrame,
       .write.mode("overwrite").parquet(path)
   }
 
+  /**
+   * Predicate-partitioned persistence: one parquet DIRECTORY per predicate
+   * IRI (predicates are always IRIs), subjects range-clustered + sorted
+   * inside. A bound-predicate scan then does directory-level PARTITION
+   * pruning — on a 100 TB store, listing one directory instead of reading
+   * row-group footers across the whole dataset; the dominant access path
+   * (bound predicate) becomes O(that predicate's data). [[QuadStore.load]]
+   * rebuilds the predicate struct from the partition column, and Catalyst's
+   * SimplifyExtractValueOps folds the Rewriter's `predicate.v = iri` filters
+   * straight onto the partition column, so pruning engages with no engine
+   * changes. Use for stores with a bounded predicate vocabulary (the usual
+   * RDF shape); [[save]] remains the layout for open-ended vocabularies.
+   */
+  def saveByPredicate(path: String): Unit = {
+    quads
+      .withColumn("__pv", col("predicate.v"))
+      .repartitionByRange(col("predicate.v"), col("subject.v"))
+      .sortWithinPartitions(col("subject.v"), col("object.v"))
+      .drop("predicate")
+      .write.mode("overwrite").partitionBy("__pv").parquet(path)
+  }
+
   /** Serialise to N-Quads text files (reference Store::dump_to_writer). */
   def dumpNQuads(path: String): Unit =
     NTriples.toNQuadLines(quads).write.mode("overwrite").text(path)
@@ -212,9 +234,18 @@ object QuadStore {
   def empty(spark: SparkSession): QuadStore =
     new QuadStore(Turtle.quadsToDF(spark, Nil))
 
-  /** Restore from [[QuadStore#save]] output. */
-  def load(spark: SparkSession, path: String): QuadStore =
-    new QuadStore(spark.read.schema(NTriples.quadSchema).parquet(path))
+  /** Restore from [[QuadStore#save]] or [[QuadStore#saveByPredicate]]
+    * output (auto-detected by the presence of the partition column). */
+  def load(spark: SparkSession, path: String): QuadStore = {
+    val raw = spark.read.parquet(path)
+    if (raw.columns.contains("__pv")) {
+      val df = raw
+        .withColumn("predicate", TermCols.iri(col("__pv")))
+        .select("graph", "subject", "predicate", "object")
+      new QuadStore(df)
+    } else
+      new QuadStore(spark.read.schema(NTriples.quadSchema).parquet(path))
+  }
 
   /** Load RDF files by extension: .nt/.nq line-parallel, .ttl/.trig/.n3
     * driver-parsed (.n3: Turtle-compatible subset — no formulas), .rdf/.owl

@@ -113,4 +113,22 @@ class QuadStoreSpec extends SparkSpec {
     assert(txt.contains("Physical Plan"))
     assert(store.explain(s"ASK { ?s ?p ?o }", mode = "simple").nonEmpty)
   }
+
+  test("saveByPredicate round-trips and prunes partitions on bound predicates") {
+    val dir = java.nio.file.Files.createTempDirectory("qs_bypred").toString + "/q"
+    store.saveByPredicate(dir)
+    val back = QuadStore.load(spark, dir)
+    assert(back.count() == 3)
+    // full round-trip fidelity
+    assert(back.contains(RdfQuad(Some(Iri(EX + "g1")), Iri(EX + "b"), Iri(EX + "p"), Iri(EX + "c"))))
+    assert(back.contains(RdfQuad(None, Iri(EX + "a"), Iri(EX + "q"), Lit.simple("x"))))
+    // a bound-predicate pattern scan compiles to a partition-pruned read
+    val scan = back.quadsForPattern(predicate = Some(Iri(EX + "q")))
+    assert(scan.count() == 1)
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__pv"),
+      s"no partition pruning in:\n${plan.take(800)}")
+    // SPARQL over the partitioned store (default graph only: a->b)
+    assert(lex(back.select(s"SELECT ?o WHERE { ?s <${EX}p> ?o }"), "o") == Seq(EX + "b"))
+  }
 }
