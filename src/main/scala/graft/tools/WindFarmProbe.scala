@@ -31,12 +31,16 @@ object WindFarmProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val t0 = System.nanoTime()
-    val quads = if (sys.env.get("WF_STORE").contains("rdd"))
-      WindFarmGen.quads(spark, n).localCheckpoint()
-    else {
-      val path = java.nio.file.Files.createTempDirectory("graft_wfprobe").toString
-      graft.QuadStore(WindFarmGen.quads(spark, n)).save(path)
-      graft.QuadStore.load(spark, path).quads
+    val quads = sys.env.getOrElse("WF_STORE", "parquet") match {
+      case "rdd" => WindFarmGen.quads(spark, n).localCheckpoint()
+      case "bypred" =>
+        val path = java.nio.file.Files.createTempDirectory("graft_wfprobe").toString
+        graft.QuadStore(WindFarmGen.quads(spark, n)).saveByPredicate(path)
+        graft.QuadStore.load(spark, path).quads
+      case _ =>
+        val path = java.nio.file.Files.createTempDirectory("graft_wfprobe").toString
+        graft.QuadStore(WindFarmGen.quads(spark, n)).save(path)
+        graft.QuadStore.load(spark, path).quads
     }
     println(f"[wf] generate n=$n: ${quads.count()} quads in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     val kinds = graft.engine.StarSource.kindsOnly(
