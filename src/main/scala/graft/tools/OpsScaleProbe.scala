@@ -1,0 +1,74 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+/**
+ * Scale probe for the training-data pipeline ops: synthesises a document
+ * corpus ~40× the sf0.1 gate corpus (near-dup-rich, Zipf-ish vocabulary so
+ * hot shingles exist) plus an embedding corpus, and times the headline
+ * pipelines. The point is the growth SHAPE: all candidate generation is
+ * equi-join keyed (tokens/bands/buckets), so runtimes should scale
+ * near-linearly with corpus size — a quadratic regression shows up here
+ * long before it shows up at 100 TB.
+ *
+ * Run: sbt "runMain graft.tools.OpsScaleProbe [nDocs] [nVecs]"
+ */
+object OpsScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toInt).getOrElse(200000)
+    val nVecs = args.lift(1).map(_.toInt).getOrElse(100000)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // deterministic synthetic docs: base sentence per cluster of ~4, with
+    // word substitutions — near-dup-rich like a crawl with mirrored pages
+    val docs: DataFrame = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", (0 until 40).map { w =>
+        val base = conv(substring(md5(concat(lit(s"w$w|"), (col("id") / 4).cast("long").cast("string"))), 1, 4), 16, 10) % 500
+        // every 4th doc mutates ~3 of its 40 words
+        val mut = conv(substring(md5(concat(lit(s"m$w|"), col("id").cast("string"))), 1, 4), 16, 10) % 500
+        when(col("id") % 4 =!= 0 && lit(w) % 13 === (col("id") % 13), concat(lit("t"), mut))
+          .otherwise(concat(lit("t"), base))
+      }: _*).as("text")).localCheckpoint()
+    println(s"[ops] corpus: ${docs.count()} docs")
+
+    val vecs: DataFrame = spark.range(nVecs).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(31)),
+        i => ((conv(substring(md5(concat(col("id").cast("string"), lit("|"), i)), 1, 6), 16, 10)
+          .cast("double") / 16777215.0) * 2 - 1).cast("float")).as("embedding"),
+      (col("id") % 10).cast("string").as("label")).localCheckpoint()
+    println(s"[ops] embeddings: ${vecs.count()} x 32")
+
+    def time(name: String)(mk: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val n = mk.count()
+      println(f"[ops] $name%-26s ${(System.nanoTime() - t0) / 1e9}%7.1f s rows $n")
+    }
+
+    time("dedup_exact")(Dedup.exact(docs, "doc_id", "text"))
+    time("minhash_lsh_pairs")(Dedup.minhashLshPairs(docs, "doc_id", "text",
+      numHashes = 32, bands = 8, threshold = 0.5, shingleK = 3))
+    time("jaccard_prefix(0.8)")(Dedup.jaccardPairsPrefix(docs, "doc_id", "text",
+      threshold = 0.8, shingleK = 3))
+    time("simhash_pairs")(Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3))
+    time("clusters(from minhash)") {
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        numHashes = 32, bands = 8, threshold = 0.5, shingleK = 3)
+      Dedup.clusters(docs, "doc_id", pairs)
+    }
+    time("chunk(512/64)")(TextAnalysis.chunk(docs, "doc_id", "text", size = 32, overlap = 4))
+    time("quality")(TextAnalysis.quality(docs, "doc_id", "text"))
+    time("lang_id")(TextAnalysis.langId(docs, "doc_id", "text"))
+    time("centroids")(Similarity.centroids(vecs, "label", "embedding"))
+    time("ann_ivf_topk")(Similarity.ivfTopK(vecs, "vec_id", "embedding",
+      queryId = 7L, k = 10, nClusters = 32, nProbe = 4))
+    spark.stop()
+  }
+}
