@@ -185,6 +185,9 @@ final class QuadStore private (val quads: DataFrame,
    * RDF shape); [[save]] remains the layout for open-ended vocabularies.
    */
   def saveByPredicate(path: String): Unit = {
+    // an empty partitioned write emits no files (schema unrecoverable on
+    // load) — persist the empty store through the flat layout instead
+    if (quads.isEmpty) return save(path)
     quads
       .withColumn("__pv", col("predicate.v"))
       .repartitionByRange(col("predicate.v"), col("subject.v"))

@@ -131,4 +131,13 @@ class QuadStoreSpec extends SparkSpec {
     // SPARQL over the partitioned store (default graph only: a->b)
     assert(lex(back.select(s"SELECT ?o WHERE { ?s <${EX}p> ?o }"), "o") == Seq(EX + "b"))
   }
+
+  test("empty store round-trips through both persistence layouts") {
+    val base = java.nio.file.Files.createTempDirectory("qs_empty").toString
+    val empty = store.clear()
+    empty.save(base + "/flat")
+    assert(QuadStore.load(spark, base + "/flat").isEmpty)
+    empty.saveByPredicate(base + "/bypred")
+    assert(QuadStore.load(spark, base + "/bypred").isEmpty)
+  }
 }
