@@ -50,12 +50,16 @@ object RdfStreams {
     quads.toDF("graph", "subject", "predicate", "object")
   }
 
-  /** Per-predicate quad counts over processing-time windows — the smallest
-    * useful streaming aggregate over an RDF stream (monitor ingest shape). */
-  def predicateCounts(quads: DataFrame, tsCol: String, windowLen: String = "1 minute",
+  /** Per-predicate quad counts over ingest-time windows — the smallest
+    * useful streaming aggregate over an RDF stream (monitor ingest shape).
+    * Quads carry no event time, so the window keys on processing time
+    * stamped at ingest; a caller with a real event-time column can build
+    * the same aggregate directly. */
+  def predicateCounts(quads: DataFrame, windowLen: String = "1 minute",
                       watermark: String = "2 minutes"): DataFrame =
     quads
-      .withWatermark(tsCol, watermark)
-      .groupBy(window(col(tsCol), windowLen), col("predicate.v").as("predicate"))
+      .withColumn("__ingest_ts", current_timestamp())
+      .withWatermark("__ingest_ts", watermark)
+      .groupBy(window(col("__ingest_ts"), windowLen), col("predicate.v").as("predicate"))
       .agg(count(lit(1)).as("n"))
 }

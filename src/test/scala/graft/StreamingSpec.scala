@@ -110,4 +110,24 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("streaming predicate counts aggregate the ingest") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("rdf_stream_pc").toString
+    Files.write(java.nio.file.Paths.get(dir, "b.nq"),
+      ("""<urn:a> <urn:name> "x" .
+         |<urn:b> <urn:name> "y" .
+         |<urn:a> <urn:age> "1" .
+         |""".stripMargin).getBytes("UTF-8"))
+    val counts = graft.streaming.RdfStreams.predicateCounts(
+      graft.streaming.RdfStreams.readNQuads(spark, dir))
+    val q = counts.writeStream.format("memory").queryName("rdf_pc")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val byPred = spark.table("rdf_pc").collect()
+        .map(r => r.getString(1) -> r.getLong(2)).toMap
+      assert(byPred == Map("urn:name" -> 2L, "urn:age" -> 1L))
+    } finally q.stop()
+  }
 }
