@@ -146,18 +146,18 @@ object Dedup {
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
                          threshold: Double, shingleK: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sets = (if (shingleK <= 1) tokenSet(df, idCol, textCol)
-                else shingles(df, idCol, textCol, shingleK).withColumnRenamed("shingle", "tok"))
+    // the set size rides every exploded row (same trick as jaccardPairs) so
+    // no window has to recover it later
+    val sets = explodeArr(docSets(df, idCol, textCol, shingleK), "tok",
+        size(col("arr")).as("sz"))
       .localCheckpoint() // feeds ranking, prefixes AND verification arrays
     val ranked = sets
       .join(sets.groupBy("tok").agg(count(lit(1)).as("df")), Seq("tok"))
     val w = Window.partitionBy("id").orderBy(col("df"), col("tok"))
     // ⌈t·sz⌉ computed with a small epsilon so fp round-UP can only ever
     // lengthen the prefix (lossless direction), never shorten it
-    val withPos = ranked
+    val prefix = ranked
       .withColumn("pos", row_number().over(w))
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
-    val prefix = withPos
       .where(col("pos") <= col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
       .select(col("tok"), col("id"), col("sz"))
     val cand = prefix.toDF("tok", "id_a", "sz_a")
