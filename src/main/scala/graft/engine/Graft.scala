@@ -37,6 +37,11 @@ final class Graft(val quads: DataFrame, val star: Option[StarSource] = None,
     case q: DescribeQuery => describe(q)
   }
 
+  /** Catalyst plans for a query (same contract as QuadStore.explain). */
+  def explain(text: String, mode: String = "formatted"): String =
+    query(text).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString(mode))
+
   def askBoolean(text: String): Boolean = SparqlParser.parse(text) match {
     case q: AskQuery =>
       !new Rewriter(spark, quads, q.fromNamed.map(_.value), star, fuseStars, quadStarFusion)
