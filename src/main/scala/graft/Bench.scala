@@ -33,7 +33,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // n_queries/per_query contextualise the total across rounds: the query
+    // inventory grows round over round (r2: 33, r3: 41), so raw totals are
+    // not comparable without normalisation
+    val avg = if (results.nonEmpty) total / results.size else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"per_query":$avg,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
