@@ -22,9 +22,13 @@ object BsbmProbe {
     val t0 = System.nanoTime()
     val quads = if (sys.env.get("BSBM_STORE").contains("rdd"))
       BsbmGen.quads(spark, n).repartition(32).localCheckpoint()
-    else {
+    else if (sys.env.get("BSBM_STORE").contains("range")) {
       val path = java.nio.file.Files.createTempDirectory("graft_bsbm").toString
       graft.QuadStore(BsbmGen.quads(spark, n)).save(path)
+      graft.QuadStore.load(spark, path).quads
+    } else {
+      val path = java.nio.file.Files.createTempDirectory("graft_bsbm").toString
+      graft.QuadStore(BsbmGen.quads(spark, n)).saveByPredicate(path)
       graft.QuadStore.load(spark, path).quads
     }
     println(f"[bsbm] generate n=$n: ${quads.count()} quads in ${(System.nanoTime() - t0) / 1e9}%.1f s")
