@@ -446,6 +446,33 @@ object SparkEntry {
       .orderBy("hour", "minute_10")
   }
 
+  /** Wind Farm grouped-production-query2 verbatim: same buckets as query1
+    * but an IN-filter across ten turbines; ORDER BY puts A1 (lexicographic
+    * minimum) first and A1 alone has >10 buckets in the window, so the
+    * LIMIT-10 result provably equals query1's — a different plan (10-series
+    * scan + IN pruning) against the same walk oracle. */
+  private def windfarmGroupedMulti(s: SparkSession, dir: String): DataFrame = {
+    val res = wfGraft(s).select(WfPrefixes +
+      "SELECT ?site_label ?wtur_label ?year ?month ?day ?hour ?minute_10 (AVG(?val) as ?avg_val) WHERE {\n" +
+      WfBgp +
+      """    BIND(10 * FLOOR(minutes(?t) / 10.0) as ?minute_10)
+        |    BIND(hours(?t) AS ?hour)
+        |    BIND(day(?t) AS ?day)
+        |    BIND(month(?t) AS ?month)
+        |    BIND(year(?t) AS ?year)
+        |    FILTER(?site_label = "Wind Mountain"
+        |        && ?wtur_label in ("A1", "A2", "A3", "A4", "A5", "A6", "A7", "A8", "A9", "A10")
+        |        && ?t >= "2022-08-30T08:46:53"^^xsd:dateTime
+        |        && ?t <= "2022-08-30T21:46:53"^^xsd:dateTime) .
+        |} GROUP BY ?site_label ?wtur_label ?year ?month ?day ?hour ?minute_10
+        |ORDER BY ?site_label ?wtur_label ?year ?month ?day ?hour ?minute_10 LIMIT 10""".stripMargin)
+    Graft.decode(res, Map("year" -> LongType, "month" -> LongType, "day" -> LongType,
+        "hour" -> LongType, "minute_10" -> LongType, "avg_val" -> DoubleType))
+      .select(col("site_label"), col("wtur_label"), col("year"), col("month"), col("day"),
+        col("hour"), col("minute_10"), round(col("avg_val"), 4).as("avg_val"))
+      .orderBy("hour", "minute_10")
+  }
+
   // =========================================================== the contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -489,7 +516,8 @@ object SparkEntry {
     "frame_sample" -> frameSample,
     "multimodal_features" -> multimodalFeatures,
     "windfarm_production" -> windfarmProduction,
-    "windfarm_grouped_prod" -> windfarmGroupedProd)
+    "windfarm_grouped_prod" -> windfarmGroupedProd,
+    "windfarm_grouped_multi" -> windfarmGroupedMulti)
 
   /** Shared DuckDB CTE chain deriving the portable MinHash-LSH candidate
     * pairs (tokens -> 3-shingles -> 60-bit md5-prefix hashes -> 32 LCG
@@ -878,6 +906,20 @@ object SparkEntry {
       s"""WITH $WfOracleWalk,
          |win AS (SELECT (s - 8640) * 10 AS sec, val FROM wk
          |        WHERE s >= 8640 AND s < 17280),  -- day index 1 = 2022-08-30
+         |agg AS (SELECT CAST(sec // 3600 AS BIGINT) AS hour,
+         |               CAST(((sec % 3600) // 60) // 10 * 10 AS BIGINT) AS minute_10,
+         |               round(avg(val), 4) AS avg_val
+         |        FROM win WHERE sec >= 31613 AND sec <= 78413 GROUP BY 1, 2)
+         |SELECT 'Wind Mountain' AS site_label, 'A1' AS wtur_label,
+         |  CAST(2022 AS BIGINT) AS year, CAST(8 AS BIGINT) AS month,
+         |  CAST(30 AS BIGINT) AS day, hour, minute_10, avg_val
+         |FROM agg ORDER BY hour, minute_10 LIMIT 10""".stripMargin,
+    // gq2's LIMIT-10 result equals gq1's (A1 sorts first and fills the
+    // limit) — same oracle, different engine plan under test
+    "windfarm_grouped_multi" ->
+      s"""WITH $WfOracleWalk,
+         |win AS (SELECT (s - 8640) * 10 AS sec, val FROM wk
+         |        WHERE s >= 8640 AND s < 17280),
          |agg AS (SELECT CAST(sec // 3600 AS BIGINT) AS hour,
          |               CAST(((sec % 3600) // 60) // 10 * 10 AS BIGINT) AS minute_10,
          |               round(avg(val), 4) AS avg_val
