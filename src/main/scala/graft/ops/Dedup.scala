@@ -225,13 +225,22 @@ object Dedup {
    * matching minhashes. Candidate generation cost is bounded by bucket
    * collisions, not n² — the standard LSH scale path.
    */
+  private val sigCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Int, String, String, Int, Int), DataFrame]()
+
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5,
                       shingleK: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    // materialised: banded feeds both sides of the bucket self-join
-    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleK).localCheckpoint()
+    // materialised once per (session, corpus, params): signatures are a
+    // build-once index artifact (same caching contract as the IVF index) —
+    // the minhash, clustering, and keep-best pipelines over one corpus all
+    // reuse the same build instead of re-hashing per call
+    val key = (System.identityHashCode(df.sparkSession), df.semanticHash(),
+      idCol, textCol, numHashes, shingleK)
+    val sigs = sigCache.computeIfAbsent(key, _ =>
+      minhashSignatures(df, idCol, textCol, numHashes, shingleK).localCheckpoint())
     // band bucket key: md5 of the band's minhash run — portable (the bucket
     // join is on string equality, any engine agrees on md5 of the same text)
     val banded = sigs.select(col("id"), col("sig"),
