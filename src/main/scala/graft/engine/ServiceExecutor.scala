@@ -55,24 +55,32 @@ object ServiceExecutor {
   /**
    * Serialise a SERVICE body back to SPARQL text. Supported: basic graph
    * patterns (incl. blank nodes as variables — standard SERVICE semantics),
-   * conjunctions of them, and FILTERs over the serialisable expression
-   * subset (comparisons, logic, arithmetic, IN, BOUND, and builtin calls
-   * with serialisable arguments). Anything else returns None and the caller
+   * conjunctions, UNION, OPTIONAL (with or without a serialisable filter
+   * condition), and FILTERs over the serialisable expression subset
+   * (comparisons, logic, arithmetic, IN, BOUND, and builtin calls with
+   * serialisable arguments). Anything else returns None and the caller
    * falls back to the reference's empty-relation behaviour.
    */
-  def render(p: GraphPattern): Option[String] = flatten(p).map { case (tps, filters) =>
-    val body = tps.map(tp =>
-      s"${slot(tp.s)} ${slot(tp.p)} ${slot(tp.o)} .").mkString("\n  ")
-    val fs = filters.map(f => s"\n  FILTER(${f})").mkString
-    s"SELECT * WHERE {\n  $body$fs\n}"
-  }
+  def render(p: GraphPattern): Option[String] =
+    renderPattern(p).map(body => s"SELECT * WHERE {\n$body\n}")
 
-  private def flatten(p: GraphPattern): Option[(Seq[TriplePattern], Seq[String])] = p match {
-    case Bgp(ps) => Some((ps, Nil))
+  private def renderPattern(p: GraphPattern): Option[String] = p match {
+    case Bgp(ps) =>
+      Some(ps.map(tp => s"  ${slot(tp.s)} ${slot(tp.p)} ${slot(tp.o)} .").mkString("\n"))
     case Join(l, r) =>
-      for (a <- flatten(l); b <- flatten(r)) yield (a._1 ++ b._1, a._2 ++ b._2)
+      for (a <- renderPattern(l); b <- renderPattern(r)) yield s"$a\n$b"
     case Filter(e, inner) =>
-      for (i <- flatten(inner); f <- renderExpr(e)) yield (i._1, i._2 :+ f)
+      for (i <- renderPattern(inner); f <- renderExpr(e)) yield s"$i\n  FILTER($f)"
+    case Union(l, r) =>
+      for (a <- renderPattern(l); b <- renderPattern(r))
+        yield s"  {\n$a\n  } UNION {\n$b\n  }"
+    case LeftJoin(l, r, cond) =>
+      val condStr = cond match {
+        case None => Some("")
+        case Some(e) => renderExpr(e).map(f => s"\n  FILTER($f)")
+      }
+      for (a <- renderPattern(l); b <- renderPattern(r); c <- condStr)
+        yield s"$a\n  OPTIONAL {\n$b$c\n  }"
     case _ => None
   }
 

@@ -65,10 +65,10 @@ class ServiceFederationSpec extends SparkSpec {
     }
   }
 
-  test("unsupported SERVICE body falls back to the empty relation") {
+  test("unsupported SERVICE body (sub-select) falls back to the empty relation") {
     val df = local.select(
       s"""SELECT ?s ?n WHERE {
-         |  SERVICE <$endpoint> { OPTIONAL { ?s <urn:name> ?n } }
+         |  SERVICE <$endpoint> { SELECT ?s ?n WHERE { ?s <urn:name> ?n } }
          |}""".stripMargin)
     assert(df.count() == 0)
   }
@@ -87,6 +87,26 @@ class ServiceFederationSpec extends SparkSpec {
          |  SERVICE <$endpoint> { ?s <urn:name> ?n . FILTER(?n = "alice" || STRLEN(?n) > 5) }
          |}""".stripMargin)
     assert(rows(df, "s", "n") == Set(Seq("urn:a", "alice")))
+  }
+
+  test("UNION body executes remotely") {
+    val df = local.select(
+      s"""SELECT ?x WHERE {
+         |  SERVICE <$endpoint> {
+         |    { ?x <urn:name> "alice" } UNION { ?x <urn:name> "bob" }
+         |  }
+         |}""".stripMargin)
+    assert(rows(df, "x") == Set(Seq("urn:a"), Seq("urn:b")))
+  }
+
+  test("OPTIONAL body keeps unbound remote solutions joinable") {
+    val df = local.select(
+      s"""SELECT ?s ?n ?o WHERE {
+         |  SERVICE <$endpoint> { ?s <urn:name> ?n OPTIONAL { ?s <urn:knows> ?o } }
+         |}""".stripMargin)
+    // a knows b; b knows nobody -> ?o unbound for b
+    assert(rows(df, "s", "n", "o") == Set(
+      Seq("urn:a", "alice", "urn:b"), Seq("urn:b", "bob", "∅")))
   }
 
   test("non-serialisable FILTER body falls back to empty (reference behaviour)") {
