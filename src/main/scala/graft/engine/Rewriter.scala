@@ -1225,6 +1225,10 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     projItems.foreach {
       case ProjItem(v, Some(e)) =>
         df = withTermColumn(df, plan.vars.toSet, plan.kinds, v.name, e)._1
+      case ProjItem(v, None) if !plan.vars.contains(v.name) =>
+        // projecting a variable that never occurs in the pattern is legal
+        // SPARQL — it is simply unbound in every solution
+        df = df.withColumn(v.name, TermCols.nullTerm)
       case _ =>
     }
     val projNames = projItems.map(_.v.name)
@@ -1250,7 +1254,8 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     q.offset.foreach(o => df = df.offset(o.toInt))
     q.limit.foreach(l => df = df.limit(l.toInt))
     val mu = projItems.map(_.v.name).filter(v =>
-      plan.isNullable(v) || projItems.exists(p => p.v.name == v && p.expr.isDefined)).toSet
+      plan.isNullable(v) || !plan.vars.contains(v) ||
+        projItems.exists(p => p.v.name == v && p.expr.isDefined)).toSet
     // a LIMIT-k sub-select is structurally bounded no matter the input size
     SPlan(df, projNames, mu, ks, plan.tiny || q.limit.exists(_ <= 10000))
   }

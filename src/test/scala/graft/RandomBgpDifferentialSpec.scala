@@ -1,0 +1,107 @@
+package graft
+
+import graft.engine.Graft
+import graft.model._
+import graft.sources.Turtle
+
+/**
+ * Randomised engine differential: random small graphs × random BGP /
+ * OPTIONAL queries, evaluated both by the engine and by a naive driver-side
+ * bag-semantics evaluator. Complements the curated W3C/oxigraph fixtures
+ * with unbiased shapes (shared variables in any position, self-joins,
+ * triangles, unbound OPTIONAL vars). Seeds fixed — reproducible.
+ */
+class RandomBgpDifferentialSpec extends SparkSpec {
+
+  private type Binding = Map[String, RdfTerm]
+
+  /** Naive bag-semantics BGP join over a triple list. */
+  private def naiveBgp(triples: Seq[(RdfTerm, RdfTerm, RdfTerm)],
+                       patterns: Seq[(Either[String, RdfTerm], Either[String, RdfTerm], Either[String, RdfTerm])]): Seq[Binding] = {
+    def matchOne(b: Binding, tp: (Either[String, RdfTerm], Either[String, RdfTerm], Either[String, RdfTerm])): Seq[Binding] =
+      triples.flatMap { case (s, p, o) =>
+        def unify(slot: Either[String, RdfTerm], v: RdfTerm, acc: Option[Binding]): Option[Binding] =
+          acc.flatMap { m =>
+            slot match {
+              case Right(t) => if (t == v) Some(m) else None
+              case Left(name) => m.get(name) match {
+                case Some(bound) => if (bound == v) Some(m) else None
+                case None => Some(m + (name -> v))
+              }
+            }
+          }
+        unify(tp._3, o, unify(tp._2, p, unify(tp._1, s, Some(b))))
+      }
+    patterns.foldLeft(Seq(Map.empty: Binding))((acc, tp) => acc.flatMap(matchOne(_, tp)))
+  }
+
+  /** Naive OPTIONAL: left-join semantics with compatibility. */
+  private def naiveOptional(left: Seq[Binding], right: Seq[Binding]): Seq[Binding] =
+    left.flatMap { l =>
+      val compatible = right.filter(r => r.forall { case (k, v) => l.get(k).forall(_ == v) })
+      if (compatible.isEmpty) Seq(l) else compatible.map(l ++ _)
+    }
+
+  private def randomCase(seed: Int): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val nodes = (0 until 6).map(i => Iri(s"urn:n$i"))
+    val preds = (0 until 3).map(i => Iri(s"urn:p$i"))
+    val lits = Seq(Lit.simple("a"), Lit.simple("b"))
+    def term(): RdfTerm =
+      if (rnd.nextInt(5) == 0) lits(rnd.nextInt(lits.size)) else nodes(rnd.nextInt(nodes.size))
+    val triples = Seq.fill(14 + rnd.nextInt(12))(
+      (nodes(rnd.nextInt(nodes.size)): RdfTerm, preds(rnd.nextInt(preds.size)): RdfTerm, term()))
+      .distinct
+    val quads = Turtle.quadsToDF(spark,
+      triples.map(t => RdfQuad(None, t._1, t._2.asInstanceOf[Iri], t._3)))
+
+    // random pattern: 2-3 triple patterns over vars x,y,z + constants
+    val vars = Seq("x", "y", "z")
+    def slot(): Either[String, RdfTerm] =
+      if (rnd.nextInt(3) == 0) Right(
+        if (rnd.nextBoolean()) nodes(rnd.nextInt(nodes.size)) else preds(rnd.nextInt(preds.size)))
+      else Left(vars(rnd.nextInt(vars.size)))
+    def pat() = (slot(), {
+      val p = slot(); p match { case Right(_: Iri) => p; case Right(_) => Left("y"); case _ => p }
+    }, slot())
+    val base = Seq.fill(2 + rnd.nextInt(2))(pat())
+    val opt = Seq(pat())
+
+    def slotStr(s: Either[String, RdfTerm]): String = s match {
+      case Left(v) => s"?$v"
+      case Right(t) => t.toString
+    }
+    def bgpStr(ps: Seq[(Either[String, RdfTerm], Either[String, RdfTerm], Either[String, RdfTerm])]) =
+      ps.map(tp => s"${slotStr(tp._1)} ${slotStr(tp._2)} ${slotStr(tp._3)} .").mkString(" ")
+    val q = s"SELECT ?x ?y ?z WHERE { ${bgpStr(base)} OPTIONAL { ${bgpStr(opt)} } }"
+
+    // engine result as a bag of (x, y, z) strings
+    val got = Graft(quads).select(q).collect().toSeq.map { r =>
+      vars.map { v =>
+        val i = r.fieldIndex(v)
+        if (r.isNullAt(i)) "∅" else {
+          val st = r.getStruct(i)
+          st.getByte(0) + "|" + st.getString(1)
+        }
+      }.mkString(" ")
+    }.sorted
+
+    // naive result
+    val leftB = naiveBgp(triples, base)
+    val optB = naiveBgp(triples, opt)
+    val expect = naiveOptional(leftB, optB).map { m =>
+      vars.map(v => m.get(v).map {
+        case Iri(x) => s"0|$x"
+        case BNode(x) => s"1|$x"
+        case Lit(x, _, _) => s"2|$x"
+      }.getOrElse("∅")).mkString(" ")
+    }.sorted
+
+    assert(got == expect,
+      s"seed=$seed\nquery=$q\ntriples=${triples.mkString("; ")}\ngot=$got\nexpect=$expect")
+  }
+
+  test("engine matches naive evaluator on 20 random BGP+OPTIONAL cases") {
+    (1 to 20).foreach(randomCase)
+  }
+}
