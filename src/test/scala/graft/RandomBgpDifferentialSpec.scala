@@ -104,4 +104,43 @@ class RandomBgpDifferentialSpec extends SparkSpec {
   test("engine matches naive evaluator on 20 random BGP+OPTIONAL cases") {
     (1 to 20).foreach(randomCase)
   }
+
+  private def randomUnionCase(seed: Int): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val nodes = (0 until 5).map(i => Iri(s"urn:n$i"))
+    val preds = (0 until 3).map(i => Iri(s"urn:p$i"))
+    val triples = Seq.fill(12 + rnd.nextInt(10))(
+      (nodes(rnd.nextInt(nodes.size)): RdfTerm, preds(rnd.nextInt(preds.size)): RdfTerm,
+        nodes(rnd.nextInt(nodes.size)): RdfTerm)).distinct
+    val quads = Turtle.quadsToDF(spark,
+      triples.map(t => RdfQuad(None, t._1, t._2.asInstanceOf[Iri], t._3)))
+    val vars = Seq("x", "y")
+    def slot(): Either[String, RdfTerm] =
+      if (rnd.nextInt(3) == 0) Right(nodes(rnd.nextInt(nodes.size)))
+      else Left(vars(rnd.nextInt(vars.size)))
+    def pat() = (slot(), Right(preds(rnd.nextInt(preds.size))): Either[String, RdfTerm], slot())
+    val bA = Seq.fill(1 + rnd.nextInt(2))(pat())
+    val bB = Seq.fill(1 + rnd.nextInt(2))(pat())
+    def slotStr(sl: Either[String, RdfTerm]): String =
+      sl.fold("?" + _, _.toString)
+    def bgpStr(ps: Seq[(Either[String, RdfTerm], Either[String, RdfTerm], Either[String, RdfTerm])]) =
+      ps.map(tp => s"${slotStr(tp._1)} ${slotStr(tp._2)} ${slotStr(tp._3)} .").mkString(" ")
+    val q = s"SELECT ?x ?y WHERE { { ${bgpStr(bA)} } UNION { ${bgpStr(bB)} } }"
+
+    val got = Graft(quads).select(q).collect().toSeq.map { r =>
+      vars.map { v =>
+        val i = r.fieldIndex(v)
+        if (r.isNullAt(i)) "∅" else r.getStruct(i).getString(1)
+      }.mkString(" ")
+    }.sorted
+    val expect = (naiveBgp(triples, bA) ++ naiveBgp(triples, bB)).map { m =>
+      vars.map(v => m.get(v).map { case Iri(x) => x; case o => o.toString }
+        .getOrElse("∅")).mkString(" ")
+    }.sorted
+    assert(got == expect, s"seed=$seed\nquery=$q\ngot=$got\nexpect=$expect")
+  }
+
+  test("engine matches naive evaluator on 15 random UNION cases") {
+    (100 to 114).foreach(randomUnionCase)
+  }
 }
