@@ -143,4 +143,54 @@ class RandomBgpDifferentialSpec extends SparkSpec {
   test("engine matches naive evaluator on 15 random UNION cases") {
     (100 to 114).foreach(randomUnionCase)
   }
+
+  /** SPARQL MINUS: drop l iff some r is compatible AND shares ≥1 bound var. */
+  private def naiveMinus(left: Seq[Binding], right: Seq[Binding]): Seq[Binding] =
+    left.filterNot { l =>
+      right.exists { r =>
+        val shared = l.keySet & r.keySet
+        shared.nonEmpty && shared.forall(k => l(k) == r(k))
+      }
+    }
+
+  private def randomMinusCase(seed: Int): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val nodes = (0 until 5).map(i => Iri(s"urn:n$i"))
+    val preds = (0 until 3).map(i => Iri(s"urn:p$i"))
+    val triples = Seq.fill(12 + rnd.nextInt(10))(
+      (nodes(rnd.nextInt(nodes.size)): RdfTerm, preds(rnd.nextInt(preds.size)): RdfTerm,
+        nodes(rnd.nextInt(nodes.size)): RdfTerm)).distinct
+    val quads = Turtle.quadsToDF(spark,
+      triples.map(t => RdfQuad(None, t._1, t._2.asInstanceOf[Iri], t._3)))
+    // left vars x,y; right uses x (shared) and z (unshared) to hit both the
+    // shared-domain rule and the disjoint-domain no-op rule
+    val rightVars = Seq(Seq("x", "z"), Seq("z", "w"), Seq("x", "y"))(rnd.nextInt(3))
+    def slot(vs: Seq[String]): Either[String, RdfTerm] =
+      if (rnd.nextInt(4) == 0) Right(nodes(rnd.nextInt(nodes.size)))
+      else Left(vs(rnd.nextInt(vs.size)))
+    def pat(vs: Seq[String]) =
+      (slot(vs), Right(preds(rnd.nextInt(preds.size))): Either[String, RdfTerm], slot(vs))
+    val bL = Seq.fill(1 + rnd.nextInt(2))(pat(Seq("x", "y")))
+    val bR = Seq.fill(1 + rnd.nextInt(2))(pat(rightVars))
+    def slotStr(sl: Either[String, RdfTerm]): String = sl.fold("?" + _, _.toString)
+    def bgpStr(ps: Seq[(Either[String, RdfTerm], Either[String, RdfTerm], Either[String, RdfTerm])]) =
+      ps.map(tp => s"${slotStr(tp._1)} ${slotStr(tp._2)} ${slotStr(tp._3)} .").mkString(" ")
+    val q = s"SELECT ?x ?y WHERE { ${bgpStr(bL)} MINUS { ${bgpStr(bR)} } }"
+
+    val got = Graft(quads).select(q).collect().toSeq.map { r =>
+      Seq("x", "y").map { v =>
+        val i = r.fieldIndex(v)
+        if (r.isNullAt(i)) "∅" else r.getStruct(i).getString(1)
+      }.mkString(" ")
+    }.sorted
+    val expect = naiveMinus(naiveBgp(triples, bL), naiveBgp(triples, bR)).map { m =>
+      Seq("x", "y").map(v => m.get(v).map { case Iri(x) => x; case o => o.toString }
+        .getOrElse("∅")).mkString(" ")
+    }.sorted
+    assert(got == expect, s"seed=$seed\nquery=$q\ngot=$got\nexpect=$expect")
+  }
+
+  test("engine matches naive evaluator on 15 random MINUS cases") {
+    (200 to 214).foreach(randomMinusCase)
+  }
 }
