@@ -193,4 +193,43 @@ class RandomBgpDifferentialSpec extends SparkSpec {
   test("engine matches naive evaluator on 15 random MINUS cases") {
     (200 to 214).foreach(randomMinusCase)
   }
+
+  private def randomGraphCase(seed: Int): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val nodes = (0 until 4).map(i => Iri(s"urn:n$i"))
+    val preds = (0 until 2).map(i => Iri(s"urn:p$i"))
+    val graphs = Seq(None, Some(Iri("urn:g1")), Some(Iri("urn:g2")))
+    val quadsList = Seq.fill(14 + rnd.nextInt(8))(
+      (graphs(rnd.nextInt(graphs.size)),
+        nodes(rnd.nextInt(nodes.size)): RdfTerm,
+        preds(rnd.nextInt(preds.size)),
+        nodes(rnd.nextInt(nodes.size)): RdfTerm)).distinct
+    val quads = Turtle.quadsToDF(spark,
+      quadsList.map(q => RdfQuad(q._1, q._2, q._3, q._4)))
+
+    // GRAPH ?g { ?x <p> ?y } joined with a default-graph pattern on ?x
+    val p0 = preds(rnd.nextInt(preds.size))
+    val p1 = preds(rnd.nextInt(preds.size))
+    val q = s"""SELECT ?g ?x ?y WHERE {
+      GRAPH ?g { ?x ${p0} ?y }
+      ?x ${p1} ?z
+    }"""
+    val got = Graft(quads).select(q).collect().toSeq.map { r =>
+      Seq("g", "x", "y").map { v =>
+        val i = r.fieldIndex(v)
+        if (r.isNullAt(i)) "∅" else r.getStruct(i).getString(1)
+      }.mkString(" ")
+    }.sorted
+    // naive: named-graph matches of p0 × default-graph matches of p1 on x
+    val expect = (for {
+      (g, x, p, y) <- quadsList if g.isDefined && p == p0
+      (g2, x2, p2, _) <- quadsList if g2.isEmpty && p2 == p1 && x2 == x
+    } yield Seq(g.get.value, x.asInstanceOf[Iri].value, y.asInstanceOf[Iri].value).mkString(" "))
+      .sorted
+    assert(got == expect, s"seed=$seed\nquery=$q\ngot=$got\nexpect=$expect")
+  }
+
+  test("engine matches naive evaluator on 15 random GRAPH-scope cases") {
+    (300 to 314).foreach(randomGraphCase)
+  }
 }
