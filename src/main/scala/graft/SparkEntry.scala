@@ -165,6 +165,83 @@ object SparkEntry {
       .orderBy("y", "m")
   }
 
+  /** Mapped quads + a derived `urn:g:orders#next` edge predicate linking
+    * each customer's orders in (o_orderdate, o_orderkey) order — gives the
+    * sf data a genuinely transitive relation (per-customer chains, ~10 hops
+    * at sf0.1) so the Kleene-closure loop can be gate-oracled. */
+  private def graftWithNextEdges(s: SparkSession, dir: String): Graft = {
+    import graft.encoding.TermCols
+    val m = RdbToRdf.mapping(s, dir, Seq("orders", "customer"))
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val next = t(s, dir, "orders")
+      .select(col("o_orderkey"), lead("o_orderkey", 1).over(w).as("nxt"))
+      .filter(col("nxt").isNotNull)
+      .select(TermCols.nullTerm.as("graph"),
+        RdbToRdf.subjectIri("orders", col("o_orderkey")).as("subject"),
+        TermCols.iri(lit("urn:g:orders#next")).as("predicate"),
+        RdbToRdf.subjectIri("orders", col("nxt")).as("object"))
+    Graft(m.quads.unionByName(next), m)
+  }
+
+  /** Kleene `p+` through the engine (the reference's one custom physical
+    * operator — kleene_plus/physical.rs): transitive reachability over the
+    * per-customer order chains, counted per customer. An n-order chain
+    * contributes C(n,2) pairs; the DuckDB oracle recomputes the closure with
+    * a recursive CTE. */
+  private def sparqlPathClosure(s: SparkSession, dir: String): DataFrame = {
+    val res = graftWithNextEdges(s, dir).select(
+      """SELECT ?name (COUNT(?o2) AS ?reach) WHERE {
+        |  ?c <urn:g:customer#c_name> ?name .
+        |  ?o1 <urn:g:orders#ref_customer> ?c .
+        |  ?o1 <urn:g:orders#next>+ ?o2 .
+        |} GROUP BY ?name ORDER BY ?name""".stripMargin)
+    Graft.decode(res, Map("reach" -> LongType)).orderBy("name")
+  }
+
+  /** Seeded `p*` (zero-or-more from a bound frontier): closure restricted to
+    * one market segment's orders, so the engine's seeded frontier walk (not
+    * the full-graph doubling) is the natural plan. Zero-length paths
+    * contribute the (o,o) pairs — n + C(n,2) per n-order chain. */
+  private def sparqlPathSeeded(s: SparkSession, dir: String): DataFrame = {
+    val res = graftWithNextEdges(s, dir).select(
+      """SELECT ?name (COUNT(?o2) AS ?n) WHERE {
+        |  ?c <urn:g:customer#c_mktsegment> "MACHINERY" .
+        |  ?c <urn:g:customer#c_name> ?name .
+        |  ?o1 <urn:g:orders#ref_customer> ?c .
+        |  ?o1 <urn:g:orders#next>* ?o2 .
+        |} GROUP BY ?name ORDER BY ?name""".stripMargin)
+    Graft.decode(res, Map("n" -> LongType)).orderBy("name")
+  }
+
+  /** GROUP_CONCAT with an explicit separator. Concatenation order is
+    * implementation-defined in SPARQL (and nondeterministic under shuffle),
+    * so both sides canonicalise: Spark sorts the parts after the fact, the
+    * oracle aggregates with ORDER BY. */
+  private def sparqlGroupConcat(s: SparkSession, dir: String): DataFrame = {
+    val res = graftOver(s, dir, "nation", "region").select(
+      """SELECT ?rname (GROUP_CONCAT(?nname; SEPARATOR=",") AS ?nations) WHERE {
+        |  ?n <urn:g:nation#ref_region> ?r .
+        |  ?n <urn:g:nation#n_name> ?nname .
+        |  ?r <urn:g:region#r_name> ?rname .
+        |} GROUP BY ?rname""".stripMargin)
+    Graft.decode(res)
+      .select(col("rname"),
+        array_join(sort_array(split(col("nations"), ",")), ",").as("nations"))
+      .orderBy("rname")
+  }
+
+  /** SAMPLE — deterministic here because ?nname is functionally determined
+    * by the group key ?n (exactly one name per nation), so "any value" has
+    * one possible answer and the oracle can reproduce it. */
+  private def sparqlSample(s: SparkSession, dir: String): DataFrame = {
+    val res = graftOver(s, dir, "customer", "nation").select(
+      """SELECT (SAMPLE(?nname) AS ?nname) (COUNT(?c) AS ?custs) WHERE {
+        |  ?c <urn:g:customer#ref_nation> ?n .
+        |  ?n <urn:g:nation#n_name> ?nname .
+        |} GROUP BY ?n""".stripMargin)
+    Graft.decode(res, Map("custs" -> LongType)).orderBy("nname")
+  }
+
   // -------------------------------------------------------- relational / OLAP
 
   private def q1LineitemAgg(s: SparkSession, dir: String): DataFrame =
@@ -482,6 +559,10 @@ object SparkEntry {
     "sparql_minus" -> sparqlMinus,
     "sparql_union" -> sparqlUnion,
     "sparql_path_seq" -> sparqlPathSeq,
+    "sparql_path_closure" -> sparqlPathClosure,
+    "sparql_path_seeded" -> sparqlPathSeeded,
+    "sparql_group_concat" -> sparqlGroupConcat,
+    "sparql_sample" -> sparqlSample,
     "sparql_exists" -> sparqlExists,
     "sparql_bind_sum" -> sparqlBindSum,
     "sparql_events_agg" -> sparqlEventsAgg,
@@ -587,6 +668,45 @@ object SparkEntry {
         |WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
         |  AND n_regionkey = r_regionkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sparql_path_closure" ->
+      """WITH RECURSIVE
+        |e0 AS (SELECT o_orderkey AS src,
+        |              lead(o_orderkey) OVER (PARTITION BY o_custkey
+        |                                     ORDER BY o_orderdate, o_orderkey) AS dst
+        |       FROM orders),
+        |edges AS (SELECT src, dst FROM e0 WHERE dst IS NOT NULL),
+        |cl AS (SELECT src, dst FROM edges
+        |       UNION
+        |       SELECT cl.src, e.dst FROM cl JOIN edges e ON cl.dst = e.src)
+        |SELECT c_name AS name, count(*) AS reach
+        |FROM cl JOIN orders o ON cl.src = o.o_orderkey
+        |        JOIN customer ON o.o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sparql_path_seeded" ->
+      """WITH RECURSIVE
+        |e0 AS (SELECT o_orderkey AS src,
+        |              lead(o_orderkey) OVER (PARTITION BY o_custkey
+        |                                     ORDER BY o_orderdate, o_orderkey) AS dst
+        |       FROM orders),
+        |edges AS (SELECT src, dst FROM e0 WHERE dst IS NOT NULL),
+        |seeds AS (SELECT o_orderkey AS src FROM orders
+        |          JOIN customer ON o_custkey = c_custkey
+        |          WHERE c_mktsegment = 'MACHINERY'),
+        |cl AS (SELECT src, src AS dst FROM seeds
+        |       UNION
+        |       SELECT cl.src, e.dst FROM cl JOIN edges e ON cl.dst = e.src)
+        |SELECT c_name AS name, count(*) AS n
+        |FROM cl JOIN orders o ON cl.src = o.o_orderkey
+        |        JOIN customer ON o.o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sparql_group_concat" ->
+      """SELECT r_name AS rname, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sparql_sample" ->
+      """SELECT n_name AS nname, count(*) AS custs
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_nationkey, n_name ORDER BY 1""".stripMargin,
     "sparql_exists" ->
       """SELECT c_name AS name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
