@@ -54,7 +54,12 @@ object Cli {
   private def serve(flags: Map[String, Seq[String]]): Unit = {
     val spark = session()
     val bind = flags.getOrElse("bind", Seq("0.0.0.0:7878")).head
-    val port = bind.split(':').last.toInt
+    // host:port — bind to the REQUESTED interface (a loopback bind must not
+    // expose the unauthenticated data-POST route on all interfaces)
+    val (host, port) = bind.lastIndexOf(':') match {
+      case -1 => ("0.0.0.0", bind.toInt)
+      case i => (bind.take(i), bind.drop(i + 1).toInt)
+    }
     val union = flags.contains("union-default-graph")
     val initial = flags.getOrElse("load", Nil) match {
       case Nil => null
@@ -62,8 +67,8 @@ object Cli {
         .reduce(_ unionAll _).localCheckpoint()
     }
     val server = graft.web.SparqlServer.start(spark, initial, port,
-      unionDefaultGraph = union)
-    println(s"[graft] serving SPARQL protocol on port ${server.boundPort}" +
+      unionDefaultGraph = union, host = host)
+    println(s"[graft] serving SPARQL protocol on $host:${server.boundPort}" +
       (if (union) " (union default graph)" else ""))
     Thread.currentThread.join() // serve until killed
   }

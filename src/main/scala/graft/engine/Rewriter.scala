@@ -106,13 +106,25 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
         case (TermPat(Iri(endpoint)), Some(queryText)) =>
           try {
             val (vars0, rows) = ServiceExecutor.execute(endpoint, queryText)
-            // bnode-pattern placeholders joined remotely but are not in scope
-            val vars = vars0.filterNot(_.startsWith("__bn_"))
+            // bnode-pattern placeholders joined remotely but are not in
+            // scope — drop exactly the names the renderer generated, so a
+            // genuine user variable that merely looks like one survives
+            val placeholders = ServiceExecutor.bnodePlaceholders(inner)
+            val vars = vars0.filterNot(placeholders.contains)
             values(vars.map(Var(_)),
               rows.map(m => vars.map(m.get)))
           } catch {
             case e: Throwable if silent => emptyService
           }
+        case (_, None) if !silent =>
+          // non-SILENT + unserialisable body: erroring (like the reference's
+          // lazily-erroring SERVICE stream) beats silently returning nothing
+          throw new UnsupportedOperationException(
+            "SERVICE body contains constructs that cannot be serialised for federation; " +
+            "use SERVICE SILENT to degrade to the empty relation")
+        case (_, Some(_)) if !silent =>
+          throw new UnsupportedOperationException(
+            "SERVICE endpoint must be a constant IRI; use SERVICE SILENT to degrade")
         case _ => emptyService
       }
   }

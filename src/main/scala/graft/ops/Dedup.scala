@@ -225,8 +225,7 @@ object Dedup {
    * matching minhashes. Candidate generation cost is bounded by bucket
    * collisions, not n² — the standard LSH scale path.
    */
-  private val sigCache = new java.util.concurrent.ConcurrentHashMap[
-    (Int, Int, String, String, Int, Int), DataFrame]()
+  private val sigCache = new IndexCache[DataFrame]()
 
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5,
@@ -237,9 +236,7 @@ object Dedup {
     // build-once index artifact (same caching contract as the IVF index) —
     // the minhash, clustering, and keep-best pipelines over one corpus all
     // reuse the same build instead of re-hashing per call
-    val key = (System.identityHashCode(df.sparkSession), df.semanticHash(),
-      idCol, textCol, numHashes, shingleK)
-    val sigs = sigCache.computeIfAbsent(key, _ =>
+    val sigs = sigCache.get(IndexCache.key(df, idCol, textCol, numHashes, shingleK),
       minhashSignatures(df, idCol, textCol, numHashes, shingleK).localCheckpoint())
     // band bucket key: md5 of the band's minhash run — portable (the bucket
     // join is on string equality, any engine agrees on md5 of the same text)

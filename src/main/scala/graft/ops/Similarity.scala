@@ -206,12 +206,13 @@ object Similarity {
     * scan the checkpointed assignment instead of re-deriving it from the
     * source per query. */
   private val ivfCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, String, Int), (Array[Array[Double]], Map[Int, Double], DataFrame)]()
+    new IndexCache[(Array[Array[Double]], Map[Int, Double], DataFrame)]()
 
-  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
-              k: Int, nClusters: Int = 16, nProbe: Int = 4): DataFrame = {
-    val key = (System.identityHashCode(emb.sparkSession), emb.semanticHash(), vecCol, nClusters)
-    val (centroids, radii, indexed) = ivfCache.computeIfAbsent(key, { _ =>
+  /** Build (or fetch the cached) IVF index for a corpus: centroids,
+    * per-cluster radii, and the checkpointed assignment relation. */
+  private def ivfCached(emb: DataFrame, idCol: String, vecCol: String,
+                        nClusters: Int): (Array[Array[Double]], Map[Int, Double], DataFrame) =
+    ivfCache.get(IndexCache.key(emb, idCol, vecCol, nClusters), {
       val (cents, idx0) = ivfIndex(emb, idCol, vecCol, nClusters)
       val idx = idx0.localCheckpoint()
       val cLit = typedlit(cents.map(_.toSeq).toSeq)
@@ -223,6 +224,10 @@ object Similarity {
         .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
       (cents, rs, idx)
     })
+
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
+              k: Int, nClusters: Int = 16, nProbe: Int = 4): DataFrame = {
+    val (centroids, radii, indexed) = ivfCached(emb, idCol, vecCol, nClusters)
     val qRow = indexed.where(col(idCol) === queryId).select(col("vr"), col("v")).collect()(0)
     val qRaw = qRow.getSeq[Double](0).toArray
     val qHat = qRow.getSeq[Double](1).toArray

@@ -33,7 +33,7 @@ import graft.sources.{NTriples, RdfWriters}
  * paths (results are collected only to stream the response body).
  */
 final class SparqlServer private (spark: SparkSession, initial: DataFrame, port: Int,
-                                  unionDefaultGraph: Boolean) {
+                                  unionDefaultGraph: Boolean, host: String) {
 
   @volatile private var quads: DataFrame =
     if (initial != null) initial
@@ -41,7 +41,7 @@ final class SparqlServer private (spark: SparkSession, initial: DataFrame, port:
       NTriples.quadSchema)
   private val hasStore = new java.util.concurrent.atomic.AtomicBoolean(initial != null)
 
-  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
   server.createContext("/repositories/default/query", (ex: HttpExchange) => handleSafe(ex, handleQuery))
   server.createContext("/repositories/default/data", (ex: HttpExchange) => handleSafe(ex, handleData))
   server.setExecutor(null) // single dispatch thread; Spark parallelises the work
@@ -81,9 +81,7 @@ final class SparqlServer private (spark: SparkSession, initial: DataFrame, port:
     queryText match {
       case None =>
         val (mt, fmt) = negotiate(accept, RdfFormats, "application/n-quads")
-        val union = unionDefaultGraph ||
-          params.get("using-union-graph").exists(_.headOption.forall(v => v.isEmpty || v == "true"))
-        respond(ex, 200, mt, serializeRdf(serviceDescription(union), fmt))
+        respond(ex, 200, mt, serializeRdf(serviceDescription(unionParam(params)), fmt))
       case Some(q) =>
         val scoped = datasetView(params)
         graft.sparql.SparqlParser.parse(q) match {
@@ -110,13 +108,25 @@ final class SparqlServer private (spark: SparkSession, initial: DataFrame, port:
     }
   }
 
+  /** Client `using-union-graph` wins over the server's
+    * --union-default-graph flag (evaluate.rs `unwrap_or` semantics): a bare
+    * or "true" value turns union on, any other value turns it off, absence
+    * falls back to the server default. */
+  private def unionParam(params: Map[String, Seq[String]]): Boolean =
+    params.get("using-union-graph").flatMap(_.headOption)
+      .map(v => v.isEmpty || v == "true").getOrElse(unionDefaultGraph)
+
   /** Apply SPARQL-protocol dataset parameters (evaluate.rs:24-44): the quads
     * view the query runs against, with `graph IS NULL` = default graph. */
   private def datasetView(params: Map[String, Seq[String]]): DataFrame = {
-    val union = unionDefaultGraph ||
-      params.get("using-union-graph").exists(_.headOption.forall(v => v.isEmpty || v == "true"))
+    val union = unionParam(params)
     val defaults = params.getOrElse("using-graph-uri", Nil)
     val named = params.getOrElse("using-named-graph-uri", Nil)
+    // the reference rejects union + explicit graph scoping (evaluate.rs):
+    // the two parameterisations contradict each other
+    if (params.contains("using-union-graph") && union && (defaults.nonEmpty || named.nonEmpty))
+      throw new BadRequest(
+        "using-union-graph cannot be combined with using-graph-uri or using-named-graph-uri")
     if (union) {
       // default graph := union of every graph; named graphs stay visible
       quads.select(lit(null).cast(graft.encoding.TermCols.schema).as("graph"),
@@ -299,6 +309,6 @@ object SparqlServer {
     * the union of all graphs as its default graph (the reference CLI's
     * --union-default-graph). */
   def start(spark: SparkSession, quads: DataFrame = null, port: Int = 0,
-            unionDefaultGraph: Boolean = false): SparqlServer =
-    new SparqlServer(spark, quads, port, unionDefaultGraph)
+            unionDefaultGraph: Boolean = false, host: String = "0.0.0.0"): SparqlServer =
+    new SparqlServer(spark, quads, port, unionDefaultGraph, host)
 }

@@ -65,12 +65,22 @@ class ServiceFederationSpec extends SparkSpec {
     }
   }
 
-  test("unsupported SERVICE body (sub-select) falls back to the empty relation") {
+  test("sub-select SERVICE body executes remotely") {
     val df = local.select(
       s"""SELECT ?s ?n WHERE {
          |  SERVICE <$endpoint> { SELECT ?s ?n WHERE { ?s <urn:name> ?n } }
          |}""".stripMargin)
-    assert(df.count() == 0)
+    assert(rows(df, "s", "n") == Set(Seq("urn:a", "alice"), Seq("urn:b", "bob")))
+  }
+
+  test("aggregating sub-select SERVICE body executes remotely") {
+    val df = local.select(
+      s"""SELECT ?s ?k WHERE {
+         |  SERVICE <$endpoint> {
+         |    SELECT ?s (COUNT(?o) AS ?k) WHERE { ?s <urn:knows> ?o } GROUP BY ?s
+         |  }
+         |}""".stripMargin)
+    assert(rows(df, "s", "k") == Set(Seq("urn:a", "1")))
   }
 
   test("literal terms round-trip through the serialised body") {
@@ -109,12 +119,67 @@ class ServiceFederationSpec extends SparkSpec {
       Seq("urn:a", "alice", "urn:b"), Seq("urn:b", "bob", "∅")))
   }
 
-  test("non-serialisable FILTER body falls back to empty (reference behaviour)") {
+  test("EXISTS filter inside the SERVICE body executes remotely") {
     val df = local.select(
       s"""SELECT ?s ?n WHERE {
          |  SERVICE <$endpoint> { ?s <urn:name> ?n .
          |                        FILTER(EXISTS { ?s <urn:knows> ?o }) }
          |}""".stripMargin)
+    assert(rows(df, "s", "n") == Set(Seq("urn:a", "alice")))
+  }
+
+  test("NOT EXISTS / IF / COALESCE in the SERVICE body execute remotely") {
+    val df = local.select(
+      s"""SELECT ?s ?tag WHERE {
+         |  SERVICE <$endpoint> {
+         |    ?s <urn:name> ?n .
+         |    FILTER(NOT EXISTS { ?x <urn:knows> ?s })
+         |    BIND(IF(COALESCE(?n, "?") = "alice", "A", "other") AS ?tag)
+         |  }
+         |}""".stripMargin)
+    assert(rows(df, "s", "tag") == Set(Seq("urn:a", "A")))
+  }
+
+  test("MINUS and VALUES in the SERVICE body execute remotely") {
+    val df = local.select(
+      s"""SELECT ?s WHERE {
+         |  SERVICE <$endpoint> {
+         |    ?s <urn:name> ?n .
+         |    MINUS { VALUES ?s { <urn:b> } }
+         |  }
+         |}""".stripMargin)
+    assert(rows(df, "s") == Set(Seq("urn:a")))
+  }
+
+  test("property-path SERVICE body executes remotely") {
+    val df = local.select(
+      s"""SELECT ?n WHERE {
+         |  SERVICE <$endpoint> { <urn:a> (<urn:knows>/<urn:name>) ?n }
+         |}""".stripMargin)
+    assert(rows(df, "n") == Set(Seq("bob")))
+  }
+
+  test("non-SILENT variable endpoint errors loudly; SILENT degrades to empty") {
+    intercept[Exception] {
+      local.select(
+        """SELECT ?n WHERE {
+          |  ?s <urn:age> ?a .
+          |  SERVICE ?ep { ?s <urn:name> ?n }
+          |}""".stripMargin).collect()
+    }
+    val df = local.select(
+      """SELECT ?n WHERE {
+        |  ?s <urn:age> ?a .
+        |  SERVICE SILENT ?ep { ?s <urn:name> ?n }
+        |}""".stripMargin)
     assert(df.count() == 0)
+  }
+
+  test("a user variable that merely looks like a bnode placeholder survives") {
+    val df = local.select(
+      s"""SELECT ?__bn_x WHERE {
+         |  SERVICE <$endpoint> { ?__bn_x <urn:name> "alice" }
+         |}""".stripMargin)
+    assert(rows(df, "__bn_x") == Set(Seq("urn:a")))
   }
 }

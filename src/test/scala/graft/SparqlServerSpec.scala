@@ -125,6 +125,33 @@ class SparqlServerSpec extends SparkSpec {
     assert(solutions(union).size == 1)
   }
 
+  test("union + explicit graph scoping is rejected with 400") {
+    val (st, msg, _) = http("GET",
+      queryUrl("SELECT ?o WHERE { ?s <http://ex.org/p> ?o }",
+        s"&using-union-graph=true&using-graph-uri=${enc("http://ex.org/g1")}"))
+    assert(st == 400 && msg.contains("using-union-graph"))
+  }
+
+  test("client using-union-graph=false overrides a union-default-graph server") {
+    val s2 = SparqlServer.start(spark, server.storeQuads, unionDefaultGraph = true)
+    try {
+      val b2 = s"http://127.0.0.1:${s2.boundPort}/repositories/default/query"
+      def url(extra: String) =
+        s"$b2?query=${enc("SELECT ?o WHERE { ?s <http://ex.org/p> ?o }")}$extra"
+      // server flag on: named-graph data visible by default
+      val (_, on, _) = http("GET", url(""))
+      assert(solutions(on).size == 1)
+      // explicit client opt-out wins over the server flag
+      val (_, off, _) = http("GET", url("&using-union-graph=false"))
+      assert(solutions(off).isEmpty)
+    } finally s2.stop()
+  }
+
+  test("host binding honours a loopback request") {
+    val s3 = SparqlServer.start(spark, host = "127.0.0.1")
+    try assert(s3.boundPort > 0) finally s3.stop()
+  }
+
   test("no query param returns the sd: service description") {
     val (st, body, ct) = http("GET", s"$base/repositories/default/query")
     assert(st == 200 && ct.startsWith("application/n-quads"))
