@@ -661,7 +661,7 @@ object ExprCompiler {
       case "NOW" => fromTimestamp(current_timestamp())
 
       // ---- XSD constructor casts (reference lib/functions/src/scalar/conversion/)
-      case n if n.startsWith(XsdNs) => xsdCast(n, a0)
+      case n if n.startsWith(XsdNs) => xsdCast(n, a0, env)
 
       case other =>
         Registry.lookup(other) match {
@@ -691,8 +691,13 @@ object ExprCompiler {
       .otherwise(concat(lit("(?"), flags, lit(")"), pat))
 
   /** XPath casting rules (reference lib/functions/src/scalar/conversion/cast_*.rs):
-    * invalid lexical form → error (NULL), unlike Spark cast's silent coercions. */
-  def xsdCast(target: String, c: Column): Column = target match {
+    * invalid lexical form → error (NULL), unlike Spark cast's silent coercions.
+    * The parsed native value `v` is materialised via env.bind — the term
+    * constructors reference it up to ~10× (lexical canonicalisation + num
+    * field + null guard), and codegen does NOT common up subexpressions
+    * inside CASE branches, so inlining multiplied the whole dispatch CASE
+    * per reference (BI-Q4's AVG(xsd:float(...)) paid ~5 µs/row for it). */
+  def xsdCast(target: String, c: Column, env: Env = envOf(Set.empty)): Column = target match {
     case t if t == Xsd.string =>
       when(isLiteral(c) || isIri(c), str(value(c))).otherwise(nullTerm)
     case t if t == Xsd.boolean =>
@@ -702,19 +707,19 @@ object ExprCompiler {
         .when(isSimpleString(c) && value(c).isin("false", "0"), fromBoolean(lit(false)))
         .otherwise(nullTerm)
     case t if t == Xsd.double || t == Xsd.float =>
-      val v = when(isNumeric(c) || isSimpleString(c), value(c).try_cast(DoubleType))
-        .when(boolValue(c).isNotNull, boolValue(c).cast(DoubleType))
+      val v = env.bind(when(isNumeric(c) || isSimpleString(c), value(c).try_cast(DoubleType))
+        .when(boolValue(c).isNotNull, boolValue(c).cast(DoubleType)))
       when(v.isNotNull, TermCols.typedLit(dblLex(v), t)).otherwise(nullTerm)
     case t if t == Xsd.decimal =>
-      val v = when(isNumeric(c) || isSimpleString(c), value(c).try_cast(DecimalType(36, 16)))
-        .when(boolValue(c).isNotNull, boolValue(c).cast(DecimalType(36, 16)))
+      val v = env.bind(when(isNumeric(c) || isSimpleString(c), value(c).try_cast(DecimalType(36, 16)))
+        .when(boolValue(c).isNotNull, boolValue(c).cast(DecimalType(36, 16))))
       when(v.isNotNull, fromDecimal(v)).otherwise(nullTerm)
     case t if t == Xsd.integer || t == Xsd.int || t == Xsd.long =>
       // "1.5" → error; "1"/bool/int-valued numerics fine; double 1.9 truncates per XPath
       val fromStr = when(value(c).rlike("^[+-]?\\d+$"), value(c).try_cast(LongType))
-      val v = when(isSimpleString(c), fromStr)
+      val v = env.bind(when(isSimpleString(c), fromStr)
         .when(isNumeric(c), numDecimal(c).cast(LongType))
-        .when(boolValue(c).isNotNull, boolValue(c).cast(LongType))
+        .when(boolValue(c).isNotNull, boolValue(c).cast(LongType)))
       when(v.isNotNull, fromLong(v)).otherwise(nullTerm)
     case t if t == Xsd.dateTime =>
       when(tsValue(c).isNotNull && datatypeRaw(c) === Xsd.dateTime, c)

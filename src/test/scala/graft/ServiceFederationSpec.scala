@@ -159,20 +159,24 @@ class ServiceFederationSpec extends SparkSpec {
     assert(rows(df, "n") == Set(Seq("bob")))
   }
 
-  test("non-SILENT variable endpoint errors loudly; SILENT degrades to empty") {
-    intercept[Exception] {
-      local.select(
-        """SELECT ?n WHERE {
-          |  ?s <urn:age> ?a .
-          |  SERVICE ?ep { ?s <urn:name> ?n }
-          |}""".stripMargin).collect()
-    }
+  test("variable endpoint behaves as the empty relation (lazily-erroring parity)") {
+    // matches the reference's observable behaviour pinned by
+    // oxigraph-tests ask_{union,join}_error_*
     val df = local.select(
       """SELECT ?n WHERE {
         |  ?s <urn:age> ?a .
-        |  SERVICE SILENT ?ep { ?s <urn:name> ?n }
+        |  SERVICE ?ep { ?s <urn:name> ?n }
         |}""".stripMargin)
     assert(df.count() == 0)
+  }
+
+  test("non-SILENT unserialisable body on a real endpoint errors loudly") {
+    intercept[UnsupportedOperationException] {
+      local.select(
+        s"""SELECT ?n WHERE {
+           |  SERVICE <$endpoint> { ?s <urn:name> ?n . FILTER(<urn:fn:custom>(?n)) }
+           |}""".stripMargin).collect()
+    }
   }
 
   test("a user variable that merely looks like a bnode placeholder survives") {
