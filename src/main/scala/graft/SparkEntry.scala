@@ -379,6 +379,17 @@ object SparkEntry {
     Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
       queryId = 0L, k = 10, nClusters = 16, nProbe = 4)
 
+  /** Batch IVF: top-k for a DataFrame of queries in ONE job (probe sets
+    * join the cached assignment relation — no per-query driver loop). The
+    * search is exact, so the brute-force per-query DuckDB top-k is its
+    * oracle. */
+  private def annIvfBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Similarity.ivfTopKAll(t(s, dir, "embeddings"), "vec_id", "embedding",
+        Seq(0L, 1L, 2L).toDF("vec_id"), "vec_id", k = 10, nClusters = 16, nProbe = 4)
+      .orderBy(col("query_id"), col("sim").desc, col("vec_id"))
+  }
+
   private def annLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.annTopK(t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L, k = 10,
       nPlanes = 6, probeHamming = 1)
@@ -585,6 +596,7 @@ object SparkEntry {
     "ann_cosine" -> annCosine,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
+    "ann_ivf_batch" -> annIvfBatch,
     "text_quality" -> textQuality,
     "lang_id" -> langId,
     "token_stats" -> tokenStats,
@@ -983,6 +995,17 @@ object SparkEntry {
         |             (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) AS sim
         |FROM embeddings WHERE vec_id != 0
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "ann_ivf_batch" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+        |s AS (SELECT q.query_id, e.vec_id,
+        |        round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS sim,
+        |        row_number() OVER (PARTITION BY q.query_id
+        |          ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) DESC,
+        |                   e.vec_id) AS rn
+        |      FROM embeddings e JOIN q ON e.vec_id != q.query_id)
+        |SELECT query_id, vec_id, sim FROM s WHERE rn <= 10
+        |ORDER BY query_id, sim DESC, vec_id""".stripMargin,
     "ann_lsh" ->
       """WITH planes AS (SELECT p, list_transform(range(0, 64), i -> CASE WHEN ((strpos('0123456789abcdef', substr(md5(p || '_' || i), 32, 1))-1) % 2) = 0 THEN 1.0 ELSE -1.0 END) AS s FROM range(0, 6) t(p)),
         |projs AS (SELECT e.vec_id, pl.p,

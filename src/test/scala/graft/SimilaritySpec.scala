@@ -67,4 +67,31 @@ class SimilaritySpec extends SparkSpec {
       assert(ivf.toSeq == exact.toSeq, s"query $qid: ivf != exact")
     }
   }
+
+  test("batch ivfTopKAll equals the per-query ivfTopK loop") {
+    import spark.implicits._
+    val qids = Seq(0L, 3L, 17L, 42L, 99L)
+    val queries = qids.toDF("vec_id")
+    val batch = Similarity.ivfTopKAll(emb, "vec_id", "embedding", queries, "vec_id",
+        k = 10, nClusters = 8, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val loop = qids.flatMap { q =>
+      Similarity.ivfTopK(emb, "vec_id", "embedding", q, 10, nClusters = 8, nProbe = 2)
+        .collect().map(r => (q, r.getLong(0), r.getDouble(1)))
+    }.toSet
+    assert(batch == loop, s"batch≠loop:\nonly batch=${(batch -- loop).take(5)}\nonly loop=${(loop -- batch).take(5)}")
+  }
+
+  test("batch ivfTopKAll is exact vs brute force per query") {
+    val qids = Seq(1L, 7L, 23L)
+    import spark.implicits._
+    val batch = Similarity.ivfTopKAll(emb, "vec_id", "embedding", qids.toDF("vec_id"), "vec_id",
+        k = 5, nClusters = 8, nProbe = 1)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    qids.foreach { q =>
+      val exact = ids(Similarity.cosineTopK(emb, "vec_id", "embedding", q, 5)).toSet
+      assert(batch(q) == exact, s"q=$q: ${batch(q)} != $exact")
+    }
+  }
 }
+
