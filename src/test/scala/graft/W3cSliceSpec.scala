@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import graft.engine.Graft
+import graft.model._
+import graft.sources.Turtle
+import graft.testkit.TestSuite
+import graft.testkit.TestSuite._
+
+/**
+ * W3C-style SPARQL 1.1 query-evaluation slice (src/test/w3c-slice).
+ *
+ * The reference's backbone test layer runs the W3C rdf-tests manifests
+ * (/root/reference/testsuite/tests/sparql.rs:6-44), but the rdf-tests
+ * submodule is EMPTY in the reference snapshot and this environment has no
+ * network egress, so the published files cannot be vendored verbatim.
+ * This slice is hand-authored in the same manifest/query/srx format,
+ * covering the same evaluation areas the W3C suite exercises — aggregates
+ * (incl. empty-group and error poisoning), BIND/project expressions,
+ * EXISTS/NOT EXISTS/MINUS (incl. the disjoint-domain no-op), property
+ * paths (sequence/alt/inverse/negated-set/closures incl. cycles),
+ * subqueries, functional forms, VALUES with UNDEF, OPTIONAL with inner
+ * filters, and ORDER/DISTINCT/LIMIT/OFFSET — with hand-computed expected
+ * results.
+ */
+class W3cSliceSpec extends SparkSpec {
+
+  private val root = Paths.get("src/test/w3c-slice/manifest.ttl")
+
+  private def allTests: Seq[Test] = {
+    def walk(m: Path, seen: Set[Path]): Seq[Test] = {
+      if (seen(m) || !Files.exists(m)) return Nil
+      val (tests, includes) = TestSuite.load(m)
+      tests ++ includes.flatMap(i => walk(i, seen + m))
+    }
+    walk(root, Set.empty)
+  }
+
+  private def readData(t: QueryEvalTest) = {
+    val dfs = (t.data.toSeq ++ t.graphData).map(p => Turtle.read(spark, p.toString))
+    if (dfs.isEmpty) Turtle.quadsToDF(spark, Nil) else dfs.reduce(_ unionAll _)
+  }
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[Map[String, RdfTerm]] = {
+    val cols = df.columns
+    df.collect().toSeq.map { r =>
+      cols.zipWithIndex.flatMap { case (c, i) =>
+        Option(r.getStruct(i)).map { st =>
+          val t = st.getByte(0) match {
+            case 0 => Iri(st.getString(1))
+            case 1 => BNode(st.getString(1))
+            case _ => Lit(st.getString(1),
+              Option(st.getString(2)).getOrElse(
+                if (st.getString(3) != null) Rdf.langString else Xsd.string),
+              Option(st.getString(3)))
+          }
+          c -> t
+        }
+      }.toMap
+    }
+  }
+
+  assert(allTests.nonEmpty, "w3c-slice manifest found no tests")
+
+  allTests.foreach {
+    case t: QueryEvalTest =>
+      test(s"w3c-slice: ${t.name}") {
+        val text = new String(Files.readAllBytes(t.query), java.nio.charset.StandardCharsets.UTF_8)
+        val g = Graft(readData(t))
+        val resultFile = t.result.getOrElse(fail("no result file"))
+        TestSuite.readSrx(resultFile) match {
+          case ExpectedBoolean(b) =>
+            assert(g.askBoolean(text) == b, s"ASK mismatch, expected $b")
+          case ExpectedSolutions(_, expRows, _) =>
+            val actual = rowsOf(g.query(text))
+            val isOrdered = text.substring(text.lastIndexOf('}') + 1)
+              .toUpperCase.contains("ORDER BY")
+            assert(TestSuite.solutionsEqual(actual, expRows, isOrdered),
+              s"solutions mismatch:\nactual  =${actual.take(8)}\nexpected=${expRows.take(8)}")
+        }
+      }
+    case t => test(s"w3c-slice: ${t.name}") { fail(s"unexpected test type $t") }
+  }
+}
