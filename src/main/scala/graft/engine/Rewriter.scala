@@ -1264,6 +1264,12 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
         val s = sd.select(col("g").as("sg"), col("n"))
         var all = edges.join(s, col("src") === col("n") && (col("g") <=> col("sg")))
           .select(col("g"), col("src"), col("tgt")).dropDuplicates().localCheckpoint()
+        // dense seed set: the walk would touch most of the graph anyway, and
+        // linear rounds pay fixed job overhead per hop — log-round full
+        // doubling restricted back to the seeds is strictly fewer rounds
+        if (all.count() * 8 >= edges.count())
+          return closure(edges, None)
+            .join(s, col("src") === col("n") && (col("g") <=> col("sg")), "left_semi")
         var delta = all
         var rounds = 0
         // linear BFS rounds are O(frontier) work but pay fixed driver/job
