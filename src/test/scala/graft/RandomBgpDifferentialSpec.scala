@@ -232,4 +232,59 @@ class RandomBgpDifferentialSpec extends SparkSpec {
   test("engine matches naive evaluator on 15 random GRAPH-scope cases") {
     (300 to 314).foreach(randomGraphCase)
   }
+
+  /** EXISTS / NOT EXISTS over an explicit Join — guards the
+    * pushWholeExists rewrite (round 4): correlation vars landing on one
+    * side, spanning both sides (BGP split-cover reassociation), and fully
+    * uncorrelated patterns must all agree with substitution semantics. */
+  private def randomExistsCase(seed: Int): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val nodes = (0 until 5).map(i => Iri(s"urn:n$i"))
+    val preds = (0 until 3).map(i => Iri(s"urn:p$i"))
+    val triples = Seq.fill(12 + rnd.nextInt(10))(
+      (nodes(rnd.nextInt(nodes.size)): RdfTerm, preds(rnd.nextInt(preds.size)): RdfTerm,
+        nodes(rnd.nextInt(nodes.size)): RdfTerm)).distinct
+    val quads = Turtle.quadsToDF(spark,
+      triples.map(t => RdfQuad(None, t._1, t._2.asInstanceOf[Iri], t._3)))
+    def slot(vs: Seq[String]): Either[String, RdfTerm] =
+      if (rnd.nextInt(4) == 0) Right(nodes(rnd.nextInt(nodes.size)))
+      else Left(vs(rnd.nextInt(vs.size)))
+    def pat(vs: Seq[String]) =
+      (slot(vs), Right(preds(rnd.nextInt(preds.size))): Either[String, RdfTerm], slot(vs))
+    def slotStr(sl: Either[String, RdfTerm]): String = sl.fold("?" + _, _.toString)
+    def bgpStr(ps: Seq[(Either[String, RdfTerm], Either[String, RdfTerm], Either[String, RdfTerm])]) =
+      ps.map(tp => s"${slotStr(tp._1)} ${slotStr(tp._2)} ${slotStr(tp._3)} .").mkString(" ")
+    val bL1 = Seq.fill(1 + rnd.nextInt(2))(pat(Seq("x", "y")))
+    val bL2 = Seq.fill(1 + rnd.nextInt(2))(pat(Seq("y", "z")))
+    // one-side / both-sides / uncorrelated / same-side correlation shapes
+    val exVars = Seq(Seq("x", "w"), Seq("x", "z"), Seq("w", "v"), Seq("x", "y"))(rnd.nextInt(4))
+    val bE = Seq.fill(1 + rnd.nextInt(2))(pat(exVars))
+    val neg = rnd.nextBoolean()
+    val q = s"SELECT ?x ?y ?z WHERE { { ${bgpStr(bL1)} } { ${bgpStr(bL2)} } " +
+      s"FILTER ${if (neg) "NOT " else ""}EXISTS { ${bgpStr(bE)} } }"
+
+    val got = Graft(quads).select(q).collect().toSeq.map { r =>
+      Seq("x", "y", "z").map { v =>
+        val i = r.fieldIndex(v)
+        if (r.isNullAt(i)) "∅" else r.getStruct(i).getString(1)
+      }.mkString(" ")
+    }.sorted
+    val left = naiveBgp(triples, bL1 ++ bL2)
+    val ex = naiveBgp(triples, bE)
+    val expect = left.filter { l =>
+      val holds = ex.exists { r =>
+        val shared = l.keySet & r.keySet
+        shared.forall(k => l(k) == r(k))
+      }
+      if (neg) !holds else holds
+    }.map { m =>
+      Seq("x", "y", "z").map(v => m.get(v).map { case Iri(x) => x; case o => o.toString }
+        .getOrElse("∅")).mkString(" ")
+    }.sorted
+    assert(got == expect, s"seed=$seed\nquery=$q\ngot=$got\nexpect=$expect")
+  }
+
+  test("engine matches naive evaluator on 20 random EXISTS-over-join cases") {
+    (400 to 419).foreach(randomExistsCase)
+  }
 }
