@@ -37,7 +37,10 @@ object Dedup {
    */
   private[graft] def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // partition count from the physical plan — `df.rdd` would force a full
+    // RDD conversion (deserialisation boundary) per call (r3 ADVICE)
+    val current = df.queryExecution.executedPlan.outputPartitioning.numPartitions
+    if (current < target) df.repartition(target) else df
   }
 
   /**

@@ -69,6 +69,11 @@ object OpsScaleProbe {
     time("centroids")(Similarity.centroids(vecs, "label", "embedding"))
     time("ann_ivf_topk")(Similarity.ivfTopK(vecs, "vec_id", "embedding",
       queryId = 7L, k = 10, nClusters = 32, nProbe = 4))
+    time("ann_ivf_batch(1k queries)") {
+      val queries = spark.range(1000).select((col("id") * 97 % nVecs).as("vec_id"))
+      Similarity.ivfTopKAll(vecs, "vec_id", "embedding", queries, "vec_id",
+        k = 10, nClusters = 32, nProbe = 4)
+    }
     spark.stop()
   }
 }
