@@ -1255,6 +1255,17 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
       .filter(termFilter(col("n"), t)).dropDuplicates()
 
   private def closure(edges0: DataFrame, seeds: Option[DataFrame] = None): DataFrame = {
+    val key = Rewriter.closureKey(edges0, seeds)
+    Rewriter.closureCache.synchronized {
+      val hit = Rewriter.closureCache.get(key)
+      if (hit != null) return hit
+    }
+    val result = closureCompute(edges0, seeds)
+    Rewriter.closureCache.synchronized { Rewriter.closureCache.put(key, result) }
+    result
+  }
+
+  private def closureCompute(edges0: DataFrame, seeds: Option[DataFrame]): DataFrame = {
     val edges = edges0.dropDuplicates().localCheckpoint()
     seeds match {
       case Some(sd) =>
@@ -1401,4 +1412,24 @@ object Rewriter {
   /** Row bound under which a materialised aggregate-rooted cross-join side
     * broadcasts (~100k term-struct rows ≈ tens of MB serialized). */
   private[engine] val CrossBroadcastRows: Long = 1L << 17
+
+  /** Computed closures memoised per (session, edges plan, seeds plan) — a
+    * transitive closure is a build-once/query-many artifact exactly like
+    * the IVF index and MinHash signature caches (ops/IndexCache): repeated
+    * `p+`/`p*` queries over the same (immutable-plan) edge relation reuse
+    * the fixpoint instead of re-running log(diameter) join rounds. Lives on
+    * the companion (a Rewriter is built per query), keyed by the FULL
+    * canonicalized plans, so new data (a changed store union) is a cache
+    * miss by construction. Bounded LRU; evicted checkpoints are freed by
+    * the ContextCleaner. */
+  private[engine] val closureCache = {
+    val m = new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, DataFrame]): Boolean =
+        size() > 8
+    }
+    m
+  }
+  private[engine] def closureKey(edges: DataFrame, seeds: Option[DataFrame]): String =
+    graft.ops.IndexCache.key(edges) + "||" +
+      seeds.map(graft.ops.IndexCache.key(_)).getOrElse("")
 }

@@ -11,7 +11,7 @@ import org.apache.spark.sql.DataFrame
  * semanticHash), so two different corpora can never silently share an
  * index via a hash collision.
  */
-private[ops] final class IndexCache[V](maxEntries: Int = 16) {
+private[graft] final class IndexCache[V](maxEntries: Int = 16) {
   private val m = new java.util.LinkedHashMap[String, V](16, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[String, V]): Boolean =
       size() > maxEntries
@@ -23,11 +23,22 @@ private[ops] final class IndexCache[V](maxEntries: Int = 16) {
   }
 }
 
-private[ops] object IndexCache {
+private[graft] object IndexCache {
   /** Collision-proof cache key: session identity + canonicalized plan +
-    * caller params. */
-  def key(df: DataFrame, params: Any*): String =
+    * caller params. The plan's toString alone is NOT enough: a LogicalRDD
+    * (checkpointed / createDataFrame corpus) prints only its schema — two
+    * different corpora with the same columns would collide — and a
+    * LocalRelation prints without its data. The collected RDD ids pin the
+    * former; the canonicalized plan's hashCode (case-class deep hash,
+    * includes LocalRelation rows) pins the latter. */
+  def key(df: DataFrame, params: Any*): String = {
+    val plan = df.queryExecution.analyzed
+    val canon = plan.canonicalized
+    val rddIds = plan.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
+    }
     System.identityHashCode(df.sparkSession).toString + "|" +
-      df.queryExecution.analyzed.canonicalized.toString + "|" +
+      canon.toString + "|" + canon.hashCode + "|" + rddIds.mkString(",") + "|" +
       params.mkString("|")
+  }
 }

@@ -33,12 +33,17 @@ object Similarity {
    */
   def cosineTopK(emb: DataFrame, idCol: String, vecCol: String,
                  queryId: Long, k: Int): DataFrame = {
+    // query norm evaluated once on the broadcast row (numerically the same
+    // sqrt(dot) as cosine's) — each corpus row then pays two array
+    // traversals (dot + own norm) instead of three
     val q = emb.where(col(idCol) === queryId)
       .select(toDouble(col(vecCol)).as("qvec"))
+      .withColumn("qn", norm(col("qvec")))
     emb.crossJoin(broadcast(q))
       .where(col(idCol) =!= queryId)
       .select(col(idCol),
-        round(cosine(toDouble(col(vecCol)), col("qvec")), 6).as("sim"))
+        round({ val v = toDouble(col(vecCol)); dot(v, col("qvec")) / (norm(v) * col("qn")) }, 6)
+          .as("sim"))
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
   }
@@ -214,7 +219,10 @@ object Similarity {
                         nClusters: Int): (Array[Array[Double]], Map[Int, Double], DataFrame) =
     ivfCache.get(IndexCache.key(emb, idCol, vecCol, nClusters), {
       val (cents, idx0) = ivfIndex(emb, idCol, vecCol, nClusters)
-      val idx = idx0.localCheckpoint()
+      // nrm precomputed once at build: a candidate cosine is then ONE
+      // zip_with/aggregate traversal (dot) + a division, instead of three
+      // (dot + two norm re-derivations) per candidate row
+      val idx = idx0.withColumn("nrm", norm(col("vr"))).localCheckpoint()
       val cLit = typedlit(cents.map(_.toSeq).toSeq)
       // per-cluster radius: max member distance to its centroid (unit sphere)
       val memberDist = sqrt(aggregate(
@@ -236,9 +244,14 @@ object Similarity {
     val byDist = centroids.indices.sortBy(i => qDist(centroids(i)))
     val probe1 = byDist.take(nProbe)
     val qlit = typedlit(qRaw.toSeq)
+    // query norm folded on the driver in the same left-to-right order as
+    // the aggregate fold, so dot/(nrm·qnorm) ≡ cosine(vr, qlit) bit-for-bit
+    // while each candidate pays one traversal instead of three
+    val qnorm = lit(math.sqrt(qRaw.foldLeft(0.0)((acc, x) => acc + x * x)))
+    def qCos = dot(col("vr"), qlit) / (col("nrm") * qnorm)
     // phase 1: kth cosine among the primary probes (unrounded) → L2 bound
     val phase1 = indexed.where(col("cluster").isin(probe1: _*) && col(idCol) =!= queryId)
-      .select(cosine(col("vr"), qlit).as("c"))
+      .select(qCos.as("c"))
       .orderBy(col("c").desc).limit(k).collect()
     val dk = if (phase1.length < k) Double.MaxValue
              else math.sqrt(math.max(0.0, 2.0 - 2.0 * phase1.last.getDouble(0))) + 1e-9
@@ -247,7 +260,7 @@ object Similarity {
     }
     val probeAll = probe1 ++ extra
     indexed.where(col("cluster").isin(probeAll: _*) && col(idCol) =!= queryId)
-      .select(col(idCol), round(cosine(col("vr"), qlit), 6).as("sim"))
+      .select(col(idCol), round(qCos, 6).as("sim"))
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
   }
@@ -285,20 +298,33 @@ object Similarity {
       .toDF("cluster", "cvec", "radius")
     val qv = indexed.join(queries.select(col(queryIdCol).cast(LongType).as("__qid")),
         col(idCol) === col("__qid"))
-      .select(col("__qid"), col("vr").as("__qraw"), col("v").as("__qhat"))
+      .select(col("__qid"), col("vr").as("__qraw"), col("v").as("__qhat"),
+        col("nrm").as("__qnrm"))
     val qc = qv.crossJoin(broadcast(centDf))
       .withColumn("__qdist", sqrt(aggregate(
         zip_with(col("__qhat"), col("cvec"), (x, y) => (x - y) * (x - y)),
         lit(0.0d), (acc, x) => acc + x)))
       .drop("cvec", "__qhat")
+    // candidate cosine: ONE zip_with/aggregate traversal over precomputed
+    // norms — numerically identical to cosine(vr, qraw) (same left-to-right
+    // summation order, norm is the same sqrt(dot) evaluated at build time).
+    // zip_with beats an element_at-unrolled dot ~2× here (BatchAnnDiag),
+    // and skipping the two norm re-derivations another ~2×.
+    def candCos = dot(col("vr"), col("__qraw")) / (col("nrm") * col("__qnrm"))
     val ranked = qc.withColumn("__crank",
       row_number().over(Window.partitionBy("__qid").orderBy(col("__qdist"), col("cluster"))))
     val probe1 = ranked.filter(col("__crank") <= nProbe)
-      .select(col("__qid"), col("cluster"), col("__qraw"))
+      .select(col("__qid"), col("cluster"), col("__qraw"), col("__qnrm"))
     val wCos = Window.partitionBy("__qid").orderBy(col("__c").desc)
-    val bounds = probe1.join(indexed, Seq("cluster"))
+    // probe relations BROADCAST; the corpus STREAMS. Left to its stats Spark
+    // builds the hash relation on the (checkpointed, known-size) assignment
+    // and streams the probes — exactly backwards at scale (a 100 TB corpus
+    // can never broadcast) and ~8× slower per candidate even locally: dots
+    // then run against hash-relation row copies instead of inside the
+    // corpus scan stage (measured by tools/BatchAnnDiag).
+    val bounds = broadcast(probe1).join(indexed, Seq("cluster"))
       .filter(col(idCol) =!= col("__qid"))
-      .select(col("__qid"), cosine(col("vr"), col("__qraw")).as("__c"))
+      .select(col("__qid"), candCos.as("__c"))
       .withColumn("__rn", row_number().over(wCos))
       .filter(col("__rn") === k)
       .select(col("__qid"),
@@ -306,11 +332,20 @@ object Similarity {
     val probeAll = ranked.join(bounds, Seq("__qid"), "left")
       .filter(col("__crank") <= nProbe || col("__dk").isNull ||
         (col("__qdist") - col("radius")) <= col("__dk"))
-      .select(col("__qid"), col("cluster"), col("__qraw"))
+      .select(col("__qid"), col("cluster"), col("__qraw"), col("__qnrm"))
+    // hierarchical top-k: per-(query, cluster) windows sort many small
+    // partitions (n·log(cluster slice)), then the survivors — at most
+    // k × probed clusters per query — go through the tiny per-query final
+    // window. The global top-k is a subset of the per-cluster top-ks, and
+    // both levels break ties identically (sim desc, id asc), so the result
+    // is exactly the single-window answer.
+    val wClus = Window.partitionBy("__qid", "cluster").orderBy(col("sim").desc, col(idCol).asc)
     val wTop = Window.partitionBy("__qid").orderBy(col("sim").desc, col(idCol).asc)
-    probeAll.join(indexed, Seq("cluster"))
+    broadcast(probeAll).join(indexed, Seq("cluster"))
       .filter(col(idCol) =!= col("__qid"))
-      .select(col("__qid"), col(idCol), round(cosine(col("vr"), col("__qraw")), 6).as("sim"))
+      .select(col("__qid"), col("cluster"), col(idCol), round(candCos, 6).as("sim"))
+      .withColumn("__rc", row_number().over(wClus))
+      .filter(col("__rc") <= k)
       .withColumn("__rn", row_number().over(wTop))
       .filter(col("__rn") <= k)
       .select(col("__qid").as("query_id"), col(idCol), col("sim"))
@@ -325,13 +360,18 @@ object Similarity {
     val dims = dimsOf(emb, vecCol)
     // materialised: both sides of the bucket self-join reuse the signatures
     // instead of recomputing the nPlanes×dims projections per side
+    // norms ride along in the checkpoint: a within-bucket pair then costs
+    // one dot traversal, not three (sim is bit-identical to cosine — same
+    // fold order, same sqrt(dot) for the norms)
     val withSig = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
       .withColumn("sig", lshSignature(col("v"), nPlanes, dims))
+      .withColumn("nr", norm(col("v")))
       .localCheckpoint()
-    val a = withSig.select(col("sig"), col("id").as("id_a"), col("v").as("va"))
-    val b = withSig.select(col("sig"), col("id").as("id_b"), col("v").as("vb"))
+    val a = withSig.select(col("sig"), col("id").as("id_a"), col("v").as("va"), col("nr").as("na"))
+    val b = withSig.select(col("sig"), col("id").as("id_b"), col("v").as("vb"), col("nr").as("nb"))
     a.join(b, Seq("sig")).where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), round(cosine(col("va"), col("vb")), 6).as("sim"))
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("sim"))
       .where(col("sim") >= minCosine)
   }
 
