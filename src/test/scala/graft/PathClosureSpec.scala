@@ -78,6 +78,27 @@ class PathClosureSpec extends SparkSpec {
     assert(rows(df, "n", "r") == Set(Seq("A", "yes"), Seq("B", "no")))
   }
 
+  test("closure cache never crosses same-schema stores (key collision regression)") {
+    // Two stores with IDENTICAL schema and predicate but different edges: a
+    // canonicalized-plan toString alone keys them identically (LogicalRDD
+    // prints only its schema, LocalRelation omits its data) and the second
+    // query would be served the first store's fixpoint. Guards
+    // IndexCache.key's rdd-id + plan-hash components.
+    val g1 = Graft(NTriples.fromString(spark,
+      s"""<${EX}a> <${EX}e> <${EX}b> .
+         |<${EX}b> <${EX}e> <${EX}c> .
+         |""".stripMargin))
+    val g2 = Graft(NTriples.fromString(spark,
+      s"""<${EX}a> <${EX}e> <${EX}x> .
+         |<${EX}x> <${EX}e> <${EX}y> .
+         |""".stripMargin))
+    val q = s"SELECT ?t WHERE { <${EX}a> <${EX}e>+ ?t }"
+    assert(lex(g1.select(q), "t") == Seq(s"${EX}b", s"${EX}c"))
+    assert(lex(g2.select(q), "t") == Seq(s"${EX}x", s"${EX}y"))
+    // and the same store twice is allowed to (and should) reuse its fixpoint
+    assert(lex(g1.select(q), "t") == Seq(s"${EX}b", s"${EX}c"))
+  }
+
   test("custom function registry by IRI") {
     import org.apache.spark.sql.functions._
     graft.engine.ExprCompiler.Registry.register(s"${EX}reverse",
