@@ -394,6 +394,17 @@ object SparkEntry {
     Similarity.annTopK(t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L, k = 10,
       nPlanes = 6, probeHamming = 1)
 
+  /** Batch LSH: one job for a whole query set — the probe-signature set is
+    * broadcast and the signature relation streams, so the corpus is read
+    * once regardless of |Q|. The oracle recomputes the identical plane
+    * signs / signatures in SQL per query. */
+  private def annLshBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Similarity.annTopKAll(t(s, dir, "embeddings"), "vec_id", "embedding",
+        Seq(0L, 1L, 2L).toDF("vec_id"), "vec_id", k = 10, nPlanes = 6, probeHamming = 1)
+      .orderBy(col("query_id"), col("sim").desc, col("vec_id"))
+  }
+
   /** Class centroids: element-wise mean embedding per label, exploded to
     * (label, dim, mean) rows so the oracle compares scalars. */
   private def embCentroids(s: SparkSession, dir: String): DataFrame =
@@ -597,6 +608,7 @@ object SparkEntry {
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
     "ann_ivf_batch" -> annIvfBatch,
+    "ann_lsh_batch" -> annLshBatch,
     "text_quality" -> textQuality,
     "lang_id" -> langId,
     "token_stats" -> tokenStats,
@@ -1005,6 +1017,29 @@ object SparkEntry {
         |                   e.vec_id) AS rn
         |      FROM embeddings e JOIN q ON e.vec_id != q.query_id)
         |SELECT query_id, vec_id, sim FROM s WHERE rn <= 10
+        |ORDER BY query_id, sim DESC, vec_id""".stripMargin,
+    "ann_lsh_batch" ->
+      """WITH planes AS (SELECT p, list_transform(range(0, 64), i -> CASE WHEN ((strpos('0123456789abcdef', substr(md5(p || '_' || i), 32, 1))-1) % 2) = 0 THEN 1.0 ELSE -1.0 END) AS s FROM range(0, 6) t(p)),
+        |projs AS (SELECT e.vec_id, pl.p,
+        |            list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * pl.s[i])) AS proj
+        |          FROM embeddings e, planes pl),
+        |sigs AS (SELECT vec_id, CAST(sum(CASE WHEN proj >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS sig
+        |         FROM projs GROUP BY 1),
+        |q AS (SELECT vec_id AS query_id, sig AS qsig FROM sigs WHERE vec_id IN (0, 1, 2)),
+        |probes AS (SELECT DISTINCT q.query_id, xor(q.qsig, t.m) AS sig
+        |           FROM q, (SELECT unnest([0,1,2,4,8,16,32]) AS m) t),
+        |qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+        |       FROM embeddings WHERE vec_id IN (0, 1, 2)),
+        |sc AS (SELECT p.query_id, e.vec_id,
+        |         round(list_cosine_similarity(e.embedding::DOUBLE[], qv.qvec), 6) AS sim,
+        |         row_number() OVER (PARTITION BY p.query_id
+        |           ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], qv.qvec), 6) DESC,
+        |                    e.vec_id) AS rn
+        |       FROM embeddings e JOIN sigs s ON s.vec_id = e.vec_id
+        |            JOIN probes p ON s.sig = p.sig
+        |            JOIN qv ON qv.query_id = p.query_id
+        |       WHERE e.vec_id != p.query_id)
+        |SELECT query_id, vec_id, sim FROM sc WHERE rn <= 10
         |ORDER BY query_id, sim DESC, vec_id""".stripMargin,
     "ann_lsh" ->
       """WITH planes AS (SELECT p, list_transform(range(0, 64), i -> CASE WHEN ((strpos('0123456789abcdef', substr(md5(p || '_' || i), 32, 1))-1) % 2) = 0 THEN 1.0 ELSE -1.0 END) AS s FROM range(0, 6) t(p)),

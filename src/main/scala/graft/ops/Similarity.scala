@@ -77,6 +77,24 @@ object Similarity {
   private def dimsOf(emb: DataFrame, vecCol: String): Int =
     emb.select(size(col(vecCol))).take(1).headOption.map(_.getInt(0)).getOrElse(1)
 
+  /** LSH signature relation (id, unit-agnostic vector `v`, `sig`, norm
+    * `nr`), memoised + checkpointed per (session, corpus plan, vecCol,
+    * nPlanes): like the IVF index, signatures are a build-once/query-many
+    * artifact shared by [[annTopK]], [[annTopKAll]] and [[nearDupPairs]]. */
+  private val lshCache = new IndexCache[DataFrame]()
+  private def lshIndex(emb: DataFrame, idCol: String, vecCol: String, nPlanes: Int): DataFrame =
+    lshCache.get(IndexCache.key(emb, idCol, vecCol, nPlanes), {
+      val dims = dimsOf(emb, vecCol)
+      emb.select(col(idCol), toDouble(col(vecCol)).as("v"))
+        .withColumn("sig", lshSignature(col("v"), nPlanes, dims))
+        .withColumn("nr", norm(col("v")))
+        .localCheckpoint()
+    })
+
+  /** Probe-signature masks: exact + all 1-bit flips (multi-probe). */
+  private def probeMasks(nPlanes: Int, probeHamming: Int): Seq[Column] =
+    lit(0L) +: (if (probeHamming >= 1) (0 until nPlanes).map(p => lit(1L << p)) else Nil)
+
   /**
    * Approximate top-k: candidates = rows whose signature is within
    * `probeHamming` bits of the query signature (multi-probe by XOR-ing
@@ -85,20 +103,47 @@ object Similarity {
    */
   def annTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryId: Long, k: Int, nPlanes: Int = 16, probeHamming: Int = 1): DataFrame = {
-    val dims = dimsOf(emb, vecCol)
-    val withSig = emb.select(col(idCol), toDouble(col(vecCol)).as("v"))
-      .withColumn("sig", lshSignature(col("v"), nPlanes, dims))
+    val withSig = lshIndex(emb, idCol, vecCol, nPlanes)
     val q = withSig.where(col(idCol) === queryId)
-      .select(col("v").as("qvec"), col("sig").as("qsig"))
-    // probe signatures: exact + all 1-bit flips (multi-probe)
-    val masks: Seq[Column] = lit(0L) +: (if (probeHamming >= 1) (0 until nPlanes).map(p => lit(1L << p)) else Nil)
-    val probes = q.select(explode(array(masks.map(m => col("qsig").bitwiseXOR(m)): _*)).as("sig"),
-      col("qvec")).dropDuplicates("sig")
+      .select(col("v").as("qvec"), col("sig").as("qsig"), col("nr").as("qn"))
+    val probes = q.select(
+        explode(array(probeMasks(nPlanes, probeHamming).map(m => col("qsig").bitwiseXOR(m)): _*)).as("sig"),
+        col("qvec"), col("qn"))
+      .dropDuplicates("sig")
     withSig.join(broadcast(probes), Seq("sig"))
       .where(col(idCol) =!= queryId)
-      .select(col(idCol), round(cosine(col("v"), col("qvec")), 6).as("sim"))
+      .select(col(idCol),
+        round(dot(col("v"), col("qvec")) / (col("nr") * col("qn")), 6).as("sim"))
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /**
+   * Batch LSH top-k: one job for a whole DataFrame of query ids — the batch
+   * sibling of [[annTopK]] (same candidates, same rounded cosine), shaped
+   * like [[ivfTopKAll]]: the per-query probe-signature set (|Q| ×
+   * (nPlanes+1) rows) is BROADCAST and the signature relation STREAMS, so
+   * the corpus is read once with no shuffle regardless of |Q|.
+   */
+  def annTopKAll(emb: DataFrame, idCol: String, vecCol: String, queries: DataFrame,
+                 queryIdCol: String, k: Int, nPlanes: Int = 16, probeHamming: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withSig = lshIndex(emb, idCol, vecCol, nPlanes)
+    val q = withSig.join(
+        broadcast(queries.select(col(queryIdCol).cast(LongType).as("__qid"))),
+        col(idCol) === col("__qid"))
+      .select(col("__qid"), col("v").as("__qv"), col("sig").as("__qsig"), col("nr").as("__qn"))
+    val probes = q.select(col("__qid"), col("__qv"), col("__qn"),
+        explode(array(probeMasks(nPlanes, probeHamming).map(m => col("__qsig").bitwiseXOR(m)): _*)).as("sig"))
+      .dropDuplicates("__qid", "sig")
+    val wTop = Window.partitionBy("__qid").orderBy(col("sim").desc, col(idCol).asc)
+    broadcast(probes).join(withSig, Seq("sig"))
+      .where(col(idCol) =!= col("__qid"))
+      .select(col("__qid"), col(idCol),
+        round(dot(col("v"), col("__qv")) / (col("nr") * col("__qn")), 6).as("sim"))
+      .withColumn("__rn", row_number().over(wTop))
+      .filter(col("__rn") <= k)
+      .select(col("__qid").as("query_id"), col(idCol), col("sim"))
   }
 
   // ------------------------------------------------------------------- IVF
@@ -357,18 +402,13 @@ object Similarity {
    */
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                    minCosine: Double, nPlanes: Int = 12): DataFrame = {
-    val dims = dimsOf(emb, vecCol)
-    // materialised: both sides of the bucket self-join reuse the signatures
-    // instead of recomputing the nPlanes×dims projections per side
-    // norms ride along in the checkpoint: a within-bucket pair then costs
-    // one dot traversal, not three (sim is bit-identical to cosine — same
-    // fold order, same sqrt(dot) for the norms)
-    val withSig = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
-      .withColumn("sig", lshSignature(col("v"), nPlanes, dims))
-      .withColumn("nr", norm(col("v")))
-      .localCheckpoint()
-    val a = withSig.select(col("sig"), col("id").as("id_a"), col("v").as("va"), col("nr").as("na"))
-    val b = withSig.select(col("sig"), col("id").as("id_b"), col("v").as("vb"), col("nr").as("nb"))
+    // the shared cached signature relation: both self-join sides reuse the
+    // checkpointed signatures, and the norms riding along make a
+    // within-bucket pair one dot traversal instead of three (sim is
+    // bit-identical to cosine — same fold order, same sqrt(dot) norms)
+    val withSig = lshIndex(emb, idCol, vecCol, nPlanes)
+    val a = withSig.select(col("sig"), col(idCol).as("id_a"), col("v").as("va"), col("nr").as("na"))
+    val b = withSig.select(col("sig"), col(idCol).as("id_b"), col("v").as("vb"), col("nr").as("nb"))
     a.join(b, Seq("sig")).where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("sim"))
