@@ -375,6 +375,16 @@ object SparkEntry {
   private def annCosine(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineTopK(t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L, k = 10)
 
+  /** Batch brute force: the exact baseline of the batch ANN family — query
+    * vectors broadcast, corpus read once. Same oracle shape as the exact
+    * batch IVF (both are exact top-k). */
+  private def annCosineBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Similarity.cosineTopKAll(t(s, dir, "embeddings"), "vec_id", "embedding",
+        Seq(3L, 4L, 5L).toDF("vec_id"), "vec_id", k = 10)
+      .orderBy(col("query_id"), col("sim").desc, col("vec_id"))
+  }
+
   private def annIvf(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
       queryId = 0L, k = 10, nClusters = 16, nProbe = 4)
@@ -609,6 +619,7 @@ object SparkEntry {
     "ann_ivf" -> annIvf,
     "ann_ivf_batch" -> annIvfBatch,
     "ann_lsh_batch" -> annLshBatch,
+    "ann_cosine_batch" -> annCosineBatch,
     "text_quality" -> textQuality,
     "lang_id" -> langId,
     "token_stats" -> tokenStats,
@@ -1010,6 +1021,17 @@ object SparkEntry {
     "ann_ivf_batch" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+        |s AS (SELECT q.query_id, e.vec_id,
+        |        round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS sim,
+        |        row_number() OVER (PARTITION BY q.query_id
+        |          ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) DESC,
+        |                   e.vec_id) AS rn
+        |      FROM embeddings e JOIN q ON e.vec_id != q.query_id)
+        |SELECT query_id, vec_id, sim FROM s WHERE rn <= 10
+        |ORDER BY query_id, sim DESC, vec_id""".stripMargin,
+    "ann_cosine_batch" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id IN (3, 4, 5)),
         |s AS (SELECT q.query_id, e.vec_id,
         |        round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS sim,
         |        row_number() OVER (PARTITION BY q.query_id

@@ -48,6 +48,30 @@ object Similarity {
       .limit(k)
   }
 
+  /**
+   * Batch exact brute force: top-k for a whole DataFrame of query ids in one
+   * job. The query vectors (with precomputed norms) broadcast; the corpus
+   * streams through one scan — per-corpus-row cost is one dot + own norm
+   * per query. The baseline the LSH/IVF batch paths are measured against.
+   */
+  def cosineTopKAll(emb: DataFrame, idCol: String, vecCol: String, queries: DataFrame,
+                    queryIdCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = emb.join(broadcast(queries.select(col(queryIdCol).cast(LongType).as("__qid"))),
+        col(idCol) === col("__qid"))
+      .select(col("__qid"), toDouble(col(vecCol)).as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
+    val wTop = Window.partitionBy("__qid").orderBy(col("sim").desc, col(idCol).asc)
+    emb.crossJoin(broadcast(q))
+      .where(col(idCol) =!= col("__qid"))
+      .select(col("__qid"), col(idCol),
+        round({ val v = toDouble(col(vecCol)); dot(v, col("__qv")) / (norm(v) * col("__qn")) }, 6)
+          .as("sim"))
+      .withColumn("__rn", row_number().over(wTop))
+      .filter(col("__rn") <= k)
+      .select(col("__qid").as("query_id"), col(idCol), col("sim"))
+  }
+
   /** md5 hex (lowercase) of a string — driver-side, for precomputing plane
     * signs. */
   private def md5hex(s: String): String =

@@ -82,6 +82,19 @@ class SimilaritySpec extends SparkSpec {
     assert(batch == loop, s"batch≠loop:\nonly batch=${(batch -- loop).take(5)}\nonly loop=${(loop -- batch).take(5)}")
   }
 
+  test("batch cosineTopKAll equals the per-query cosineTopK loop") {
+    import spark.implicits._
+    val qids = Seq(2L, 11L, 50L)
+    val batch = Similarity.cosineTopKAll(emb, "vec_id", "embedding", qids.toDF("vec_id"),
+        "vec_id", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val loop = qids.flatMap { q =>
+      Similarity.cosineTopK(emb, "vec_id", "embedding", q, 10)
+        .collect().map(r => (q, r.getLong(0), r.getDouble(1)))
+    }.toSet
+    assert(batch == loop, s"batch≠loop:\nonly batch=${(batch -- loop).take(5)}\nonly loop=${(loop -- batch).take(5)}")
+  }
+
   test("batch annTopKAll equals the per-query annTopK loop") {
     import spark.implicits._
     val qids = Seq(0L, 5L, 31L, 64L)
