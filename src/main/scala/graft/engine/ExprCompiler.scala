@@ -224,7 +224,28 @@ object ExprCompiler {
         // fixed equal-length lexical shape ⇒ string order ≡ temporal order
         for ((lv, _) <- temporalLex(l, env); (rv, _) <- temporalLex(r, env))
           yield binOp(op, lv, rv)
-      case _ => None // mixed numeric/temporal or date vs dateTime → generic
+      case _ =>
+        // DYNAMIC numeric-only dispatch: an arithmetic operand is numeric
+        // or error by construction, and the ORDERING operators have no
+        // non-numeric fallback in the operator mapping (unlike = / !=,
+        // which fall back to RDFterm-equality on IRIs/bnodes), so the whole
+        // comparison compiles in the (double, decimal, kind) domain — no
+        // term structs and no canonical lexical rendering. Plan-size
+        // matters more than row cost here: filter pushdown inlines the
+        // operand's defining expression per ladder reference, and BSBM
+        // explore-q5's band filter compiled to two ~950 KB join conditions
+        // (~10 s of one-time Janino compile) via the generic ladder.
+        def intrinsicallyNumeric(e: Expr): Boolean = e match {
+          case EArith(_, _, _) | ENeg(_) => true
+          case _ => false
+        }
+        if ((op == "<" || op == "<=" || op == ">" || op == ">=") &&
+            (intrinsicallyNumeric(l) || intrinsicallyNumeric(r)))
+          for ((ld, le, lk) <- numericView(l, env); (rd, re, rk) <- numericView(r, env))
+            yield when(lk =!= 0 && rk =!= 0,
+              when(lk === 3 || rk === 3, binOp(op, ld, rd))
+                .otherwise(binOp(op, le, re)))
+        else None
     }
 
   private def binOp(op: String, l: Column, r: Column): Column = op match {
