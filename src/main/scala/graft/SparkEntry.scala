@@ -332,6 +332,17 @@ object SparkEntry {
       threshold = 0.6, shingleK = 3)
       .orderBy("id_a", "id_b")
 
+  /** Benchmark decontamination: training docs sharing any 3-shingle with a
+    * deterministic "benchmark" slice of the corpus (doc_id % 37 == 0). The
+    * eval side broadcasts; the training side never shuffles. */
+  private def dedupDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.decontaminate(
+      docs.where(col("doc_id") % 37 =!= 0), docs.where(col("doc_id") % 37 === 0),
+      "doc_id", "text", k = 3)
+      .orderBy("train_id")
+  }
+
   private def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
       numHashes = 32, bands = 8, threshold = 0.3, shingleK = 3)
@@ -614,6 +625,7 @@ object SparkEntry {
     "dedup_keep" -> dedupKeep,
     "doc_sample" -> docSample,
     "dedup_simhash" -> dedupSimhash,
+    "dedup_decontaminate" -> dedupDecontaminate,
     "ann_cosine" -> annCosine,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
@@ -1012,6 +1024,22 @@ object SparkEntry {
         |         FROM ch a JOIN ch b ON a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS dist
         |FROM cand WHERE bit_count(xor(sa, sb)) <= 16 ORDER BY 1, 2""".stripMargin,
+    "dedup_decontaminate" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+        |                             x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+        |                                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS tok
+        |  FROM w WHERE len(ws) >= 3)
+        |SELECT t.doc_id AS train_id,
+        |       count(DISTINCT e.doc_id) AS n_eval_docs,
+        |       count(DISTINCT t.tok) AS n_shared_shingles,
+        |       min(e.doc_id) AS top_eval_id
+        |FROM sh t JOIN sh e ON t.tok = e.tok
+        |WHERE t.doc_id % 37 != 0 AND e.doc_id % 37 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ann_ivf" ->
       """SELECT vec_id,
         |       round(list_cosine_similarity(embedding::DOUBLE[],

@@ -414,4 +414,32 @@ object Dedup {
       .where(col("__rn") === 1)
       .select(col("cluster"), col("id").as("kept_id"), col("n_docs"), col("__s").as("best_score"))
   }
+
+  /**
+   * Benchmark DECONTAMINATION: flag training documents that share any
+   * k-token shingle with an evaluation/benchmark corpus — the standard
+   * "did the test set leak into the training data" sweep of an LLM data
+   * pipeline.
+   *
+   * Shape for 100 TB: the eval side is a benchmark (MBs, not TBs), so its
+   * distinct shingle set is broadcast and the training corpus streams
+   * through a broadcast hash join — the big side never shuffles and the
+   * per-doc aggregation is map-side combinable on the training partitions.
+   * Returns one row per CONTAMINATED training doc:
+   * (id, n_eval_docs, n_shared_shingles, top_eval_id) where top_eval_id is
+   * the smallest eval doc id sharing a shingle (a deterministic exemplar
+   * for triage).
+   */
+  def decontaminate(train: DataFrame, eval0: DataFrame, idCol: String,
+                    textCol: String, k: Int = 3): DataFrame = {
+    val trainSh = shingles(train, idCol, textCol, k)
+      .select(col("id").as("train_id"), col("shingle"))
+    val evalSh = shingles(eval0, idCol, textCol, k)
+      .select(col("shingle"), col("id").as("eval_id"))
+    trainSh.join(broadcast(evalSh), Seq("shingle"))
+      .groupBy("train_id")
+      .agg(countDistinct(col("eval_id")).as("n_eval_docs"),
+        countDistinct(col("shingle")).as("n_shared_shingles"),
+        min(col("eval_id")).as("top_eval_id"))
+  }
 }

@@ -35,6 +35,29 @@ class DedupSpec extends SparkSpec {
     assert(pre.exists { case (a, b, j) => a == 1L && b == 2L && math.abs(j - 2.0 / 3) < 1e-5 })
   }
 
+  test("decontaminate flags exactly the train docs sharing a k-shingle with eval") {
+    import spark.implicits._
+    val train = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "completely unrelated content about turbines and wind"),
+      (12L, "jumps over the lazy dog said nobody ever")).toDF("doc_id", "text")
+    val eval0 = Seq(
+      (1L, "a quick brown fox appeared"),
+      (2L, "over the lazy dog")).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(train, eval0, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // doc 10 shares "quick brown fox" with eval 1 and "over the lazy"/"the lazy dog" with eval 2
+    // doc 12 shares "over the lazy"/"the lazy dog" with eval 2; doc 11 is clean
+    assert(out == Set((10L, 2L, 3L, 1L), (12L, 1L, 2L, 2L)), out.toString)
+  }
+
+  test("decontaminate against an empty eval corpus flags nothing") {
+    import spark.implicits._
+    val train = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val eval0 = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.decontaminate(train, eval0, "doc_id", "text").isEmpty)
+  }
+
   // ---- connected components / clustering (round 3) ----
 
   test("connectedComponents labels chains, cliques and singleton-free graphs") {
