@@ -93,6 +93,18 @@ object TermCols {
   def fromDouble(c: Column): Column = when(c.isNull, nullTerm).otherwise(fromDoubleRaw(c))
   def fromDecimal(c: Column): Column = when(c.isNull, nullTerm).otherwise(fromDecimalRaw(c))
 
+  /** xsd:float term from a (double-precision) numeric column: the value is
+    * rounded through FloatType (XPath float arithmetic is single-precision)
+    * and the datatype stays xsd:float per the XPath promotion ladder —
+    * float op {integer,decimal,float} → float, never double. */
+  def fromFloat(c: Column): Column = {
+    val f = c.cast(FloatType)
+    val lex = when(f === f.cast(LongType).cast(FloatType) && abs(f) < 1e15f,
+      f.cast(LongType).cast(StringType)).otherwise(f.cast(StringType))
+    when(c.isNull, nullTerm)
+      .otherwise(mk(lit(TermType.Literal), lex, lit(Xsd.float), nullStr, f.cast(DoubleType)))
+  }
+
   /** Unguarded constructors for bulk mapping paths where NULL source rows
     * are filtered separately — skips a per-term branch in codegen. */
   def fromLongRaw(c: Column): Column =
@@ -160,6 +172,10 @@ object TermCols {
         Xsd.unsignedShort, Xsd.unsignedByte): _*), lit(false))
 
   def isDecimalTyped(c: Column): Column = isLiteral(c) && datatypeRaw(c) === Xsd.decimal
+  def isFloatTyped(c: Column): Column = isLiteral(c) && datatypeRaw(c) === Xsd.float
+  /** Strictly xsd:double — [[isDoubleTyped]] is the double-DOMAIN umbrella
+    * (double or float, both compare/compute in binary floating point). */
+  def isStrictDoubleTyped(c: Column): Column = isLiteral(c) && datatypeRaw(c) === Xsd.double
   def isDoubleTyped(c: Column): Column =
     isLiteral(c) && coalesce(datatypeRaw(c).isin(Xsd.double, Xsd.float), lit(false))
 
@@ -204,11 +220,12 @@ object TermCols {
    * SPARQL 15.1): unbound < blank nodes < IRIs < literals; numeric literals
    * compare cross-type by value; strings by codepoint; booleans false<true;
    * dateTimes chronologically; remaining literals by (datatype, lexical).
-   * NULL structs (unbound) sort first via asc_nulls_first.
+   * Unbound terms rank as class 0 (lowest; DESC reverses to last).
    */
   def sortKey(c: Column): Column = {
     val cls =
-      when(isBlank(c), lit(1))
+      when(c.isNull, lit(0))
+        .when(isBlank(c), lit(1))
         .when(isIri(c), lit(2))
         .when(isNumeric(c), lit(3))
         .when(boolValue(c).isNotNull, lit(4))
@@ -224,7 +241,7 @@ object TermCols {
       when(isNumeric(c), lit(""))
         .when(isStringLit(c), value(c))
         .when(isIri(c) || isBlank(c), value(c))
-        .otherwise(concat_ws(" ", coalesce(datatypeRaw(c), lit("")), value(c)))
+        .otherwise(concat_ws("\u0000", coalesce(datatypeRaw(c), lit("")), value(c)))
     struct(cls.as("c"), num.as("n"), s.as("s"))
   }
 

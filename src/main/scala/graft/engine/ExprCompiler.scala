@@ -243,7 +243,7 @@ object ExprCompiler {
             (intrinsicallyNumeric(l) || intrinsicallyNumeric(r)))
           for ((ld, le, lk) <- numericView(l, env); (rd, re, rk) <- numericView(r, env))
             yield when(lk =!= 0 && rk =!= 0,
-              when(lk === 3 || rk === 3, binOp(op, ld, rd))
+              when(lk >= 3 || rk >= 3, binOp(op, ld, rd))
                 .otherwise(binOp(op, le, re)))
         else None
     }
@@ -263,7 +263,11 @@ object ExprCompiler {
    * Numeric-domain view of an arithmetic subtree — the TypedValue analogue
    * (reference lib/encoding/src/typed_value): `(double, decimal, kind)`
    * columns with kind 0 = error/non-numeric, 1 = integer, 2 = decimal,
-   * 3 = double. Only the root renders a PlainTerm struct, so intermediates
+   * 3 = float, 4 = double. NB this RUNTIME lattice is ordered so that
+   * `greatest` is exactly the XPath promotion join; it differs from the
+   * plan-time [[staticKind]] domain, where 3 is the whole double FAMILY
+   * (float or double) and 4/5 are temporal.
+   * Only the root renders a PlainTerm struct, so intermediates
    * never build structs or lexical strings, and only the branch matching the
    * runtime kind is evaluated per row. None ⇒ the subtree contains
    * non-arithmetic nodes; caller falls back to term-struct compilation.
@@ -280,21 +284,27 @@ object ExprCompiler {
           // survives into the plan
           val dec = if (k == 3) lit(null).cast(DecimalType(36, 16))
                     else value(c).try_cast(DecimalType(36, 16))
-          Some((numDouble(c), dec, lit(k)))
+          // static kind 3 = double FAMILY: split into runtime float/double
+          // by the datatype field (one cheap string test, no INSET)
+          val rk = if (k == 3) when(datatypeRaw(c) === graft.model.Xsd.float, lit(3)).otherwise(lit(4))
+                   else lit(k)
+          Some((numDouble(c), dec, rk))
         case Some(_) =>
           // statically temporal: never numeric — arithmetic on it is a
           // type error regardless of the runtime value
           Some((lit(null).cast(DoubleType), lit(null).cast(DecimalType(36, 16)), lit(0)))
         case None =>
           val kind = when(!coalesce(isNumeric(c), lit(false)), lit(0))
-            .when(isDoubleTyped(c), lit(3))
+            .when(isStrictDoubleTyped(c), lit(4))
+            .when(isFloatTyped(c), lit(3))
             .when(isDecimalTyped(c), lit(2))
             .otherwise(lit(1))
           Some((numDouble(c), numDecimal(c), kind))
       }
     case ETerm(graft.model.Lit(v, dt, None)) =>
       val kind =
-        if (dt == graft.model.Xsd.double || dt == graft.model.Xsd.float) 3
+        if (dt == graft.model.Xsd.double) 4
+        else if (dt == graft.model.Xsd.float) 3
         else if (dt == graft.model.Xsd.decimal) 2
         else if (graft.model.Xsd.numericTypes.contains(dt)) 1
         else 0
@@ -421,7 +431,8 @@ object ExprCompiler {
     * one lexical render per row, only for the branch actually taken). */
   private def renderNumeric(d: Column, dec: Column, kind: Column): Column =
     when(kind === 0, nullTerm)
-      .when(kind === 3, fromDouble(d))
+      .when(kind === 4, fromDouble(d))
+      .when(kind === 3, fromFloat(d))
       .when(kind === 2, fromDecimal(dec))
       .otherwise(fromLong(dec.cast(LongType)))
 
@@ -463,7 +474,7 @@ object ExprCompiler {
    * temporal static kinds are shape-checked at the claim site.
    */
   def bindKind(e: Expr, env: Env): Option[Int] = e match {
-    case ETerm(graft.model.Lit(v, _, None)) =>
+    case ETerm(graft.model.Lit(v, dt, None)) =>
       staticKind(e, env).filter {
         // the range checks keep the narrow representations (LongType /
         // Decimal(36,16)) lossless — out-of-range literals simply claim no
@@ -475,7 +486,10 @@ object ExprCompiler {
           bd.stripTrailingZeros.toPlainString == v && bd.scale <= 16 &&
             bd.precision - bd.scale <= 20
         }.getOrElse(false)
-        case 3 => scala.util.Try {
+        case 3 => dt == graft.model.Xsd.double && scala.util.Try {
+          // xsd:float stays on the generic path: the narrow-key collapse
+          // reconstructs kind-3 values as xsd:double, which would silently
+          // retype a float group key / MIN-MAX result
           val d = v.toDouble
           val canon = if (d == d.toLong.toDouble && math.abs(d) < 1e15) d.toLong.toString
                       else d.toString
@@ -500,12 +514,13 @@ object ExprCompiler {
       else temporalLex(e, env).map(_._1)
     }
 
-  /** Numeric promotion ladder Integer → Decimal → Double; `/` of integers is
-    * decimal (reference lib/functions/src/scalar/numeric/{add,div,…}.rs,
+  /** Numeric promotion ladder Integer → Decimal → Float → Double; `/` of
+    * integers is decimal (reference lib/functions/src/scalar/numeric/{add,div,…}.rs,
     * ladder lib/model/src/xsd/numeric.rs). Non-numeric operand → error. */
   def arith(op: String, l: Column, r: Column): Column = {
     val bothNum = isNumeric(l) && isNumeric(r)
-    val anyDouble = isDoubleTyped(l) || isDoubleTyped(r)
+    val anyDouble = isStrictDoubleTyped(l) || isStrictDoubleTyped(r)
+    val anyFloat = isFloatTyped(l) || isFloatTyped(r)
     val anyDecimal = isDecimalTyped(l) || isDecimalTyped(r)
     val dl = numDouble(l); val dr = numDouble(r)
     val el = numDecimal(l); val er = numDecimal(r)
@@ -523,12 +538,14 @@ object ExprCompiler {
     }
     when(!bothNum, nullTerm)
       .when(anyDouble, if (op == "/") fromDouble(dl / dr) else fromDouble(dres))
+      .when(anyFloat, if (op == "/") fromFloat(dl / dr) else fromFloat(dres))
       .when(lit(op == "/") || anyDecimal, fromDecimal(eres))
       .otherwise(fromLong(eres.cast(LongType)))
   }
 
   def negate(c: Column): Column =
     when(!isNumeric(c), nullTerm)
+      .when(isFloatTyped(c), fromFloat(-numDouble(c)))
       .when(isDoubleTyped(c), fromDouble(-numDouble(c)))
       .when(isDecimalTyped(c), fromDecimal(-numDecimal(c)))
       .otherwise(fromLong((-numDecimal(c)).cast(LongType)))
@@ -702,6 +719,7 @@ object ExprCompiler {
 
   private def numericUnary(c: Column, d: Column => Column, e: Column => Column): Column =
     when(!isNumeric(c), nullTerm)
+      .when(isFloatTyped(c), fromFloat(d(numDouble(c))))
       .when(isDoubleTyped(c), fromDouble(d(numDouble(c))))
       .when(isDecimalTyped(c), fromDecimal(e(numDecimal(c))))
       .otherwise(fromLong(e(numDecimal(c)).cast(LongType)))

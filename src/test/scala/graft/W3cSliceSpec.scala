@@ -68,7 +68,16 @@ class W3cSliceSpec extends SparkSpec {
         val text = new String(Files.readAllBytes(t.query), java.nio.charset.StandardCharsets.UTF_8)
         val g = Graft(readData(t))
         val resultFile = t.result.getOrElse(fail("no result file"))
-        TestSuite.readSrx(resultFile) match {
+        if (resultFile.toString.endsWith(".ttl")) {
+          // CONSTRUCT test: expected is a ground graph — set-compare triples
+          val expected = Turtle.parse(
+            new String(Files.readAllBytes(resultFile), java.nio.charset.StandardCharsets.UTF_8))
+            .map(q => (q.subject, q.predicate: RdfTerm, q.obj)).toSet
+          val actual = rowsOf(g.query(text))
+            .map(m => (m("subject"), m("predicate"), m("object"))).toSet
+          assert(actual == expected,
+            s"graph mismatch:\nactual  =$actual\nexpected=$expected")
+        } else TestSuite.readSrx(resultFile) match {
           case ExpectedBoolean(b) =>
             assert(g.askBoolean(text) == b, s"ASK mismatch, expected $b")
           case ExpectedSolutions(_, expRows, _) =>
