@@ -574,7 +574,21 @@ object ExprCompiler {
       case "LANG" => when(isLiteral(a0), str(coalesce(langTag(a0), lit("")))).otherwise(nullTerm)
       case "DATATYPE" => when(isLiteral(a0), TermCols.iri(datatype(a0))).otherwise(nullTerm)
       case "IRI" | "URI" =>
-        when(isIri(a0), a0).when(isSimpleString(a0), TermCols.iri(value(a0))).otherwise(nullTerm)
+        // optional 2nd arg = parser-attached query BASE (constant): resolve
+        // relative references RFC3986-style; constant folding collapses the
+        // base-derived prefixes at plan time
+        val raw = value(a0)
+        val resolved =
+          if (args.size < 2) raw
+          else {
+            val b = value(a1)
+            when(raw.rlike("^[A-Za-z][A-Za-z0-9+.\\-]*:"), raw)
+              .when(raw.startsWith("#"), concat(b, raw))
+              .when(raw.startsWith("/"),
+                concat(regexp_extract(b, "^([A-Za-z][A-Za-z0-9+.\\-]*://[^/]*)", 1), raw))
+              .otherwise(concat(regexp_replace(b, "[^/]*$", ""), raw))
+          }
+        when(isIri(a0), a0).when(isSimpleString(a0), TermCols.iri(resolved)).otherwise(nullTerm)
       case "BNODE" =>
         if (args.isEmpty) TermCols.bnode(expr("uuid()"))
         else when(isSimpleString(a0), TermCols.bnode(concat(lit("b"), md5(value(a0))))).otherwise(nullTerm)

@@ -502,7 +502,13 @@ class SparqlParser extends RegexParsers {
       case c ~ t ~ f => EIf(c, t, f) } |
     kw("COALESCE") ~> exprList ^^ (ECoalesce(_)) |
     builtinName ~ opt(exprList) ^^ {
-      case n ~ Some(args) => ECall(n, args)
+      case n ~ Some(args) =>
+        // IRI(expr) resolves relative references against the query BASE
+        // (SPARQL 17.4.2.8); attach it as an internal constant 2nd argument
+        // so the expression compiler sees it without threading env state
+        if ((n == "IRI" || n == "URI") && args.size == 1 && baseIri.isDefined)
+          ECall(n, args :+ ETerm(graft.model.Lit(baseIri.get, graft.model.Xsd.string, None)))
+        else ECall(n, args)
       case n ~ None if zeroArg(n) => ECall(n, Nil)
       case n ~ None => throw new IllegalArgumentException(s"builtin $n needs arguments")
     }

@@ -37,7 +37,17 @@ class W3cSliceSpec extends SparkSpec {
   }
 
   private def readData(t: QueryEvalTest) = {
-    val dfs = (t.data.toSeq ++ t.graphData).map(p => Turtle.read(spark, p.toString))
+    val default = t.data.toSeq.map(p => Turtle.read(spark, p.toString))
+    // W3C convention: each qt:graphData file loads into a NAMED graph whose
+    // IRI derives from the file; the slice pins it as http://example.org/g/<name>
+    val named = t.graphData.map { p =>
+      val iri = Iri("http://example.org/g/" + p.getFileName.toString)
+      val quads = Turtle.parse(
+        new String(Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8))
+        .map(q => q.copy(graph = Some(iri)))
+      Turtle.quadsToDF(spark, quads)
+    }
+    val dfs = default ++ named
     if (dfs.isEmpty) Turtle.quadsToDF(spark, Nil) else dfs.reduce(_ unionAll _)
   }
 
