@@ -28,7 +28,8 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
                      fromNamed: Seq[String] = Nil,
                      star: Option[StarSource] = None,
                      fuseStars: Boolean = true,
-                     quadStarFusion: Boolean = false) {
+                     quadStarFusion: Boolean = false,
+                     compatUnion: Boolean = true) {
 
   import GraphScope._
 
@@ -460,6 +461,23 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
       }
     }
 
+    // No-equi compat join: when idKeys is empty and EVERY shared variable is
+    // nullable on some side, the condition below is pure isCompatible(...) —
+    // Catalyst extracts no equi keys and plans a BroadcastNestedLoopJoin,
+    // O(n·m) work with two large sides (the OPTIONAL-chain shape). Rewrite as
+    // a union over null-pattern slices: slice pairs that share a bound
+    // variable hash-join on it; pairs where every shared var is null on one
+    // side are all-compatible, so their cross is proportional to the
+    // operator's OUTPUT — inherent result size, not a plan defect. The
+    // reference keeps the theta filter (lib/logical/src/join/rewrite.rs:
+    // 183-221 + is_compatible.rs:18-100); this is exceed-the-reference work
+    // per SURVEY §2.3.
+    if (compatUnion && idKeys.isEmpty && shared.nonEmpty &&
+        shared.forall(v => l.isNullable(v) || r.isNullable(v)) &&
+        (1L << shared.count(l.isNullable)) * (1L << shared.count(r.isNullable))
+          <= Rewriter.CompatUnionMaxBranches)
+      return compatUnionJoin(l, r, joinType, filter, shared, rOnly, outVars, outTiny)
+
     // general path: explicit condition (native-typed idKey equality + compat
     // per shared var + LeftJoin filter inside the condition, SPARQL
     // semantics), then coalesce shared columns
@@ -492,6 +510,108 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
       (if (joinType == "left") rOnly.toSet
        else r.maybeUnbound.filter(rOnly.contains))
     SPlan(joined.select(out: _*), outVars, mu, mergeKinds(l, r), outTiny)
+  }
+
+  /** Compat join with no equi component, as a union of null-pattern equi-join
+    * slices (see the call site in [[join]] for why). Each side splits by
+    * which of its nullable shared vars are NULL; a (leftPattern,
+    * rightPattern) pair equi-joins on the vars bound in BOTH patterns —
+    * compatibility holds for free on the rest (null on ≥1 side). LeftJoin
+    * decomposes as inner-matches ∪ (unmatched left rows, null-padded),
+    * keyed by a stable per-row id so bag semantics survive. Both sides are
+    * localCheckpoint'ed: each is scanned once per null-pattern, and the
+    * row id must not be recomputed across plan subtrees. */
+  private def compatUnionJoin(l: SPlan, r: SPlan, joinType: String,
+                              filter: Option[Expr], shared: Seq[String],
+                              rOnly: Seq[String], outVars: Seq[String],
+                              outTiny: Boolean): SPlan = {
+    val ln = shared.filter(l.isNullable)
+    val rn = shared.filter(r.isNullable)
+    val rowId = fresh("lrow")
+    val ldf0 =
+      if (joinType == "left") l.df.withColumn(rowId, monotonically_increasing_id())
+      else l.df
+    val ldf = if (joinType == "left" || ln.nonEmpty) ldf0.localCheckpoint() else ldf0
+    val rdf0 = r.df.select(r.vars.map(v => col(v).as("__r_" + v)): _*)
+    val rdf = if (rn.nonEmpty) rdf0.localCheckpoint() else rdf0
+
+    def subsets(vs: Seq[String]): Seq[Set[String]] =
+      vs.foldLeft(Seq(Set.empty[String]))((acc, v) => acc ++ acc.map(_ + v))
+    // Null-pattern histogram per side (one cheap aggregation over the
+    // checkpointed relation): empty slices prune their branches from the
+    // PLAN — on data where OPTIONAL always matched, every cross branch
+    // vanishes and only hash joins remain — and tiny null slices broadcast
+    // in the cross branches that survive.
+    def patternCounts(df: DataFrame, vs: Seq[String], pre: String): Map[Set[String], Long] =
+      if (vs.isEmpty) Map.empty
+      else df.groupBy(vs.map(v => col(pre + v).isNull.as(v)): _*).count()
+        .collect().map { row =>
+          (vs.zipWithIndex.collect { case (v, i) if row.getBoolean(i) => v }.toSet,
+            row.getLong(vs.size))
+        }.toMap
+    val lCounts = patternCounts(ldf, ln, "")
+    val rCounts = patternCounts(rdf, rn, "__r_")
+    def sliceRows(counts: Map[Set[String], Long], vs: Seq[String], nulls: Set[String]): Long =
+      if (vs.isEmpty) Long.MaxValue else counts.getOrElse(nulls, 0L)
+    val filterCond = filter.map { f =>
+      val env: ExprCompiler.Env = name =>
+        if (shared.contains(name)) coalesce(col(name), col("__r_" + name))
+        else if (l.vars.contains(name)) col(name)
+        else if (r.vars.contains(name)) col("__r_" + name)
+        else TermCols.nullTerm
+      ExprCompiler.ebv(f, env)
+    }
+    val branches = for {
+      aNull <- subsets(ln)
+      bNull <- subsets(rn)
+      lRows = sliceRows(lCounts, ln, aNull)
+      rRows = sliceRows(rCounts, rn, bNull)
+      if lRows > 0 && rRows > 0
+    } yield {
+      val lslice = ln.foldLeft(ldf)((d, v) =>
+        d.filter(if (aNull(v)) col(v).isNull else col(v).isNotNull))
+      val rslice0 = rn.foldLeft(rdf)((d, v) =>
+        d.filter(if (bNull(v)) col("__r_" + v).isNull else col("__r_" + v).isNotNull))
+      val rslice = if (r.tiny) broadcast(rslice0) else rslice0
+      val keys = shared.filterNot(v => aNull(v) || bNull(v))
+      if (keys.nonEmpty) {
+        val cond = (keys.map(k => col(k) === col("__r_" + k)) ++ filterCond).reduce(_ && _)
+        lslice.join(rslice, cond, "inner")
+      } else {
+        // every shared var null on one side → all rows compatible; the cross
+        // is the operator's actual output for these slices. Broadcast the
+        // (measured) smaller slice when it fits.
+        val j =
+          if (rRows <= lRows && rRows <= Rewriter.CrossBroadcastRows)
+            lslice.crossJoin(broadcast(rslice0))
+          else if (lRows < rRows && lRows <= Rewriter.CrossBroadcastRows)
+            broadcast(lslice).crossJoin(rslice)
+          else lslice.crossJoin(rslice)
+        filterCond.map(j.filter).getOrElse(j)
+      }
+    }
+    val inner = branches.reduceOption(_ unionAll _)
+      .getOrElse(ldf.limit(0).crossJoin(rdf.limit(0)))
+    val out = outVars.map { v =>
+      if (shared.contains(v)) coalesce(col(v), col("__r_" + v)).as(v)
+      else if (l.vars.contains(v)) col(v)
+      else col("__r_" + v).as(v)
+    }
+    val muShared = shared.filter(v =>
+      if (joinType == "left") l.isNullable(v)
+      else l.isNullable(v) && r.isNullable(v)).toSet
+    val mu = (l.maybeUnbound -- shared) ++ muShared ++
+      (if (joinType == "left") rOnly.toSet
+       else r.maybeUnbound.filter(rOnly.contains))
+    if (joinType == "inner")
+      SPlan(inner.select(out: _*), outVars, mu, mergeKinds(l, r), outTiny)
+    else {
+      val matched = inner.select(col(rowId)).distinct()
+      val unmatched = ldf.join(matched, Seq(rowId), "left_anti")
+      val padded = unmatched.select(outVars.map(v =>
+        if (l.vars.contains(v)) col(v) else TermCols.nullTerm.as(v)): _*)
+      SPlan(inner.select(out: _*).unionAll(padded), outVars, mu, mergeKinds(l, r), outTiny)
+    }
   }
 
   /** MINUS (reference lib/logical/src/minus/rewrite.rs:51-136): anti join on
@@ -1412,6 +1532,13 @@ object Rewriter {
   /** Row bound under which a materialised aggregate-rooted cross-join side
     * broadcasts (~100k term-struct rows ≈ tens of MB serialized). */
   private[engine] val CrossBroadcastRows: Long = 1L << 17
+
+  /** Cap on null-pattern slice pairs in the compat-union join rewrite
+    * (2^|nullable-left| × 2^|nullable-right|). 16 covers up to two nullable
+    * shared vars per side; beyond that the branch fan-out costs more than the
+    * theta join it replaces, so the general path keeps such (rare,
+    * deeply-OPTIONAL) shapes. */
+  private[engine] val CompatUnionMaxBranches: Long = 16L
 
   /** Computed closures memoised per (session, edges plan, seeds plan) — a
     * transitive closure is a build-once/query-many artifact exactly like

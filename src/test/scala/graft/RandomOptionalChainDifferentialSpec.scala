@@ -1,0 +1,142 @@
+package graft
+
+import graft.engine.Graft
+import graft.model._
+import graft.sources.Turtle
+
+/**
+ * Differential for the compat-union join rewrite (Rewriter.compatUnionJoin):
+ * joins whose every shared variable is OPTIONAL-introduced (nullable) used to
+ * plan a pure-theta BroadcastNestedLoopJoin; they now plan a union of
+ * null-pattern equi-join slices. The theta path (Graft.thetaCompat) stays as
+ * the semantic reference — random OPTIONAL-chain queries must produce
+ * identical bags on both paths, and the rewritten plan on all-matched data
+ * must contain no nested-loop or cartesian node.
+ */
+class RandomOptionalChainDifferentialSpec extends SparkSpec {
+
+  private def bag(df: org.apache.spark.sql.DataFrame, vars: Seq[String]): Seq[String] =
+    df.collect().toSeq.map { r =>
+      vars.map { v =>
+        val i = r.fieldIndex(v)
+        if (r.isNullAt(i)) "∅" else {
+          val st = r.getStruct(i)
+          st.getByte(0) + "|" + st.getString(1)
+        }
+      }.mkString(" ")
+    }.sorted
+
+  private def randomQuads(rnd: scala.util.Random, nPreds: Int) = {
+    val nodes = (0 until 7).map(i => Iri(s"urn:n$i"))
+    val preds = (0 until nPreds).map(i => Iri(s"urn:p$i"))
+    val triples = Seq.fill(16 + rnd.nextInt(14))(
+      (nodes(rnd.nextInt(nodes.size)), preds(rnd.nextInt(preds.size)),
+        nodes(rnd.nextInt(nodes.size)))).distinct
+    Turtle.quadsToDF(spark, triples.map(t => RdfQuad(None, t._1, t._2, t._3)))
+  }
+
+  /** Inner join of two OPTIONAL blocks sharing only the nullable ?x:
+    * the no-equi compat shape (nullable on BOTH sides). */
+  private def innerChainCase(seed: Int): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val quads = randomQuads(rnd, 4)
+    def p() = s"<urn:p${rnd.nextInt(4)}>"
+    val q =
+      s"""SELECT ?a ?b ?x WHERE {
+         |  { ?a ${p()} ?s . OPTIONAL { ?s ${p()} ?x } }
+         |  { ?b ${p()} ?t . OPTIONAL { ?t ${p()} ?x } }
+         |}""".stripMargin
+    val vars = Seq("a", "b", "x")
+    val got = bag(Graft(quads).select(q), vars)
+    val ref = bag(Graft.thetaCompat(quads).select(q), vars)
+    assert(got == ref, s"seed=$seed\nquery=$q\ngot=$got\nref=$ref")
+  }
+
+  /** Chained OPTIONALs: the second left join's shared ?x is nullable on the
+    * left, definitely bound on the right — the left-join decomposition
+    * (inner matches ∪ anti-keyed unmatched). */
+  private def leftChainCase(seed: Int): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val quads = randomQuads(rnd, 4)
+    def p() = s"<urn:p${rnd.nextInt(4)}>"
+    val q =
+      s"""SELECT ?a ?x ?y WHERE {
+         |  ?a ${p()} ?s . OPTIONAL { ?s ${p()} ?x } OPTIONAL { ?x ${p()} ?y }
+         |}""".stripMargin
+    val vars = Seq("a", "x", "y")
+    val got = bag(Graft(quads).select(q), vars)
+    val ref = bag(Graft.thetaCompat(quads).select(q), vars)
+    assert(got == ref, s"seed=$seed\nquery=$q\ngot=$got\nref=$ref")
+  }
+
+  /** FILTER inside the OPTIONAL referencing an outer var — the filter rides
+    * inside the join condition, so unmatched-by-filter rows must null-pad. */
+  private def filteredChainCase(seed: Int): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val quads = randomQuads(rnd, 3)
+    def p() = s"<urn:p${rnd.nextInt(3)}>"
+    val q =
+      s"""SELECT ?a ?x ?y WHERE {
+         |  ?a ${p()} ?s . OPTIONAL { ?s ${p()} ?x }
+         |  OPTIONAL { ?x ${p()} ?y FILTER(?y != ?a) }
+         |}""".stripMargin
+    val vars = Seq("a", "x", "y")
+    val got = bag(Graft(quads).select(q), vars)
+    val ref = bag(Graft.thetaCompat(quads).select(q), vars)
+    assert(got == ref, s"seed=$seed\nquery=$q\ngot=$got\nref=$ref")
+  }
+
+  /** Two nullable shared vars across the join (x from each side's OPTIONAL,
+    * y bound-left/nullable-right) — exercises the multi-var pattern split. */
+  private def twoVarCase(seed: Int): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val quads = randomQuads(rnd, 4)
+    def p() = s"<urn:p${rnd.nextInt(4)}>"
+    val q =
+      s"""SELECT ?x ?y WHERE {
+         |  { ?a ${p()} ?s . OPTIONAL { ?s ${p()} ?x . ?s ${p()} ?y } }
+         |  { ?b ${p()} ?t . OPTIONAL { ?t ${p()} ?x } OPTIONAL { ?t ${p()} ?y } }
+         |}""".stripMargin
+    val vars = Seq("x", "y")
+    val got = bag(Graft(quads).select(q), vars)
+    val ref = bag(Graft.thetaCompat(quads).select(q), vars)
+    assert(got == ref, s"seed=$seed\nquery=$q\ngot=$got\nref=$ref")
+  }
+
+  test("compat-union ≡ theta join on 20 random inner OPTIONAL-chain cases") {
+    (1 to 20).foreach(innerChainCase)
+  }
+  test("compat-union ≡ theta join on 20 random chained-OPTIONAL left joins") {
+    (100 to 119).foreach(leftChainCase)
+  }
+  test("compat-union ≡ theta join on 15 random filtered OPTIONAL chains") {
+    (200 to 214).foreach(filteredChainCase)
+  }
+  test("compat-union ≡ theta join on 15 random two-nullable-var cases") {
+    (300 to 314).foreach(twoVarCase)
+  }
+
+  test("all-matched OPTIONAL chain plans hash joins only — no nested loop, no cartesian") {
+    // every ?s has p1 and every ?t has p3 → null slices empty → branches
+    // prune to the single bound×bound equi join
+    val quads = Turtle.quadsToDF(spark, (0 until 8).flatMap { i =>
+      Seq(
+        RdfQuad(None, Iri(s"urn:a$i"), Iri("urn:p0"), Iri(s"urn:s$i")),
+        RdfQuad(None, Iri(s"urn:s$i"), Iri("urn:p1"), Iri(s"urn:x${i % 3}")),
+        RdfQuad(None, Iri(s"urn:b$i"), Iri("urn:p2"), Iri(s"urn:t$i")),
+        RdfQuad(None, Iri(s"urn:t$i"), Iri("urn:p3"), Iri(s"urn:x${i % 4}")))
+    })
+    val q =
+      """SELECT ?a ?b ?x WHERE {
+        |  { ?a <urn:p0> ?s . OPTIONAL { ?s <urn:p1> ?x } }
+        |  { ?b <urn:p2> ?t . OPTIONAL { ?t <urn:p3> ?x } }
+        |}""".stripMargin
+    val df = Graft(quads).select(q)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // and the result still matches the theta reference
+    val vars = Seq("a", "b", "x")
+    assert(bag(df, vars) == bag(Graft.thetaCompat(quads).select(q), vars))
+  }
+}
