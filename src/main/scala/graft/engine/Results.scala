@@ -1,9 +1,10 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
 import graft.encoding.TermCols
-import graft.model.{Rdf, TermType, Xsd}
+import graft.model.Xsd
 
 /**
  * SPARQL result serialisation — XML (SRX), JSON (SRJ), CSV, TSV — over a
@@ -11,10 +12,12 @@ import graft.model.{Rdf, TermType, Xsd}
  * (query results surface lib/execution/src/results/, format test suites
  * testsuite/tests/sparql.rs:72-92).
  *
- * CSV/TSV are row-parallel column expressions (`df.write.text`-ready);
- * XML/JSON build the (small, user-facing) document on the driver via
- * toLocalIterator — results at this point are the *output* of a query, not
- * intermediate data.
+ * EVERY format renders distributed: `to*Lines` produce one serialised row
+ * fragment per solution as a single-column DataFrame (codegen'd column
+ * expressions, `df.write.text`-ready). The HTTP server streams these
+ * partition-by-partition (`toLocalIterator`) under chunked transfer, so a
+ * big SELECT never materialises on the driver; the `*String` conveniences
+ * assemble the same lines into one document for small/embedded use.
  */
 object Results {
 
@@ -33,81 +36,95 @@ object Results {
     case c => c.toString
   }
 
-  private final case class T(tpe: Byte, v: String, dt: String, lang: String)
+  /** Column-expression JSON string escape (same mapping as [[jsonEscape]]):
+    * backslash and quote, short escapes for \n\r\t, \u00XX for the other C0
+    * control characters. */
+  private def jsonEscCol(c: Column): Column = {
+    var e = regexp_replace(c, "\\\\", "\\\\\\\\")
+    e = regexp_replace(e, "\"", "\\\\\"")
+    e = regexp_replace(e, "\n", "\\\\n")
+    e = regexp_replace(e, "\r", "\\\\r")
+    e = regexp_replace(e, "\t", "\\\\t")
+    (0 until 32).filterNot(i => i == 9 || i == 10 || i == 13).foldLeft(e)((acc, i) =>
+      regexp_replace(acc, f"\\x{$i%02x}", "\\\\" + f"u$i%04x"))
+  }
 
-  private def termOf(r: Row, i: Int): Option[T] =
-    Option(r.getStruct(i)).map(st => T(st.getByte(0), st.getString(1), st.getString(2), st.getString(3)))
+  private def xmlEscCol(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      c, "&", "&amp;"), "<", "&lt;"), ">", "&gt;"), "\"", "&quot;")
 
   // --------------------------------------------------------------------- SRX
 
-  /** SPARQL Query Results XML (https://www.w3.org/TR/rdf-sparql-XMLres/). */
-  def toXml(df: DataFrame): String = {
-    val vars = df.columns
-    val sb = new StringBuilder
-    sb ++= "<?xml version=\"1.0\"?>\n<sparql xmlns=\"http://www.w3.org/2005/sparql-results#\">\n<head>"
-    vars.foreach(v => sb ++= s"""<variable name="${xmlEscape(v)}"/>""")
-    sb ++= "</head>\n<results>\n"
-    df.toLocalIterator().forEachRemaining { r =>
-      sb ++= "<result>"
-      vars.zipWithIndex.foreach { case (v, i) =>
-        termOf(r, i).foreach { t =>
-          sb ++= s"""<binding name="${xmlEscape(v)}">"""
-          t.tpe match {
-            case TermType.Iri => sb ++= s"<uri>${xmlEscape(t.v)}</uri>"
-            case TermType.BlankNode => sb ++= s"<bnode>${xmlEscape(t.v)}</bnode>"
-            case _ =>
-              if (t.lang != null) sb ++= s"""<literal xml:lang="${t.lang}">${xmlEscape(t.v)}</literal>"""
-              else if (t.dt != null && t.dt != Xsd.string)
-                sb ++= s"""<literal datatype="${xmlEscape(t.dt)}">${xmlEscape(t.v)}</literal>"""
-              else sb ++= s"<literal>${xmlEscape(t.v)}</literal>"
-          }
-          sb ++= "</binding>"
-        }
-      }
-      sb ++= "</result>\n"
+  /** SRX document prologue: XML declaration + head of variables. */
+  def xmlHead(vars: Seq[String]): String =
+    "<?xml version=\"1.0\"?>\n<sparql xmlns=\"http://www.w3.org/2005/sparql-results#\">\n<head>" +
+      vars.map(v => s"""<variable name="${xmlEscape(v)}"/>""").mkString +
+      "</head>\n<results>\n"
+
+  val XmlTail: String = "</results>\n</sparql>\n"
+
+  /** One `<result>…</result>` element per solution, rendered distributed. */
+  def toXmlLines(df: DataFrame): DataFrame = {
+    val frags = df.columns.map { v =>
+      val c = col(v)
+      val lex = xmlEscCol(TermCols.value(c))
+      val inner =
+        when(TermCols.isIri(c), concat(lit("<uri>"), lex, lit("</uri>")))
+          .when(TermCols.isBlank(c), concat(lit("<bnode>"), lex, lit("</bnode>")))
+          .when(TermCols.langTag(c).isNotNull,
+            concat(lit("<literal xml:lang=\""), TermCols.langTag(c), lit("\">"), lex, lit("</literal>")))
+          .when(TermCols.datatypeRaw(c).isNotNull && TermCols.datatypeRaw(c) =!= Xsd.string,
+            concat(lit("<literal datatype=\""), xmlEscCol(TermCols.datatypeRaw(c)), lit("\">"), lex, lit("</literal>")))
+          .otherwise(concat(lit("<literal>"), lex, lit("</literal>")))
+      when(c.isNull, lit(null).cast(StringType)).otherwise(
+        concat(lit(s"""<binding name="${xmlEscape(v)}">"""), inner, lit("</binding>")))
     }
-    sb ++= "</results>\n</sparql>\n"
-    sb.result()
+    df.select(concat(lit("<result>"), concat_ws("", frags.toSeq: _*), lit("</result>")).as("value"))
   }
+
+  /** SPARQL Query Results XML (https://www.w3.org/TR/rdf-sparql-XMLres/). */
+  def toXml(df: DataFrame): String =
+    xmlHead(df.columns.toSeq) +
+      toXmlLines(df).collect().map(_.getString(0) + "\n").mkString + XmlTail
 
   def booleanXml(b: Boolean): String =
     s"""<?xml version="1.0"?>\n<sparql xmlns="http://www.w3.org/2005/sparql-results#"><head/><boolean>$b</boolean></sparql>\n"""
 
   // --------------------------------------------------------------------- SRJ
 
-  /** SPARQL Query Results JSON (https://www.w3.org/TR/sparql11-results-json/). */
-  def toJson(df: DataFrame): String = {
-    val vars = df.columns
-    val sb = new StringBuilder
-    sb ++= """{"head":{"vars":[""" + vars.map(v => "\"" + jsonEscape(v) + "\"").mkString(",") +
+  /** SRJ document prologue: head of variables, opening the bindings array. */
+  def jsonHead(vars: Seq[String]): String =
+    """{"head":{"vars":[""" + vars.map(v => "\"" + jsonEscape(v) + "\"").mkString(",") +
       """]},"results":{"bindings":["""
-    var first = true
-    df.toLocalIterator().forEachRemaining { r =>
-      if (!first) sb += ','
-      first = false
-      sb += '{'
-      var firstB = true
-      vars.zipWithIndex.foreach { case (v, i) =>
-        termOf(r, i).foreach { t =>
-          if (!firstB) sb += ','
-          firstB = false
-          sb ++= "\"" + jsonEscape(v) + "\":{"
-          t.tpe match {
-            case TermType.Iri => sb ++= s""""type":"uri","value":"${jsonEscape(t.v)}""""
-            case TermType.BlankNode => sb ++= s""""type":"bnode","value":"${jsonEscape(t.v)}""""
-            case _ =>
-              sb ++= s""""type":"literal","value":"${jsonEscape(t.v)}""""
-              if (t.lang != null) sb ++= s""","xml:lang":"${t.lang}""""
-              else if (t.dt != null && t.dt != Xsd.string) sb ++= s""","datatype":"${jsonEscape(t.dt)}""""
-          }
-          sb += '}'
-        }
-      }
-      sb += '}'
+
+  val JsonTail: String = "]}}"
+
+  /** One JSON binding object per solution (no separators), rendered
+    * distributed; join with ',' between [[jsonHead]] and [[JsonTail]]. */
+  def toJsonLines(df: DataFrame): DataFrame = {
+    val frags = df.columns.map { v =>
+      val c = col(v)
+      val lex = jsonEscCol(TermCols.value(c))
+      val inner =
+        when(TermCols.isIri(c), concat(lit("\"type\":\"uri\",\"value\":\""), lex, lit("\"")))
+          .when(TermCols.isBlank(c), concat(lit("\"type\":\"bnode\",\"value\":\""), lex, lit("\"")))
+          .otherwise(concat(
+            lit("\"type\":\"literal\",\"value\":\""), lex, lit("\""),
+            when(TermCols.langTag(c).isNotNull,
+              concat(lit(",\"xml:lang\":\""), TermCols.langTag(c), lit("\"")))
+              .when(TermCols.datatypeRaw(c).isNotNull && TermCols.datatypeRaw(c) =!= Xsd.string,
+                concat(lit(",\"datatype\":\""), jsonEscCol(TermCols.datatypeRaw(c)), lit("\"")))
+              .otherwise(lit(""))))
+      when(c.isNull, lit(null).cast(StringType)).otherwise(
+        concat(lit("\"" + jsonEscape(v) + "\":{"), inner, lit("}")))
     }
-    sb ++= "]}}"
-    sb.result()
+    df.select(concat(lit("{"), concat_ws(",", frags.toSeq: _*), lit("}")).as("value"))
   }
+
+  /** SPARQL Query Results JSON (https://www.w3.org/TR/sparql11-results-json/). */
+  def toJson(df: DataFrame): String =
+    jsonHead(df.columns.toSeq) +
+      toJsonLines(df).collect().map(_.getString(0)).mkString(",") + JsonTail
 
   def booleanJson(b: Boolean): String = s"""{"head":{},"boolean":$b}"""
 

@@ -88,7 +88,7 @@ final class SparqlServer private (spark: SparkSession, initial: DataFrame, port:
           case _: graft.sparql.Algebra.SelectQuery =>
             val (mt, fmt) = negotiate(accept, ResultFormats, "application/sparql-results+json")
             val df = Graft(scoped).select(q)
-            respond(ex, 200, mt, serializeResults(df, fmt))
+            respondResultsStreaming(ex, mt, df, fmt)
           case _: graft.sparql.Algebra.AskQuery =>
             val (mt, fmt) = negotiate(accept, ResultFormats, "application/sparql-results+json")
             val b = Graft(scoped).askBoolean(q)
@@ -228,12 +228,36 @@ final class SparqlServer private (spark: SparkSession, initial: DataFrame, port:
     }
   }
 
-  private def serializeResults(df: DataFrame, fmt: String): Array[Byte] = (fmt match {
-    case "json" => Results.toJson(df)
-    case "xml" => Results.toXml(df)
-    case "csv" => Results.csvString(df)
-    case "tsv" => Results.tsvString(df)
-  }).getBytes(UTF_8)
+  /** Stream a SELECT result with chunked transfer encoding: the head/header
+    * goes out eagerly, then one rendered line per solution is pulled
+    * partition by partition from the per-row renderers
+    * (Results.to{Json,Xml,Csv,Tsv}Lines) — driver memory stays one partition
+    * of rendered lines regardless of result size, like the RDF formats. */
+  private def respondResultsStreaming(ex: HttpExchange, contentType: String,
+                                      df: DataFrame, fmt: String): Unit = {
+    val vars = df.columns.toSeq
+    val (head, lines, sep, lineEnd, tail) = fmt match {
+      case "json" => (Results.jsonHead(vars), Results.toJsonLines(df), ",", "", Results.JsonTail)
+      case "xml"  => (Results.xmlHead(vars), Results.toXmlLines(df), "", "\n", Results.XmlTail)
+      case "csv"  => (vars.mkString(",") + "\r\n", Results.toCsvLines(df), "", "\r\n", "")
+      case "tsv"  => (vars.map("?" + _).mkString("\t") + "\n", Results.toTsvLines(df), "", "\n", "")
+    }
+    ex.getResponseHeaders.set("Content-Type", contentType + ";charset=utf-8")
+    ex.sendResponseHeaders(200, 0) // length 0 → chunked
+    val os: OutputStream = ex.getResponseBody
+    val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(os, UTF_8), 1 << 16)
+    w.write(head)
+    val it = lines.toLocalIterator()
+    var first = true
+    while (it.hasNext) {
+      if (!first && sep.nonEmpty) w.write(sep)
+      first = false
+      w.write(it.next().getString(0))
+      if (lineEnd.nonEmpty) w.write(lineEnd)
+    }
+    w.write(tail)
+    w.flush()
+  }
 
   /** The line DataFrame for a quads frame in the negotiated RDF format —
     * all formats render distributed to one line per row. */
