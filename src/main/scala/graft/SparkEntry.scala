@@ -242,6 +242,22 @@ object SparkEntry {
     Graft.decode(res, Map("custs" -> LongType)).orderBy("nname")
   }
 
+  /** OPTIONAL-chain join whose only shared var (?nname) is OPTIONAL-introduced
+    * on BOTH sides — the no-equi compat shape that used to plan a pure-theta
+    * BroadcastNestedLoopJoin and now lowers to the compat-union equi rewrite
+    * (Rewriter.compatUnionJoin). Every nation has a name, so the null-pattern
+    * slices prune at build time and the physical plan is hash joins only. */
+  private def sparqlOptionalChain(s: SparkSession, dir: String): DataFrame = {
+    val res = graftOver(s, dir, "customer", "supplier", "nation").select(
+      """SELECT ?nname (COUNT(?c) AS ?pairs) WHERE {
+        |  { ?c <urn:g:customer#c_name> ?cn . ?c <urn:g:customer#ref_nation> ?cnat .
+        |    OPTIONAL { ?cnat <urn:g:nation#n_name> ?nname } }
+        |  { ?s <urn:g:supplier#s_name> ?sn . ?s <urn:g:supplier#ref_nation> ?snat .
+        |    OPTIONAL { ?snat <urn:g:nation#n_name> ?nname } }
+        |} GROUP BY ?nname ORDER BY ?nname""".stripMargin)
+    Graft.decode(res, Map("pairs" -> LongType)).orderBy("nname")
+  }
+
   // -------------------------------------------------------- relational / OLAP
 
   private def q1LineitemAgg(s: SparkSession, dir: String): DataFrame =
@@ -284,12 +300,15 @@ object SparkEntry {
       .orderBy("n_name")
   }
 
-  /** events.ts is TIMESTAMP(NANOS) parquet — read as Long nanos under
-    * spark.sql.legacy.parquet.nanosAsLong; normalise to epoch millis. */
+  /** events.ts has shipped as TIMESTAMP(NANOS) (Long nanos under
+    * spark.sql.legacy.parquet.nanosAsLong), micros TIMESTAMP_NTZ, and plain
+    * TIMESTAMP across testdata generations — normalise every encoding to
+    * epoch millis (session timezone is UTC, so NTZ→TZ cast is identity). */
   private def eventsWithMs(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
     val ms = ev.schema("ts").dataType match {
       case LongType => col("ts") / lit(1000000L)
+      case TimestampNTZType => unix_millis(col("ts").cast(TimestampType))
       case _ => unix_millis(col("ts"))
     }
     ev.withColumn("ts_ms", ms.cast(LongType))
@@ -607,6 +626,7 @@ object SparkEntry {
     "sparql_group_concat" -> sparqlGroupConcat,
     "sparql_sample" -> sparqlSample,
     "sparql_exists" -> sparqlExists,
+    "sparql_optional_chain" -> sparqlOptionalChain,
     "sparql_bind_sum" -> sparqlBindSum,
     "sparql_events_agg" -> sparqlEventsAgg,
     "sparql_distinct_agg" -> sparqlDistinctAgg,
@@ -759,6 +779,12 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
         |ORDER BY 1""".stripMargin,
+    "sparql_optional_chain" ->
+      """SELECT nc.n_name AS nname, count(*) AS pairs
+        |FROM customer c, nation nc, supplier s, nation ns
+        |WHERE c.c_nationkey = nc.n_nationkey AND s.s_nationkey = ns.n_nationkey
+        |  AND nc.n_name = ns.n_name
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "sparql_bind_sum" ->
       """SELECT l_returnflag AS flag,
         |       CAST(round(sum(l_extendedprice * (1 - l_discount)), 0) AS BIGINT) AS revenue
