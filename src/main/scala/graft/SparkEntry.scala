@@ -258,6 +258,44 @@ object SparkEntry {
     Graft.decode(res, Map("pairs" -> LongType)).orderBy("nname")
   }
 
+  /** Negated property set composed with reverse and sequence (reference
+    * lowering lib/logical/src/paths/path_node/rewrite.rs:137-178): walk
+    * region ← nation via the reversed fk edge, then the NPS leaves only
+    * n_name among nation's predicates. */
+  private def sparqlPathNps(s: SparkSession, dir: String): DataFrame = {
+    val res = graftOver(s, dir, "nation").select(
+      """SELECT ?x ?y WHERE {
+        |  ?x (^<urn:g:nation#ref_region> /
+        |      !(<urn:g:nation#n_nationkey>|<urn:g:nation#n_regionkey>|<urn:g:nation#ref_region>)) ?y
+        |} ORDER BY ?x ?y""".stripMargin)
+    Graft.decode(res).orderBy("x", "y")
+  }
+
+  /** VALUES as a join input: the inline table constrains the region scan. */
+  private def sparqlValuesJoin(s: SparkSession, dir: String): DataFrame = {
+    val res = graftOver(s, dir, "region", "nation").select(
+      """SELECT ?rname ?nname WHERE {
+        |  VALUES ?rname { "ASIA" "EUROPE" }
+        |  ?r <urn:g:region#r_name> ?rname .
+        |  ?n <urn:g:nation#ref_region> ?r .
+        |  ?n <urn:g:nation#n_name> ?nname .
+        |} ORDER BY ?rname ?nname""".stripMargin)
+    Graft.decode(res).orderBy("rname", "nname")
+  }
+
+  /** CONSTRUCT, gate-oracled as sorted ground N-Triples lines (the W3C
+    * slice graph-compares; the oracle compares the serialised graph). */
+  private def sparqlConstruct(s: SparkSession, dir: String): DataFrame = {
+    val triples = graftOver(s, dir, "nation").query(
+      """CONSTRUCT { ?r <urn:ex:hasNation> ?n }
+        |WHERE { ?n <urn:g:nation#ref_region> ?r }""".stripMargin)
+    val asQuads = triples
+      .withColumn("graph", lit(null).cast(graft.encoding.TermCols.schema))
+      .select("graph", "subject", "predicate", "object")
+    graft.sources.NTriples.toNQuadLines(asQuads)
+      .select(col("value").as("line")).orderBy("line")
+  }
+
   // -------------------------------------------------------- relational / OLAP
 
   private def q1LineitemAgg(s: SparkSession, dir: String): DataFrame =
@@ -627,6 +665,9 @@ object SparkEntry {
     "sparql_sample" -> sparqlSample,
     "sparql_exists" -> sparqlExists,
     "sparql_optional_chain" -> sparqlOptionalChain,
+    "sparql_path_nps" -> sparqlPathNps,
+    "sparql_values_join" -> sparqlValuesJoin,
+    "sparql_construct" -> sparqlConstruct,
     "sparql_bind_sum" -> sparqlBindSum,
     "sparql_events_agg" -> sparqlEventsAgg,
     "sparql_distinct_agg" -> sparqlDistinctAgg,
@@ -785,6 +826,17 @@ object SparkEntry {
         |WHERE c.c_nationkey = nc.n_nationkey AND s.s_nationkey = ns.n_nationkey
         |  AND nc.n_name = ns.n_name
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sparql_path_nps" ->
+      """SELECT 'urn:g:region/' || n_regionkey AS x, n_name AS y
+        |FROM nation ORDER BY 1, 2""".stripMargin,
+    "sparql_values_join" ->
+      """SELECT r_name AS rname, n_name AS nname
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name IN ('ASIA', 'EUROPE') ORDER BY 1, 2""".stripMargin,
+    "sparql_construct" ->
+      """SELECT '<urn:g:region/' || n_regionkey || '> <urn:ex:hasNation> <urn:g:nation/'
+        |         || n_nationkey || '> .' AS line
+        |FROM nation ORDER BY 1""".stripMargin,
     "sparql_bind_sum" ->
       """SELECT l_returnflag AS flag,
         |       CAST(round(sum(l_extendedprice * (1 - l_discount)), 0) AS BIGINT) AS revenue
