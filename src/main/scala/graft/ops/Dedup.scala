@@ -86,7 +86,7 @@ object Dedup {
    * The rule skips outer generators, and a filter on the *generated*
    * attribute can never be pushed below the Generate.
    */
-  private def explodeArr(sets: DataFrame, outName: String, extra: Column*): DataFrame =
+  private[graft] def explodeArr(sets: DataFrame, outName: String, extra: Column*): DataFrame =
     sets.select(col("id") +: extra :+ explode_outer(col("arr")).as(outName): _*)
       .where(col(outName).isNotNull)
 
@@ -148,30 +148,56 @@ object Dedup {
    */
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
                          threshold: Double, shingleK: Int = 1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // the set size rides every exploded row (same trick as jaccardPairs) so
-    // no window has to recover it later
-    val sets = explodeArr(docSets(df, idCol, textCol, shingleK), "tok",
-        size(col("arr")).as("sz"))
-      .localCheckpoint() // feeds ranking, prefixes AND verification arrays
-    val ranked = sets
-      .join(sets.groupBy("tok").agg(count(lit(1)).as("df")), Seq("tok"))
-    val w = Window.partitionBy("id").orderBy(col("df"), col("tok"))
-    // ⌈t·sz⌉ computed with a small epsilon so fp round-UP can only ever
-    // lengthen the prefix (lossless direction), never shorten it
-    val prefix = ranked
-      .withColumn("pos", row_number().over(w))
-      .where(col("pos") <= col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
-      .select(col("tok"), col("id"), col("sz"))
-    val cand = prefix.toDF("tok", "id_a", "sz_a")
-      .join(prefix.toDF("tok", "id_b", "sz_b"), Seq("tok"))
+    // checkpoint the COMPACT per-doc array form (one row per doc), not the
+    // exploded relation (r4 checkpointed ~tokens rows; the explode below is
+    // a narrow generate over the checkpoint, cheap to re-derive per consumer).
+    // Shingles are hashed to 64-bit longs first: every downstream shuffle,
+    // sort and array_intersect then moves/compares 8-byte values instead of
+    // ~25-byte shingle strings. The hash is injective on any real corpus
+    // (64-bit; collision odds ~n²/2⁶⁵), so pair set, intersection counts and
+    // jaccard values are unchanged — the result never exposes the tokens.
+    val base = docSets(df, idCol, textCol, shingleK)
+      .select(col("id"), transform(col("arr"), t => xxhash64(t)).as("arr"))
+      .localCheckpoint()
+    val sets = explodeArr(base, "tok")
+    val tokDf = sets.groupBy("tok").agg(count(lit(1)).as("df"))
+    // One (df, tok)-sorted array per doc replaces BOTH the r4 row_number
+    // window (which re-shuffled and sorted the whole exploded relation by
+    // id) and the separate verification-array aggregation (a third full
+    // shuffle by id). Deliberately NOT checkpointed: both consumers (prefix
+    // explode, verification arrays) sit above the identical
+    // Exchange(hashpartitioning(id)), which ReuseExchange dedups — and the
+    // aggregation's output partitioning lets the verification joins run
+    // exchange-free on the fat array side, which a checkpoint would destroy
+    // (measured: checkpointed docs forced two full shuffles of the arrays,
+    // 12 s vs 3 s for the whole operator).
+    // every join below is hinted shuffle_hash: Catalyst's stats over the
+    // derived relations are unreliable and pick BROADCAST builds — of the
+    // token-df relation (= all distinct shingles at scale) and of the full
+    // per-doc array relation (= the corpus), both impossible at 100 TB —
+    // and the broadcast subtrees defeat AQE's exchange reuse, computing the
+    // explode→df→agg pipeline once per consumer. Shuffle-hash keys every
+    // join on its equi column, never sorts, and lets identical exchanges
+    // dedup at runtime.
+    val ordered = sets.join(tokDf.hint("shuffle_hash"), Seq("tok"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ord"),
+        count(lit(1)).as("sz"))
+      .withColumn("arr", transform(col("ord"), _.getField("tok")))
+    // ⌈t·sz⌉ with a small epsilon so fp round-UP can only lengthen the
+    // prefix (the lossless direction), never shorten it
+    val prefix = ordered.select(col("id"), col("sz"),
+      explode(slice(col("arr"), lit(1),
+        (col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + lit(1)).cast(IntegerType))).as("tok"))
+    val cand = prefix.select(col("tok"), col("id").as("id_a"), col("sz").as("sz_a"))
+      .join(prefix.select(col("tok"), col("id").as("id_b"), col("sz").as("sz_b"))
+        .hint("shuffle_hash"), Seq("tok"))
       .where(col("id_a") < col("id_b") &&
         least(col("sz_a"), col("sz_b")) >=
           lit(threshold) * greatest(col("sz_a"), col("sz_b")) - lit(1e-9))
       .select("id_a", "id_b").distinct()
-    val arrs = sets.groupBy("id")
-      .agg(sort_array(collect_list(col("tok"))).as("arr"), count(lit(1)).as("sz"))
-    val verified = cand
+    val arrs = ordered.select(col("id"), col("arr"), col("sz"))
+    val verified = cand.hint("shuffle_hash")
       .join(arrs.select(col("id").as("id_a"), col("arr").as("arr_a"), col("sz").as("sz_a")), Seq("id_a"))
       .join(arrs.select(col("id").as("id_b"), col("arr").as("arr_b"), col("sz").as("sz_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("arr_a"), col("arr_b"))))
