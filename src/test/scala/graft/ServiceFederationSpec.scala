@@ -179,6 +179,52 @@ class ServiceFederationSpec extends SparkSpec {
     }
   }
 
+  test("SILENT unserialisable body on a real endpoint yields the empty relation") {
+    // same body that errors loudly without SILENT (previous test): SILENT
+    // must swallow the serialisation failure, not just transport failures
+    val df = local.select(
+      s"""SELECT ?s ?a ?n WHERE {
+         |  ?s <urn:age> ?a .
+         |  SERVICE SILENT <$endpoint> { ?s <urn:name> ?n . FILTER(<urn:fn:custom>(?n)) }
+         |}""".stripMargin)
+    assert(df.count() == 0)
+  }
+
+  test("aggregating sub-select round-trips values and datatypes exactly") {
+    // second engine instance over typed numeric data: the federated result
+    // must equal evaluating the same sub-select directly — value AND
+    // datatype (integer SUM stays integer, AVG becomes decimal) — proving
+    // the results-format round-trip loses nothing
+    val quads = NTriples.fromString(spark,
+      """<urn:x> <urn:v> "1"^^<http://www.w3.org/2001/XMLSchema#integer> .
+        |<urn:x> <urn:v> "2"^^<http://www.w3.org/2001/XMLSchema#integer> .
+        |<urn:y> <urn:v> "2.5"^^<http://www.w3.org/2001/XMLSchema#decimal> .
+        |<urn:y> <urn:v> "0.5"^^<http://www.w3.org/2001/XMLSchema#decimal> .
+        |""".stripMargin)
+    val server2 = SparqlServer.start(spark, quads)
+    try {
+      val sub =
+        """SELECT ?s (SUM(?v) AS ?total) (AVG(?v) AS ?mean) (COUNT(?v) AS ?k)
+          |WHERE { ?s <urn:v> ?v } GROUP BY ?s""".stripMargin
+      def termPairs(df: org.apache.spark.sql.DataFrame): Set[Seq[(String, String)]] =
+        df.collect().toSet[org.apache.spark.sql.Row].map { r =>
+          (0 until r.size).map { i =>
+            val st = r.getStruct(i)
+            (st.getString(1), Option(st.getString(2)).getOrElse("∅"))
+          }
+        }
+      val federated = local.select(
+        s"""SELECT ?s ?total ?mean ?k WHERE {
+           |  SERVICE <http://127.0.0.1:${server2.boundPort}/repositories/default/query>
+           |    { $sub }
+           |}""".stripMargin)
+      val direct = Graft(quads).select(sub)
+        .select("s", "total", "mean", "k")
+      assert(termPairs(federated) == termPairs(direct))
+      assert(federated.count() == 2)
+    } finally server2.stop()
+  }
+
   test("a user variable that merely looks like a bnode placeholder survives") {
     val df = local.select(
       s"""SELECT ?__bn_x WHERE {
