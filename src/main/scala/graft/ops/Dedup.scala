@@ -256,9 +256,18 @@ object Dedup {
    */
   private val sigCache = new IndexCache[DataFrame]()
 
+  /** `maxBucketSize`: optional skew guard for the bucket self-join. A band
+    * bucket of k members emits k·(k−1)/2 candidate rows from ONE task, and
+    * AQE's skew splitting cannot help — it detects shuffle-INPUT size, and
+    * this is output amplification from a small input (measured:
+    * tools/SkewProbe). Buckets above the cap are dropped entirely: a bucket
+    * that degenerate means thousands of near-identical docs, which exact
+    * dedup ([[exact]]) removes more cheaply first. Off by default —
+    * results are exact/lossless unless the caller opts in. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5,
-                      shingleK: Int = 3): DataFrame = {
+                      shingleK: Int = 3,
+                      maxBucketSize: Option[Int] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     // materialised once per (session, corpus, params): signatures are a
@@ -269,11 +278,18 @@ object Dedup {
       minhashSignatures(df, idCol, textCol, numHashes, shingleK).localCheckpoint())
     // band bucket key: md5 of the band's minhash run — portable (the bucket
     // join is on string equality, any engine agrees on md5 of the same text)
-    val banded = sigs.select(col("id"), col("sig"),
+    val banded0 = sigs.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => md5(concat(concat_ws(",", slice(col("sig"), b * lit(r) + 1, lit(r))),
           lit("#"), b.cast(StringType))))))
       .select(col("id"), col("sig"), col("pos").as("band"), col("col").as("bh"))
+    val banded = maxBucketSize match {
+      case Some(cap) =>
+        val ok = banded0.groupBy("band", "bh").agg(count(lit(1)).as("__bn"))
+          .where(col("__bn") <= cap).select("band", "bh")
+        banded0.join(ok.hint("shuffle_hash"), Seq("band", "bh"))
+      case None => banded0
+    }
     val a = banded.select(col("band"), col("bh"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bh"), col("id").as("id_b"), col("sig").as("sig_b"))
     val cand = a.join(b, Seq("band", "bh")).where(col("id_a") < col("id_b"))

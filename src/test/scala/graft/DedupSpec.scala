@@ -35,6 +35,23 @@ class DedupSpec extends SparkSpec {
     assert(pre.exists { case (a, b, j) => a == 1L && b == 2L && math.abs(j - 2.0 / 3) < 1e-5 })
   }
 
+  test("minhash maxBucketSize drops degenerate buckets, keeps normal pairs") {
+    import spark.implicits._
+    // 40 identical docs (every band bucket holds all 40) + one honest
+    // near-dup pair that shares buckets of size 2
+    val template = (0 until 40).map(i => s"common stop word w$i").mkString(" ")
+    val near = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = ((0 until 40).map(i => (i.toLong, template)) ++ Seq(
+      (100L, near), (101L, near + " extra"))).toDF("doc_id", "text")
+    val capped = Dedup.minhashLshPairs(df, "doc_id", "text", maxBucketSize = Some(8))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L)),
+      s"degenerate bucket must drop, honest pair must survive: $capped")
+    // uncapped finds the degenerate clique too
+    val full = Dedup.minhashLshPairs(df, "doc_id", "text")
+    assert(full.count() == 40L * 39 / 2 + 1)
+  }
+
   test("decontaminate flags exactly the train docs sharing a k-shingle with eval") {
     import spark.implicits._
     val train = Seq(
