@@ -1162,13 +1162,18 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
         val x = in.get
         val dbl = if (a.distinct) sum_distinct(numDouble(x)) else sum(numDouble(x))
         Seq(dbl.as(s"__${out}_dbl"),
-          max(when(x.isNotNull, 1).otherwise(0)).as(s"__${out}_any"))
+          max(when(x.isNotNull, 1).otherwise(0)).as(s"__${out}_any"),
+          // an unbound value in the group is an evaluation error → the whole
+          // aggregate errs (ListEval, spec §18.5.1); empty implicit groups
+          // stay 0 (max over zero rows is NULL, not 1)
+          max(when(x.isNull, 1).otherwise(0)).as(s"__${out}_bad"))
       case "AVG" if argKind.contains(3) =>
         val x = in.get
         val dbl = if (a.distinct) sum_distinct(numDouble(x)) else sum(numDouble(x))
         val n = if (a.distinct) count_distinct(numDouble(x))
                 else sum(when(x.isNotNull, 1L).otherwise(0L))
-        Seq(dbl.as(s"__${out}_dbl"), n.as(s"__${out}_n"))
+        Seq(dbl.as(s"__${out}_dbl"), n.as(s"__${out}_n"),
+          max(when(x.isNull, 1).otherwise(0)).as(s"__${out}_bad"))
       case "SUM" | "AVG" =>
         val x = in.get
         // the exact-decimal sum is only consulted when the group contains NO
@@ -1193,7 +1198,9 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
               numDecimal(x).cast(StringType), numDouble(x).cast(StringType))))
           else sum(when(isNumeric(x), 1L).otherwise(0L))
         Seq(dec.as(s"__${out}_dec"), dbl.as(s"__${out}_dbl"),
-          max(when(x.isNotNull && !isNumeric(x), 1).otherwise(0)).as(s"__${out}_bad"),
+          // poison on non-numeric AND on unbound: both are evaluation errors
+          // per ListEval (spec §18.5.1); empty implicit groups stay 0
+          max(when(x.isNull || !isNumeric(x), 1).otherwise(0)).as(s"__${out}_bad"),
           max(when(isDoubleTyped(x), 1).otherwise(0)).as(s"__${out}_anydbl"),
           max(when(isDecimalTyped(x), 1).otherwise(0)).as(s"__${out}_anydec"),
           cntNum.as(s"__${out}_n"))
@@ -1223,10 +1230,19 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
       case "SAMPLE" => Seq(first(col(argCol.get), ignoreNulls = true).as(s"__${out}_s"))
       case "GROUP_CONCAT" =>
         val x = col(argCol.get)
-        val s = when(isLiteral(x) || isIri(x), value(x))
+        // reference parity (lib/functions/src/aggregates/group_concat.rs:
+        // 185-231): only STRING literals concatenate (simple / xsd:string /
+        // lang-tagged); IRIs, bnodes and non-string literals poison the
+        // aggregate. A language tag survives only when every value carries
+        // the same one.
+        val isStringLit = isLiteral(x) &&
+          (datatypeRaw(x).isNull || datatypeRaw(x) === Xsd.string || langTag(x).isNotNull)
+        val s = when(isStringLit, value(x))
+        val lang = when(isStringLit, coalesce(langTag(x), lit("")))
         val lst = if (a.distinct) collect_set(s) else collect_list(s)
         Seq(lst.as(s"__${out}_lst"),
-          max(when(x.isNotNull && s.isNull, 1).otherwise(0)).as(s"__${out}_bad"))
+          max(when(x.isNotNull && s.isNull, 1).otherwise(0)).as(s"__${out}_bad"),
+          min(lang).as(s"__${out}_lmin"), max(lang).as(s"__${out}_lmax"))
       case other => throw new IllegalArgumentException(s"unknown aggregate $other")
     }
   }
@@ -1238,12 +1254,14 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     a.name match {
       case "COUNT" => fromLong(col(s"__${out}_cnt"))
       case "SUM" if argKind.contains(3) =>
-        // all-double input: empty/all-null group → SUM({}) = 0
-        when(col(s"__${out}_any") === 1, fromDouble(col(s"__${out}_dbl")))
+        // all-double input: empty group → SUM({}) = 0; unbound poisons
+        when(col(s"__${out}_bad") === 1, nullTerm)
+          .when(col(s"__${out}_any") === 1, fromDouble(col(s"__${out}_dbl")))
           .otherwise(fromLong(lit(0L)))
       case "AVG" if argKind.contains(3) =>
         val n = col(s"__${out}_n")
-        when(n === 0, fromLong(lit(0L))).otherwise(fromDouble(col(s"__${out}_dbl") / n))
+        when(col(s"__${out}_bad") === 1, nullTerm)
+          .when(n === 0, fromLong(lit(0L))).otherwise(fromDouble(col(s"__${out}_dbl") / n))
       case "SUM" =>
         when(col(s"__${out}_bad") === 1, nullTerm)
           .when(col(s"__${out}_anydbl") === 1, fromDouble(col(s"__${out}_dbl")))
@@ -1258,8 +1276,11 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
       case "MIN" | "MAX" => col(s"__${out}_mm").getField("t")
       case "SAMPLE" => col(s"__${out}_s")
       case "GROUP_CONCAT" =>
+        val cat = concat_ws(a.separator.getOrElse(" "), col(s"__${out}_lst"))
         when(col(s"__${out}_bad") === 1, nullTerm)
-          .otherwise(str(concat_ws(a.separator.getOrElse(" "), col(s"__${out}_lst"))))
+          .when(col(s"__${out}_lmin") === col(s"__${out}_lmax") &&
+            col(s"__${out}_lmin") =!= "", langStr(cat, col(s"__${out}_lmin")))
+          .otherwise(str(cat))
     }
   }
 

@@ -60,16 +60,19 @@ class RandomAggDifferentialSpec extends SparkSpec {
     val expect = solutions.groupBy(_._1).map { case (k, sols) =>
       val vs = sols.flatMap(_._2)
       val cnt = vs.size
-      // SUM over integers stays xsd:integer; empty group SUM = 0
-      val sum = vs.map(v => BigInt(v.lexical.trim)).sum
+      // SUM over integers stays xsd:integer; an UNBOUND ?v in any solution
+      // of the group is an evaluation error that poisons SUM (ListEval,
+      // spec §18.5.1) while COUNT(?v) just skips it
+      val anyUnbound = sols.exists(_._2.isEmpty)
+      val sum =
+        if (anyUnbound) "∅"
+        else s"${vs.map(v => BigInt(v.lexical.trim)).sum}^^${Xsd.integer}"
       val kStr = k match {
         case Lit(v, dt, None) =>
           v + "^^" + (if (dt == Xsd.string) "" else dt)
         case other => other.toString
       }
-      Seq(kStr,
-        s"$cnt^^${Xsd.integer}",
-        s"$sum^^${Xsd.integer}").mkString(" ")
+      Seq(kStr, s"$cnt^^${Xsd.integer}", sum).mkString(" ")
     }.toSeq.sorted
 
     assert(got == expect,

@@ -70,6 +70,30 @@ class W3cSliceSpec extends SparkSpec {
     }
   }
 
+  /** Graph equality modulo a blank-node bijection: backtracking label match
+    * (slice graphs are small, so the exponential worst case is irrelevant). */
+  private def isomorphic(a: Set[(RdfTerm, RdfTerm, RdfTerm)],
+                         b: Set[(RdfTerm, RdfTerm, RdfTerm)]): Boolean = {
+    if (a.size != b.size) return false
+    def bnodes(g: Set[(RdfTerm, RdfTerm, RdfTerm)]): Seq[String] =
+      g.toSeq.flatMap(t => Seq(t._1, t._2, t._3)).collect { case BNode(x) => x }.distinct
+    val (aBn, bBn) = (bnodes(a), bnodes(b))
+    if (aBn.size != bBn.size) return false
+    def subst(t: RdfTerm, m: Map[String, String]): RdfTerm = t match {
+      case BNode(x) => BNode(m.getOrElse(x, x))
+      case other => other
+    }
+    def applyM(m: Map[String, String]): Set[(RdfTerm, RdfTerm, RdfTerm)] =
+      a.map(t => (subst(t._1, m), subst(t._2, m), subst(t._3, m)))
+    def search(rest: Seq[String], used: Set[String], m: Map[String, String]): Boolean =
+      rest match {
+        case Seq() => applyM(m) == b
+        case x +: tail =>
+          bBn.exists(y => !used(y) && search(tail, used + y, m + (x -> y)))
+      }
+    search(aBn, Set.empty, Map.empty)
+  }
+
   assert(allTests.nonEmpty, "w3c-slice manifest found no tests")
 
   allTests.foreach {
@@ -79,14 +103,15 @@ class W3cSliceSpec extends SparkSpec {
         val g = Graft(readData(t))
         val resultFile = t.result.getOrElse(fail("no result file"))
         if (resultFile.toString.endsWith(".ttl")) {
-          // CONSTRUCT test: expected is a ground graph — set-compare triples
+          // CONSTRUCT test: compare graphs modulo blank-node isomorphism
+          // (template bnodes get per-solution generated labels)
           val expected = Turtle.parse(
             new String(Files.readAllBytes(resultFile), java.nio.charset.StandardCharsets.UTF_8))
             .map(q => (q.subject, q.predicate: RdfTerm, q.obj)).toSet
           val actual = rowsOf(g.query(text))
             .map(m => (m("subject"), m("predicate"), m("object"))).toSet
-          assert(actual == expected,
-            s"graph mismatch:\nactual  =$actual\nexpected=$expected")
+          assert(isomorphic(actual, expected),
+            s"graph mismatch (modulo bnode bijection):\nactual  =$actual\nexpected=$expected")
         } else TestSuite.readSrx(resultFile) match {
           case ExpectedBoolean(b) =>
             assert(g.askBoolean(text) == b, s"ASK mismatch, expected $b")
@@ -96,6 +121,15 @@ class W3cSliceSpec extends SparkSpec {
               .toUpperCase.contains("ORDER BY")
             assert(TestSuite.solutionsEqual(actual, expRows, isOrdered),
               s"solutions mismatch:\nactual  =${actual.take(8)}\nexpected=${expRows.take(8)}")
+        }
+      }
+    case t: SyntaxTest =>
+      test(s"w3c-slice: ${t.name}") {
+        val text = new String(Files.readAllBytes(t.query), java.nio.charset.StandardCharsets.UTF_8)
+        if (t.positive) graft.sparql.SparqlParser.parse(text) // must not throw
+        else {
+          val r = scala.util.Try(graft.sparql.SparqlParser.parse(text))
+          assert(r.isFailure, s"negative syntax test parsed successfully: $text")
         }
       }
     case t => test(s"w3c-slice: ${t.name}") { fail(s"unexpected test type $t") }
