@@ -626,6 +626,45 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     if (shared.forall(v => !l.isNullable(v) && !r.isNullable(v)))
       return SPlan(l.df.join(r.df.select(shared.map(col): _*), shared, "left_anti"),
         l.vars, l.maybeUnbound, l.kinds, l.tiny)
+    // Null-pattern union rewrite (same machinery as compatUnionJoin, anti
+    // flavour): ANY nullable shared var makes the condition below pure
+    // theta, which Spark plans as a BroadcastNestedLoopJoin. Split both
+    // sides by which nullable shared vars are null; a (leftPattern,
+    // rightPattern) pair can only drop left rows when some var is bound on
+    // BOTH sides (the ≥1-bound-both rule) — exactly the pairs that
+    // equi-join on those vars. Dropped = union of per-branch semi-join row
+    // ids; result = left anti that id set (hash joins throughout).
+    if (compatUnion &&
+        (1L << shared.count(l.isNullable)) * (1L << shared.count(r.isNullable))
+          <= Rewriter.CompatUnionMaxBranches) {
+      val ln = shared.filter(l.isNullable)
+      val rn = shared.filter(r.isNullable)
+      val rowId = fresh("mrow")
+      val ldf = l.df.withColumn(rowId, monotonically_increasing_id()).localCheckpoint()
+      val rdf0 = r.df.select(shared.map(v => col(v).as("__r_" + v)): _*)
+      val rdf = if (rn.nonEmpty) rdf0.localCheckpoint() else rdf0
+      def subsets(vs: Seq[String]): Seq[Set[String]] =
+        vs.foldLeft(Seq(Set.empty[String]))((acc, v) => acc ++ acc.map(_ + v))
+      val matchedPerBranch = for {
+        aNull <- subsets(ln)
+        bNull <- subsets(rn)
+        keys = shared.filterNot(v => aNull(v) || bNull(v))
+        if keys.nonEmpty // keys empty → anyBoth false → branch drops nothing
+      } yield {
+        val lslice = ln.foldLeft(ldf)((d, v) =>
+          d.filter(if (aNull(v)) col(v).isNull else col(v).isNotNull))
+        val rslice = rn.foldLeft(rdf)((d, v) =>
+          d.filter(if (bNull(v)) col("__r_" + v).isNull else col("__r_" + v).isNotNull))
+        val cond = keys.map(k => col(k) === col("__r_" + k)).reduce(_ && _)
+        lslice.join(rslice, cond, "left_semi").select(col(rowId))
+      }
+      val out = matchedPerBranch.reduceOption(_ unionAll _) match {
+        case Some(matched) =>
+          ldf.join(matched.distinct(), Seq(rowId), "left_anti").drop(rowId)
+        case None => l.df
+      }
+      return SPlan(out, l.vars, l.maybeUnbound, l.kinds, l.tiny)
+    }
     val rr = r.df.select(shared.map(v => col(v).as("__r_" + v)): _*)
     val compat = shared.map(v => TermCols.isCompatible(col(v), col("__r_" + v)))
     val anyBoth = shared.map(v => col(v).isNotNull && col("__r_" + v).isNotNull)

@@ -103,6 +103,33 @@ class RandomOptionalChainDifferentialSpec extends SparkSpec {
     assert(got == ref, s"seed=$seed\nquery=$q\ngot=$got\nref=$ref")
   }
 
+  /** MINUS whose shared var is OPTIONAL-introduced on one or both sides —
+    * the anti-flavoured null-pattern rewrite (union of semi-join branches). */
+  private def minusNullableCase(seed: Int): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val quads = randomQuads(rnd, 4)
+    def p() = s"<urn:p${rnd.nextInt(4)}>"
+    val q =
+      if (rnd.nextBoolean())
+        s"""SELECT ?a ?x WHERE {
+           |  ?a ${p()} ?s . OPTIONAL { ?s ${p()} ?x }
+           |  MINUS { ?x ${p()} ?w }
+           |}""".stripMargin
+      else
+        s"""SELECT ?a ?x WHERE {
+           |  ?a ${p()} ?s . OPTIONAL { ?s ${p()} ?x }
+           |  MINUS { ?b ${p()} ?t . OPTIONAL { ?t ${p()} ?x } . ?b ${p()} ?a }
+           |}""".stripMargin
+    val vars = Seq("a", "x")
+    val got = bag(Graft(quads).select(q), vars)
+    val ref = bag(Graft.thetaCompat(quads).select(q), vars)
+    assert(got == ref, s"seed=$seed\nquery=$q\ngot=$got\nref=$ref")
+  }
+
+  test("compat-union ≡ theta anti join on 20 random nullable-MINUS cases") {
+    (400 to 419).foreach(minusNullableCase)
+  }
+
   test("compat-union ≡ theta join on 20 random inner OPTIONAL-chain cases") {
     (1 to 20).foreach(innerChainCase)
   }
