@@ -512,6 +512,21 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     SPlan(joined.select(out: _*), outVars, mu, mergeKinds(l, r), outTiny)
   }
 
+  /** All subsets of `vs` — the null patterns of a side's nullable shared
+    * vars in the compat-union rewrites. */
+  private def subsets(vs: Seq[String]): Seq[Set[String]] =
+    vs.foldLeft(Seq(Set.empty[String]))((acc, v) => acc ++ acc.map(_ + v))
+
+  /** Rows per null pattern of `vs` (one aggregation, tiny driver result). */
+  private def nullPatternCounts(df: DataFrame, vs: Seq[String],
+                                pre: String): Map[Set[String], Long] =
+    if (vs.isEmpty) Map.empty
+    else df.groupBy(vs.map(v => col(pre + v).isNull.as(v)): _*).count()
+      .collect().map { row =>
+        (vs.zipWithIndex.collect { case (v, i) if row.getBoolean(i) => v }.toSet,
+          row.getLong(vs.size))
+      }.toMap
+
   /** Compat join with no equi component, as a union of null-pattern equi-join
     * slices (see the call site in [[join]] for why). Each side splits by
     * which of its nullable shared vars are NULL; a (leftPattern,
@@ -535,22 +550,13 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     val rdf0 = r.df.select(r.vars.map(v => col(v).as("__r_" + v)): _*)
     val rdf = if (rn.nonEmpty) rdf0.localCheckpoint() else rdf0
 
-    def subsets(vs: Seq[String]): Seq[Set[String]] =
-      vs.foldLeft(Seq(Set.empty[String]))((acc, v) => acc ++ acc.map(_ + v))
     // Null-pattern histogram per side (one cheap aggregation over the
     // checkpointed relation): empty slices prune their branches from the
     // PLAN — on data where OPTIONAL always matched, every cross branch
     // vanishes and only hash joins remain — and tiny null slices broadcast
     // in the cross branches that survive.
-    def patternCounts(df: DataFrame, vs: Seq[String], pre: String): Map[Set[String], Long] =
-      if (vs.isEmpty) Map.empty
-      else df.groupBy(vs.map(v => col(pre + v).isNull.as(v)): _*).count()
-        .collect().map { row =>
-          (vs.zipWithIndex.collect { case (v, i) if row.getBoolean(i) => v }.toSet,
-            row.getLong(vs.size))
-        }.toMap
-    val lCounts = patternCounts(ldf, ln, "")
-    val rCounts = patternCounts(rdf, rn, "__r_")
+    val lCounts = nullPatternCounts(ldf, ln, "")
+    val rCounts = nullPatternCounts(rdf, rn, "__r_")
     def sliceRows(counts: Map[Set[String], Long], vs: Seq[String], nulls: Set[String]): Long =
       if (vs.isEmpty) Long.MaxValue else counts.getOrElse(nulls, 0L)
     val filterCond = filter.map { f =>
@@ -643,8 +649,6 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
       val ldf = l.df.withColumn(rowId, monotonically_increasing_id()).localCheckpoint()
       val rdf0 = r.df.select(shared.map(v => col(v).as("__r_" + v)): _*)
       val rdf = if (rn.nonEmpty) rdf0.localCheckpoint() else rdf0
-      def subsets(vs: Seq[String]): Seq[Set[String]] =
-        vs.foldLeft(Seq(Set.empty[String]))((acc, v) => acc ++ acc.map(_ + v))
       val matchedPerBranch = for {
         aNull <- subsets(ln)
         bNull <- subsets(rn)
@@ -1009,6 +1013,47 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
       if (shared.forall(v => !in.isNullable(v) && !inner.isNullable(v)))
         return SPlan(in.df.join(inner.df.select(shared.map(col): _*), shared, jt),
           in.vars, in.maybeUnbound, in.kinds)
+      // Null-pattern union rewrite (semi/anti flavour of compatUnionJoin):
+      // nullable shared vars make the condition below pure isCompatible —
+      // a BroadcastNestedLoopJoin. Branch pairs equi-join on the vars bound
+      // on both sides; a pair with NO such var is all-compatible, so its
+      // whole left slice matches iff the right slice is non-empty (checked
+      // via the null-pattern histogram — no join at all).
+      if (compatUnion &&
+          (1L << shared.count(in.isNullable)) * (1L << shared.count(inner.isNullable))
+            <= Rewriter.CompatUnionMaxBranches) {
+        val ln = shared.filter(in.isNullable)
+        val rn = shared.filter(inner.isNullable)
+        val rowId = fresh("erow")
+        val ldf = in.df.withColumn(rowId, monotonically_increasing_id()).localCheckpoint()
+        val rdf = inner.df.select(shared.map(v => col(v).as("__r_" + v)): _*).localCheckpoint()
+        val rCounts = nullPatternCounts(rdf, rn, "__r_")
+        lazy val rTotal = rdf.count()
+        def rRows(bNull: Set[String]): Long =
+          if (rn.isEmpty) rTotal else rCounts.getOrElse(bNull, 0L)
+        val matchedPerBranch = for {
+          aNull <- subsets(ln)
+          bNull <- subsets(rn)
+          if rRows(bNull) > 0
+        } yield {
+          val lslice = ln.foldLeft(ldf)((d, v) =>
+            d.filter(if (aNull(v)) col(v).isNull else col(v).isNotNull))
+          val keys = shared.filterNot(v => aNull(v) || bNull(v))
+          if (keys.isEmpty) lslice.select(col(rowId))
+          else {
+            val rslice = rn.foldLeft(rdf)((d, v) =>
+              d.filter(if (bNull(v)) col("__r_" + v).isNull else col("__r_" + v).isNotNull))
+            val cond = keys.map(k => col(k) === col("__r_" + k)).reduce(_ && _)
+            lslice.join(rslice, cond, "left_semi").select(col(rowId))
+          }
+        }
+        val out = matchedPerBranch.reduceOption(_ unionAll _) match {
+          case Some(matched) => ldf.join(matched.distinct(), Seq(rowId), jt).drop(rowId)
+          case None => // no compatible right rows at all
+            if (negated) in.df else in.df.limit(0)
+        }
+        return SPlan(out, in.vars, in.maybeUnbound, in.kinds)
+      }
       val rr = inner.df.select(shared.map(v => col(v).as("__r_" + v)): _*)
       val cond = shared.map(v => TermCols.isCompatible(col(v), col("__r_" + v))).reduce(_ && _)
       return SPlan(in.df.join(rr, cond, jt), in.vars, in.maybeUnbound, in.kinds)

@@ -130,6 +130,30 @@ class RandomOptionalChainDifferentialSpec extends SparkSpec {
     (400 to 419).foreach(minusNullableCase)
   }
 
+  /** EXISTS / NOT EXISTS whose shared var with the outer pattern is
+    * OPTIONAL-introduced — the semi/anti null-pattern rewrite, including the
+    * no-bound-both branch where the whole left slice matches iff the body
+    * relation is non-empty. */
+  private def existsNullableCase(seed: Int): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val quads = randomQuads(rnd, 4)
+    def p() = s"<urn:p${rnd.nextInt(4)}>"
+    val neg = if (rnd.nextBoolean()) "NOT " else ""
+    val q =
+      s"""SELECT ?a ?x WHERE {
+         |  ?a ${p()} ?s . OPTIONAL { ?s ${p()} ?x }
+         |  FILTER ${neg}EXISTS { ?x ${p()} ?w }
+         |}""".stripMargin
+    val vars = Seq("a", "x")
+    val got = bag(Graft(quads).select(q), vars)
+    val ref = bag(Graft.thetaCompat(quads).select(q), vars)
+    assert(got == ref, s"seed=$seed\nquery=$q\ngot=$got\nref=$ref")
+  }
+
+  test("compat-union ≡ theta semi/anti join on 20 random nullable-EXISTS cases") {
+    (500 to 519).foreach(existsNullableCase)
+  }
+
   test("compat-union ≡ theta join on 20 random inner OPTIONAL-chain cases") {
     (1 to 20).foreach(innerChainCase)
   }
