@@ -472,7 +472,10 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     // reference keeps the theta filter (lib/logical/src/join/rewrite.rs:
     // 183-221 + is_compatible.rs:18-100); this is exceed-the-reference work
     // per SURVEY §2.3.
-    if (compatUnion && idKeys.isEmpty && shared.nonEmpty &&
+    // (both-sides-tiny keeps the theta path: structurally bounded BNLJ work
+    // beats the rewrite's fixed costs — measured crossover ~10k rows/side,
+    // tools/CompatUnionProbe)
+    if (compatUnion && !(l.tiny && r.tiny) && idKeys.isEmpty && shared.nonEmpty &&
         shared.forall(v => l.isNullable(v) || r.isNullable(v)) &&
         (1L << shared.count(l.isNullable)) * (1L << shared.count(r.isNullable))
           <= Rewriter.CompatUnionMaxBranches)
@@ -640,7 +643,7 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     // BOTH sides (the ≥1-bound-both rule) — exactly the pairs that
     // equi-join on those vars. Dropped = union of per-branch semi-join row
     // ids; result = left anti that id set (hash joins throughout).
-    if (compatUnion &&
+    if (compatUnion && !(l.tiny && r.tiny) &&
         (1L << shared.count(l.isNullable)) * (1L << shared.count(r.isNullable))
           <= Rewriter.CompatUnionMaxBranches) {
       val ln = shared.filter(l.isNullable)
@@ -1019,7 +1022,7 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
       // on both sides; a pair with NO such var is all-compatible, so its
       // whole left slice matches iff the right slice is non-empty (checked
       // via the null-pattern histogram — no join at all).
-      if (compatUnion &&
+      if (compatUnion && !(in.tiny && inner.tiny) &&
           (1L << shared.count(in.isNullable)) * (1L << shared.count(inner.isNullable))
             <= Rewriter.CompatUnionMaxBranches) {
         val ln = shared.filter(in.isNullable)
