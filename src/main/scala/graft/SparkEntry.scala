@@ -296,6 +296,24 @@ object SparkEntry {
       .select(col("value").as("line")).orderBy("line")
   }
 
+  /** ASK entry point (boolean result form), oracled as a one-row boolean. */
+  private def sparqlAsk(s: SparkSession, dir: String): DataFrame =
+    graftOver(s, dir, "region").query(
+      """ASK { ?r <urn:g:region#r_name> "ASIA" }""")
+
+  /** DESCRIBE entry point (Concise Bounded Description), oracled as sorted
+    * ground N-Triples lines — the mapping has no bnodes, so the CBD is the
+    * described nodes' outgoing triples. */
+  private def sparqlDescribe(s: SparkSession, dir: String): DataFrame = {
+    val triples = graftOver(s, dir, "region").query(
+      """DESCRIBE ?r WHERE { ?r <urn:g:region#r_name> ?n }""")
+    val asQuads = triples
+      .withColumn("graph", lit(null).cast(graft.encoding.TermCols.schema))
+      .select("graph", "subject", "predicate", "object")
+    graft.sources.NTriples.toNQuadLines(asQuads)
+      .select(col("value").as("line")).orderBy("line")
+  }
+
   // -------------------------------------------------------- relational / OLAP
 
   private def q1LineitemAgg(s: SparkSession, dir: String): DataFrame =
@@ -668,6 +686,8 @@ object SparkEntry {
     "sparql_path_nps" -> sparqlPathNps,
     "sparql_values_join" -> sparqlValuesJoin,
     "sparql_construct" -> sparqlConstruct,
+    "sparql_ask" -> sparqlAsk,
+    "sparql_describe" -> sparqlDescribe,
     "sparql_bind_sum" -> sparqlBindSum,
     "sparql_events_agg" -> sparqlEventsAgg,
     "sparql_distinct_agg" -> sparqlDistinctAgg,
@@ -837,6 +857,17 @@ object SparkEntry {
       """SELECT '<urn:g:region/' || n_regionkey || '> <urn:ex:hasNation> <urn:g:nation/'
         |         || n_nationkey || '> .' AS line
         |FROM nation ORDER BY 1""".stripMargin,
+    "sparql_ask" ->
+      "SELECT CAST(count(*) > 0 AS BOOLEAN) AS ask FROM region WHERE r_name = 'ASIA'",
+    "sparql_describe" ->
+      """SELECT line FROM (
+        |  SELECT '<urn:g:region/' || r_regionkey || '> <urn:g:region#r_name> "'
+        |           || r_name || '" .' AS line FROM region
+        |  UNION ALL
+        |  SELECT '<urn:g:region/' || r_regionkey || '> <urn:g:region#r_regionkey> "'
+        |           || r_regionkey
+        |           || '"^^<http://www.w3.org/2001/XMLSchema#integer> .' FROM region
+        |) ORDER BY 1""".stripMargin,
     "sparql_bind_sum" ->
       """SELECT l_returnflag AS flag,
         |       CAST(round(sum(l_extendedprice * (1 - l_discount)), 0) AS BIGINT) AS revenue
