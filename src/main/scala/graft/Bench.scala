@@ -17,6 +17,19 @@ object Bench {
       spark.range(1000000).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/region.parquet").count()
     } catch { case _: Throwable => }
+    // JIT-warm the prefix-Jaccard pipeline on a TINY synthetic corpus: its
+    // whole-stage-codegen compile is ~6 s on the first run in a session
+    // (measured; same phenomenon as BSBM BI-Q8). A different corpus means a
+    // different cache key, so no signatures/arrays are shared with the
+    // timed queries — only the generated classes and JIT state warm up.
+    try {
+      import spark.implicits._
+      val tiny = (0 until 40).map(i => (i.toLong,
+        s"warm doc $i " + (0 until 25).map(j => s"w${(i + j) % 30}").mkString(" ")))
+        .toDF("doc_id", "text")
+      graft.ops.Dedup.jaccardPairsPrefix(tiny, "doc_id", "text", 0.6, 3)
+        .write.format("noop").mode("overwrite").save()
+    } catch { case e: Throwable => System.err.println(s"[bench] jit warmup: $e") }
     // the wind-farm store (generate 4.9M quads + write predicate-partitioned
     // parquet, ~20 s) is a one-time per-session index build shared by the
     // three windfarm_* queries — force it here so it isn't billed to
