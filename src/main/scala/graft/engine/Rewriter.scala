@@ -549,9 +549,12 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     val ldf0 =
       if (joinType == "left") l.df.withColumn(rowId, monotonically_increasing_id())
       else l.df
-    val ldf = if (joinType == "left" || ln.nonEmpty) ldf0.localCheckpoint() else ldf0
-    val rdf0 = r.df.select(r.vars.map(v => col(v).as("__r_" + v)): _*)
-    val rdf = if (rn.nonEmpty) rdf0.localCheckpoint() else rdf0
+    // both sides are scanned once per (leftPattern, rightPattern) branch —
+    // 2^|ln| × 2^|rn| times — so both checkpoint unconditionally (the
+    // trigger guarantees ≥2 branches); the row id additionally must not be
+    // recomputed across plan subtrees
+    val ldf = ldf0.localCheckpoint()
+    val rdf = r.df.select(r.vars.map(v => col(v).as("__r_" + v)): _*).localCheckpoint()
 
     // Null-pattern histogram per side (one cheap aggregation over the
     // checkpointed relation): empty slices prune their branches from the
@@ -650,8 +653,8 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
       val rn = shared.filter(r.isNullable)
       val rowId = fresh("mrow")
       val ldf = l.df.withColumn(rowId, monotonically_increasing_id()).localCheckpoint()
-      val rdf0 = r.df.select(shared.map(v => col(v).as("__r_" + v)): _*)
-      val rdf = if (rn.nonEmpty) rdf0.localCheckpoint() else rdf0
+      // scanned once per branch pair → checkpoint unconditionally
+      val rdf = r.df.select(shared.map(v => col(v).as("__r_" + v)): _*).localCheckpoint()
       val matchedPerBranch = for {
         aNull <- subsets(ln)
         bNull <- subsets(rn)
