@@ -314,6 +314,32 @@ object SparkEntry {
       .select(col("value").as("line")).orderBy("line")
   }
 
+  /** LATERAL (SPARQL 1.2): per-outer-row correlated sub-select with its own
+    * ORDER/LIMIT — oracled against DuckDB's LATERAL join. */
+  private def sparqlLateral(s: SparkSession, dir: String): DataFrame = {
+    val res = graftOver(s, dir, "region", "nation").select(
+      """SELECT ?rname ?nname WHERE {
+        |  ?r <urn:g:region#r_name> ?rname .
+        |  LATERAL {
+        |    SELECT ?r ?nname WHERE {
+        |      ?n <urn:g:nation#ref_region> ?r . ?n <urn:g:nation#n_name> ?nname
+        |    } ORDER BY ?nname LIMIT 2
+        |  }
+        |} ORDER BY ?rname ?nname""".stripMargin)
+    Graft.decode(res).orderBy("rname", "nname")
+  }
+
+  /** GRAPH variable enumeration over the named-graphs mapping (one graph per
+    * table): counts quads per graph through the engine's graph scoping. */
+  private def sparqlGraph(s: SparkSession, dir: String): DataFrame = {
+    val m = RdbToRdf.mapping(s, dir, Seq("region", "nation"), namedGraphs = true)
+    val res = Graft(m.quads).select(
+      """SELECT ?g (COUNT(?s) AS ?n) WHERE {
+        |  GRAPH ?g { ?s ?p ?o }
+        |} GROUP BY ?g ORDER BY ?g""".stripMargin)
+    Graft.decode(res, Map("n" -> LongType)).orderBy("g")
+  }
+
   // -------------------------------------------------------- relational / OLAP
 
   private def q1LineitemAgg(s: SparkSession, dir: String): DataFrame =
@@ -688,6 +714,8 @@ object SparkEntry {
     "sparql_construct" -> sparqlConstruct,
     "sparql_ask" -> sparqlAsk,
     "sparql_describe" -> sparqlDescribe,
+    "sparql_lateral" -> sparqlLateral,
+    "sparql_graph" -> sparqlGraph,
     "sparql_bind_sum" -> sparqlBindSum,
     "sparql_events_agg" -> sparqlEventsAgg,
     "sparql_distinct_agg" -> sparqlDistinctAgg,
@@ -859,6 +887,22 @@ object SparkEntry {
         |FROM nation ORDER BY 1""".stripMargin,
     "sparql_ask" ->
       "SELECT CAST(count(*) > 0 AS BOOLEAN) AS ask FROM region WHERE r_name = 'ASIA'",
+    "sparql_lateral" ->
+      """SELECT r.r_name AS rname, l.nname
+        |FROM region r, LATERAL (
+        |  SELECT n_name AS nname FROM nation
+        |  WHERE n_regionkey = r.r_regionkey ORDER BY n_name LIMIT 2) l
+        |ORDER BY 1, 2""".stripMargin,
+    "sparql_graph" ->
+      """SELECT g, n FROM (
+        |  SELECT 'urn:g:graph/nation' AS g,
+        |         count(n_nationkey) + count(n_name) + count(n_regionkey)
+        |           + count(n_regionkey) AS n
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT 'urn:g:graph/region', count(r_regionkey) + count(r_name)
+        |  FROM region
+        |) ORDER BY 1""".stripMargin,
     "sparql_describe" ->
       """SELECT line FROM (
         |  SELECT '<urn:g:region/' || r_regionkey || '> <urn:g:region#r_name> "'
