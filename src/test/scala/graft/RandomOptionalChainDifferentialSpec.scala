@@ -15,6 +15,10 @@ import graft.sources.Turtle
  */
 class RandomOptionalChainDifferentialSpec extends SparkSpec {
 
+  /** Seeds per shape — default 20; set GRAFT_FUZZ_N for a deeper one-off
+    * sweep (e.g. GRAFT_FUZZ_N=150 sbt "testOnly *RandomOptionalChain*"). */
+  private val N = sys.env.getOrElse("GRAFT_FUZZ_N", "20").toInt
+
   private def bag(df: org.apache.spark.sql.DataFrame, vars: Seq[String]): Seq[String] =
     df.collect().toSeq.map { r =>
       vars.map { v =>
@@ -127,7 +131,7 @@ class RandomOptionalChainDifferentialSpec extends SparkSpec {
   }
 
   test("compat-union ≡ theta anti join on 20 random nullable-MINUS cases") {
-    (400 to 419).foreach(minusNullableCase)
+    (400 until 400 + N).foreach(minusNullableCase)
   }
 
   /** EXISTS / NOT EXISTS whose shared var with the outer pattern is
@@ -151,20 +155,20 @@ class RandomOptionalChainDifferentialSpec extends SparkSpec {
   }
 
   test("compat-union ≡ theta semi/anti join on 20 random nullable-EXISTS cases") {
-    (500 to 519).foreach(existsNullableCase)
+    (500 until 500 + N).foreach(existsNullableCase)
   }
 
   test("compat-union ≡ theta join on 20 random inner OPTIONAL-chain cases") {
-    (1 to 20).foreach(innerChainCase)
+    (1 to N).foreach(innerChainCase)
   }
   test("compat-union ≡ theta join on 20 random chained-OPTIONAL left joins") {
-    (100 to 119).foreach(leftChainCase)
+    (100 until 100 + N).foreach(leftChainCase)
   }
   test("compat-union ≡ theta join on 15 random filtered OPTIONAL chains") {
-    (200 to 214).foreach(filteredChainCase)
+    (200 until 200 + math.max(15, N * 3 / 4)).foreach(filteredChainCase)
   }
   test("compat-union ≡ theta join on 15 random two-nullable-var cases") {
-    (300 to 314).foreach(twoVarCase)
+    (300 until 300 + math.max(15, N * 3 / 4)).foreach(twoVarCase)
   }
 
   test("all-matched OPTIONAL chain plans hash joins only — no nested loop, no cartesian") {
