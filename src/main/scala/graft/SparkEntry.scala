@@ -572,6 +572,28 @@ object SparkEntry {
       Multimodal.syntheticMedia(t(s, dir, "documents"), "doc_id"), n = 4)
       .orderBy("media_id", "frame_index")
 
+  /** REAL WAV decode end-to-end: synthesize valid RIFF/PCM square waves from
+    * doc ids, parse them back with the zero-dependency decoder; a square
+    * wave's RMS equals its amplitude, so every feature is a closed-form
+    * function of the id the oracle recomputes without parsing bytes. */
+  private def wavFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractWavFeatures(
+        Multimodal.syntheticWav(t(s, dir, "documents"), "doc_id"))
+      .select(col("media_id"), col("sample_rate"), col("n_samples"),
+        col("duration_ms"), col("peak"), round(col("rms"), 4).as("rms"))
+      .orderBy("media_id")
+
+  /** REAL BMP decode end-to-end: synthesize valid 8x8 24-bit grayscale BMPs,
+    * parse headers + bottom-up padded pixel rows; channel means and the
+    * average-hash (as a 64-char bit string) are closed-form in the id. */
+  private def bmpFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractBmpFeatures(
+        Multimodal.syntheticBmp(t(s, dir, "documents"), "doc_id"))
+      .select(col("media_id"), col("width"), col("height"),
+        round(col("mean_r"), 4).as("mean_r"), round(col("mean_b"), 4).as("mean_b"),
+        lpad(bin(col("ahash")), 64, "0").as("ahash_bits"))
+      .orderBy("media_id")
+
   private def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(
       Multimodal.syntheticMedia(t(s, dir, "documents"), "doc_id"))
@@ -752,6 +774,8 @@ object SparkEntry {
     "doc_chunks" -> docChunks,
     "frame_sample" -> frameSample,
     "multimodal_features" -> multimodalFeatures,
+    "wav_features" -> wavFeatures,
+    "bmp_features" -> bmpFeatures,
     "windfarm_production" -> windfarmProduction,
     "windfarm_grouped_prod" -> windfarmGroupedProd,
     "windfarm_grouped_multi" -> windfarmGroupedMulti)
@@ -1093,6 +1117,27 @@ object SparkEntry {
         |SELECT doc_id AS media_id, CAST(128 AS BIGINT) AS n_bytes,
         |       round(tot / 128.0, 4) AS byte_mean, round(entropy, 4) AS byte_entropy
         |FROM ent ORDER BY media_id""".stripMargin,
+    "wav_features" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(8000 AS BIGINT) AS sample_rate,
+        |       CAST(400 + (doc_id % 50) * 16 AS BIGINT) AS n_samples,
+        |       CAST((400 + (doc_id % 50) * 16) / 8 AS BIGINT) AS duration_ms,
+        |       CAST(1000 + (doc_id % 20) * 500 AS BIGINT) AS peak,
+        |       round(CAST(1000 + (doc_id % 20) * 500 AS DOUBLE), 4) AS rms
+        |FROM documents ORDER BY 1""".stripMargin,
+    "bmp_features" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, x.range AS x, y.range AS y,
+        |         (d.doc_id + x.range * y.range) % 256 AS v
+        |  FROM documents d, range(8) x, range(8) y),
+        |m AS (SELECT doc_id, avg(v) AS mv FROM px GROUP BY 1)
+        |SELECT p.doc_id AS media_id, CAST(8 AS BIGINT) AS width,
+        |       CAST(8 AS BIGINT) AS height,
+        |       round(avg(p.v), 4) AS mean_r, round(avg(p.v), 4) AS mean_b,
+        |       string_agg(CASE WHEN p.v >= m.mv THEN '1' ELSE '0' END, ''
+        |                  ORDER BY p.y * 8 + p.x DESC) AS ahash_bits
+        |FROM px p JOIN m ON p.doc_id = m.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "rolling_fp" ->
       """WITH 
         |w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),

@@ -1,0 +1,60 @@
+package graft
+
+import graft.ops.Multimodal
+
+/** Real zero-dependency codecs: the WAV decoder must WALK RIFF chunks (not
+  * assume a 44-byte layout) and the BMP decoder must honour bottom-up rows
+  * and row padding; features pinned against hand-computed values. */
+class MultimodalSpec extends SparkSpec {
+
+  test("WAV decoder walks chunks: an inserted LIST chunk before data is skipped") {
+    val base = Multimodal.syntheticWavBytes(7L)
+    // splice a 12-byte LIST chunk between fmt and data
+    val extra = new Array[Byte](12)
+    "LIST".getBytes("US-ASCII").copyToArray(extra, 0)
+    extra(4) = 4 // chunk length 4
+    "INFO".getBytes("US-ASCII").copyToArray(extra, 8)
+    val spliced = base.take(36) ++ extra ++ base.drop(36)
+    // fix the RIFF size field (offset 4, little endian)
+    val riffLen = spliced.length - 8
+    spliced(4) = riffLen.toByte; spliced(5) = (riffLen >> 8).toByte
+    spliced(6) = (riffLen >> 16).toByte; spliced(7) = (riffLen >> 24).toByte
+    val f = Multimodal.decodeWav(7L, spliced)
+    // id=7: amp = 1000 + 7*500 = 4500, n = 400 + 7*16 = 512
+    assert(f.sample_rate == 8000 && f.channels == 1 && f.bits == 16)
+    assert(f.n_samples == 512 && f.duration_ms == 64)
+    assert(f.peak == 4500 && math.abs(f.rms - 4500.0) < 1e-9)
+  }
+
+  test("WAV square wave features are exact for a plain file") {
+    val f = Multimodal.decodeWav(23L, Multimodal.syntheticWavBytes(23L))
+    // id=23: amp = 1000 + 3*500 = 2500, n = 400 + 23*16 = 768
+    assert(f.peak == 2500 && f.rms == 2500.0 && f.n_samples == 768 && f.duration_ms == 96)
+  }
+
+  test("BMP decoder: gradient image means and average-hash match hand computation") {
+    val id = 5L
+    val f = Multimodal.decodeBmp(id, Multimodal.syntheticBmpBytes(id))
+    assert(f.width == 8 && f.height == 8)
+    // grayscale: every channel mean equals mean of (id + x*y) % 256
+    val vals = for (y <- 0 until 8; x <- 0 until 8) yield (id + x * y) % 256
+    val mean = vals.sum.toDouble / 64
+    assert(math.abs(f.mean_r - mean) < 1e-9 && f.mean_r == f.mean_g && f.mean_g == f.mean_b)
+    var expectHash = 0L
+    for (y <- 0 until 8; x <- 0 until 8)
+      if (((id + x * y) % 256).toDouble >= mean) expectHash |= (1L << (y * 8 + x))
+    assert(f.ahash == expectHash)
+  }
+
+  test("distributed extract over a corpus matches per-row decode") {
+    import spark.implicits._
+    val ids = Seq(1L, 19L, 42L, 63L).toDF("doc_id")
+    val got = Multimodal.extractWavFeatures(Multimodal.syntheticWav(ids, "doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(6), r.getDouble(7))).toSet
+    val expect = Seq(1L, 19L, 42L, 63L).map { id =>
+      val f = Multimodal.decodeWav(id, Multimodal.syntheticWavBytes(id))
+      (id, f.peak, f.rms)
+    }.toSet
+    assert(got == expect)
+  }
+}
