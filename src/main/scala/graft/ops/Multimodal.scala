@@ -108,6 +108,8 @@ object Multimodal {
       o += 8 + len + (len & 1) // chunks are word-aligned
     }
     require(dataOff >= 0 && rate > 0 && bits == 16, "missing fmt/data chunk or non-16-bit")
+    require(channels > 0 && dataLen >= 0 && dataOff + dataLen <= b.length,
+      "truncated WAV data chunk")
     val n = dataLen / (2 * channels)
     var peak = 0L; var sumSq = 0.0
     var i = 0
@@ -178,7 +180,9 @@ object Multimodal {
     require(b.length >= 54 && b(0) == 'B' && b(1) == 'M', "not a BMP file")
     val off = le32(b, 10); val w = le32(b, 18); val h = le32(b, 22)
     require(le16(b, 28) == 24 && le32(b, 30) == 0, "only uncompressed 24-bit BMP")
+    require(w > 0 && h > 0 && w <= (1 << 14) && h <= (1 << 14), "unsupported BMP dimensions")
     val rowLen = ((w * 3 + 3) / 4) * 4
+    require(off >= 54 && off.toLong + rowLen.toLong * h <= b.length, "truncated BMP pixel array")
     var (sr, sg, sb) = (0.0, 0.0, 0.0)
     val lum = Array.ofDim[Double](math.min(h, 8), math.min(w, 8))
     for (y <- 0 until h; x <- 0 until w) {
