@@ -44,12 +44,18 @@ final class SparqlServer private (spark: SparkSession, initial: DataFrame, port:
   private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
   server.createContext("/repositories/default/query", (ex: HttpExchange) => handleSafe(ex, handleQuery))
   server.createContext("/repositories/default/data", (ex: HttpExchange) => handleSafe(ex, handleData))
-  server.setExecutor(null) // single dispatch thread; Spark parallelises the work
+  // concurrent request handling (the reference's axum layer is concurrent;
+  // SparkSession actions are thread-safe, so parallel queries just become
+  // parallel jobs). Daemon threads: the server must not pin the JVM.
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8, r => {
+    val t = new Thread(r, "sparql-server"); t.setDaemon(true); t
+  })
+  server.setExecutor(pool)
   server.start()
 
   /** The bound port (useful when constructed with port 0). */
   def boundPort: Int = server.getAddress.getPort
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
   /** Current store contents (for tests / embedding). */
   def storeQuads: DataFrame = quads
 

@@ -63,6 +63,31 @@ class SparqlServerStreamingSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("concurrent requests are served in parallel, all correct") {
+    val nt = (0 until 2000).map(i => s"""<urn:s$i> <urn:p${i % 4}> "v$i" .""").mkString("\n")
+    val server = SparqlServer.start(spark, NTriples.fromString(spark, nt)
+      .withColumn("graph", org.apache.spark.sql.functions.lit(null)
+        .cast(graft.encoding.TermCols.schema))
+      .select("graph", "subject", "predicate", "object"))
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val futures = (0 until 4).map { p =>
+        Future {
+          val url = s"http://127.0.0.1:${server.boundPort}/repositories/default/query?query=" +
+            enc(s"SELECT ?s WHERE { ?s <urn:p$p> ?o }")
+          val (st, _, _, body) = get(url, "text/csv")
+          (p, st, body.linesIterator.size - 1)
+        }
+      }
+      val results = Await.result(Future.sequence(futures), 120.seconds)
+      results.foreach { case (p, st, rows) =>
+        assert(st == 200 && rows == 500, s"predicate p$p: status=$st rows=$rows")
+      }
+    } finally server.stop()
+  }
+
   test("first bytes arrive while the last partition is still computing") {
     // enough rows that the fast partitions overflow the server's 64 KiB
     // write buffer — the first chunk must hit the wire mid-computation
