@@ -38,15 +38,16 @@ object Results {
 
   /** Column-expression JSON string escape (same mapping as [[jsonEscape]]):
     * backslash and quote, short escapes for \n\r\t, \u00XX for the other C0
-    * control characters. */
+    * control characters. The 29-replace control-char ladder only runs on
+    * rows that actually contain one (single rlike guard) — the common case
+    * pays 5 replaces. */
   private def jsonEscCol(c: Column): Column = {
-    var e = regexp_replace(c, "\\\\", "\\\\\\\\")
-    e = regexp_replace(e, "\"", "\\\\\"")
-    e = regexp_replace(e, "\n", "\\\\n")
-    e = regexp_replace(e, "\r", "\\\\r")
-    e = regexp_replace(e, "\t", "\\\\t")
-    (0 until 32).filterNot(i => i == 9 || i == 10 || i == 13).foldLeft(e)((acc, i) =>
+    def basic(e: Column): Column =
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        e, "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\n", "\\\\n"), "\r", "\\\\r"), "\t", "\\\\t")
+    val rare = (0 until 32).filterNot(i => i == 9 || i == 10 || i == 13).foldLeft(basic(c))((acc, i) =>
       regexp_replace(acc, f"\\x{$i%02x}", "\\\\" + f"u$i%04x"))
+    when(c.rlike("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"), rare).otherwise(basic(c))
   }
 
   private def xmlEscCol(c: Column): Column =

@@ -475,10 +475,13 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     // (both-sides-tiny keeps the theta path: structurally bounded BNLJ work
     // beats the rewrite's fixed costs — measured crossover ~10k rows/side,
     // tools/CompatUnionProbe)
+    // (branch count = 2^(nullable-left + nullable-right); compare EXPONENTS —
+    // a shift product would overflow Long for ~63 nullable vars and bypass
+    // the cap on a hostile query)
     if (compatUnion && !(l.tiny && r.tiny) && idKeys.isEmpty && shared.nonEmpty &&
         shared.forall(v => l.isNullable(v) || r.isNullable(v)) &&
-        (1L << shared.count(l.isNullable)) * (1L << shared.count(r.isNullable))
-          <= Rewriter.CompatUnionMaxBranches)
+        shared.count(l.isNullable) + shared.count(r.isNullable)
+          <= Rewriter.CompatUnionMaxBranchBits)
       return compatUnionJoin(l, r, joinType, filter, shared, rOnly, outVars, outTiny)
 
     // general path: explicit condition (native-typed idKey equality + compat
@@ -647,19 +650,25 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     // equi-join on those vars. Dropped = union of per-branch semi-join row
     // ids; result = left anti that id set (hash joins throughout).
     if (compatUnion && !(l.tiny && r.tiny) &&
-        (1L << shared.count(l.isNullable)) * (1L << shared.count(r.isNullable))
-          <= Rewriter.CompatUnionMaxBranches) {
+        shared.count(l.isNullable) + shared.count(r.isNullable)
+          <= Rewriter.CompatUnionMaxBranchBits) {
       val ln = shared.filter(l.isNullable)
       val rn = shared.filter(r.isNullable)
       val rowId = fresh("mrow")
       val ldf = l.df.withColumn(rowId, monotonically_increasing_id()).localCheckpoint()
       // scanned once per branch pair → checkpoint unconditionally
       val rdf = r.df.select(shared.map(v => col(v).as("__r_" + v)): _*).localCheckpoint()
+      // empty slices prune their branches (same histogram as compatUnionJoin)
+      val lCounts = nullPatternCounts(ldf, ln, "")
+      val rCounts = nullPatternCounts(rdf, rn, "__r_")
+      def rows(counts: Map[Set[String], Long], vs: Seq[String], nulls: Set[String]): Long =
+        if (vs.isEmpty) Long.MaxValue else counts.getOrElse(nulls, 0L)
       val matchedPerBranch = for {
         aNull <- subsets(ln)
         bNull <- subsets(rn)
         keys = shared.filterNot(v => aNull(v) || bNull(v))
         if keys.nonEmpty // keys empty → anyBoth false → branch drops nothing
+        if rows(lCounts, ln, aNull) > 0 && rows(rCounts, rn, bNull) > 0
       } yield {
         val lslice = ln.foldLeft(ldf)((d, v) =>
           d.filter(if (aNull(v)) col(v).isNull else col(v).isNotNull))
@@ -1026,8 +1035,8 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
       // whole left slice matches iff the right slice is non-empty (checked
       // via the null-pattern histogram — no join at all).
       if (compatUnion && !(in.tiny && inner.tiny) &&
-          (1L << shared.count(in.isNullable)) * (1L << shared.count(inner.isNullable))
-            <= Rewriter.CompatUnionMaxBranches) {
+          shared.count(in.isNullable) + shared.count(inner.isNullable)
+            <= Rewriter.CompatUnionMaxBranchBits) {
         val ln = shared.filter(in.isNullable)
         val rn = shared.filter(inner.isNullable)
         val rowId = fresh("erow")
@@ -1322,16 +1331,19 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
         val x = col(argCol.get)
         // reference parity (lib/functions/src/aggregates/group_concat.rs:
         // 185-231): only STRING literals concatenate (simple / xsd:string /
-        // lang-tagged); IRIs, bnodes and non-string literals poison the
-        // aggregate. A language tag survives only when every value carries
-        // the same one.
+        // lang-tagged); IRIs, bnodes, non-string literals AND unbound values
+        // poison the aggregate (evaluation errors, ListEval §18.5.1 — same
+        // rule SUM/AVG apply; the reference accumulator poisons on any
+        // decode error). A language tag survives only when every value
+        // carries the same one. DISTINCT dedups by TERM (value + tag):
+        // "a"@en and "a"@fr are distinct RDF terms and both concatenate.
         val isStringLit = isLiteral(x) &&
           (datatypeRaw(x).isNull || datatypeRaw(x) === Xsd.string || langTag(x).isNotNull)
-        val s = when(isStringLit, value(x))
         val lang = when(isStringLit, coalesce(langTag(x), lit("")))
-        val lst = if (a.distinct) collect_set(s) else collect_list(s)
+        val term = when(isStringLit, struct(value(x).as("v"), lang.as("l")))
+        val lst = if (a.distinct) collect_set(term) else collect_list(term)
         Seq(lst.as(s"__${out}_lst"),
-          max(when(x.isNotNull && s.isNull, 1).otherwise(0)).as(s"__${out}_bad"),
+          max(when(x.isNull || !isStringLit, 1).otherwise(0)).as(s"__${out}_bad"),
           min(lang).as(s"__${out}_lmin"), max(lang).as(s"__${out}_lmax"))
       case other => throw new IllegalArgumentException(s"unknown aggregate $other")
     }
@@ -1349,7 +1361,9 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
           .when(col(s"__${out}_any") === 1, fromDouble(col(s"__${out}_dbl")))
           .otherwise(fromLong(lit(0L)))
       case "AVG" if argKind.contains(3) =>
-        val n = col(s"__${out}_n")
+        // coalesce: sum() over an empty implicit group is NULL, and
+        // Avg({}) = 0 per spec §18.5.1.5 (as SUM already handles)
+        val n = coalesce(col(s"__${out}_n"), lit(0L))
         when(col(s"__${out}_bad") === 1, nullTerm)
           .when(n === 0, fromLong(lit(0L))).otherwise(fromDouble(col(s"__${out}_dbl") / n))
       case "SUM" =>
@@ -1358,7 +1372,7 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
           .when(col(s"__${out}_anydec") === 1, fromDecimal(col(s"__${out}_dec")))
           .otherwise(fromLong(coalesce(col(s"__${out}_dec").cast(LongType), lit(0L))))
       case "AVG" =>
-        val n = col(s"__${out}_n")
+        val n = coalesce(col(s"__${out}_n"), lit(0L))
         when(col(s"__${out}_bad") === 1, nullTerm)
           .when(n === 0, fromLong(lit(0L)))
           .when(col(s"__${out}_anydbl") === 1, fromDouble(col(s"__${out}_dbl") / n))
@@ -1366,7 +1380,8 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
       case "MIN" | "MAX" => col(s"__${out}_mm").getField("t")
       case "SAMPLE" => col(s"__${out}_s")
       case "GROUP_CONCAT" =>
-        val cat = concat_ws(a.separator.getOrElse(" "), col(s"__${out}_lst"))
+        val cat = concat_ws(a.separator.getOrElse(" "),
+          transform(col(s"__${out}_lst"), _.getField("v")))
         when(col(s"__${out}_bad") === 1, nullTerm)
           .when(col(s"__${out}_lmin") === col(s"__${out}_lmax") &&
             col(s"__${out}_lmin") =!= "", langStr(cat, col(s"__${out}_lmin")))
@@ -1644,12 +1659,14 @@ object Rewriter {
     * broadcasts (~100k term-struct rows ≈ tens of MB serialized). */
   private[engine] val CrossBroadcastRows: Long = 1L << 17
 
-  /** Cap on null-pattern slice pairs in the compat-union join rewrite
-    * (2^|nullable-left| × 2^|nullable-right|). 16 covers up to two nullable
-    * shared vars per side; beyond that the branch fan-out costs more than the
-    * theta join it replaces, so the general path keeps such (rare,
-    * deeply-OPTIONAL) shapes. */
-  private[engine] val CompatUnionMaxBranches: Long = 16L
+  /** Cap on null-pattern slice pairs in the compat-union join rewrite,
+    * expressed as the EXPONENT sum (branches = 2^(|nullable-left| +
+    * |nullable-right|)). 4 → ≤16 branches, covering up to two nullable
+    * shared vars per side; beyond that the branch fan-out costs more than
+    * the theta join it replaces, so the general path keeps such (rare,
+    * deeply-OPTIONAL) shapes. Comparing exponents (not a shift product)
+    * cannot overflow on hostile queries with ~63 nullable shared vars. */
+  private[engine] val CompatUnionMaxBranchBits: Int = 4
 
   /** Computed closures memoised per (session, edges plan, seeds plan) — a
     * transitive closure is a build-once/query-many artifact exactly like

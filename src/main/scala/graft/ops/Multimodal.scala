@@ -98,8 +98,12 @@ object Multimodal {
     while (o + 8 <= b.length) {
       val cid = new String(b, o, 4, "US-ASCII")
       val len = le32(b, o + 4)
+      // negative lengths would loop forever (step 0/backwards) and large
+      // ones overflow Int — validate in Long space before touching payload
+      require(len >= 0 && o.toLong + 8 + len <= b.length, "truncated/invalid RIFF chunk")
       cid match {
         case "fmt " =>
+          require(len >= 16, "fmt chunk too short")
           require(le16(b, o + 8) == 1, "only PCM wav supported")
           channels = le16(b, o + 10); rate = le32(b, o + 12); bits = le16(b, o + 22)
         case "data" => dataOff = o + 8; dataLen = len

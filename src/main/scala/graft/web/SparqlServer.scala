@@ -64,6 +64,12 @@ final class SparqlServer private (spark: SparkSession, initial: DataFrame, port:
   private def handleSafe(ex: HttpExchange, h: HttpExchange => Unit): Unit =
     try h(ex)
     catch {
+      case e: StreamAborted =>
+        // headers (200) already sent: a status line cannot be un-sent, so
+        // log the real failure instead of masking it with a second
+        // sendResponseHeaders ("headers already sent") — the client sees a
+        // truncated chunked body (JSON/XML are detectably malformed)
+        System.err.println(s"[sparql-server] stream aborted mid-response: ${e.getCause}")
       case e: BadRequest => respond(ex, 400, "text/plain", e.getMessage.getBytes(UTF_8))
       case e: NotAcceptable => respond(ex, 406, "text/plain", e.getMessage.getBytes(UTF_8))
       case e: IllegalArgumentException => // parse / validation errors (data.rs maps these to 400)
@@ -74,6 +80,12 @@ final class SparqlServer private (spark: SparkSession, initial: DataFrame, port:
 
   private final class BadRequest(msg: String) extends RuntimeException(msg)
   private final class NotAcceptable(msg: String) extends RuntimeException(msg)
+  private final class StreamAborted(cause: Throwable) extends RuntimeException(cause)
+
+  /** Run a streaming body after the 200 header went out: failures wrap in
+    * [[StreamAborted]] so handleSafe logs instead of double-responding. */
+  private def streamed(body: => Unit): Unit =
+    try body catch { case e: Throwable => throw new StreamAborted(e) }
 
   // ------------------------------------------------------------------- /query
 
@@ -250,19 +262,21 @@ final class SparqlServer private (spark: SparkSession, initial: DataFrame, port:
     }
     ex.getResponseHeaders.set("Content-Type", contentType + ";charset=utf-8")
     ex.sendResponseHeaders(200, 0) // length 0 → chunked
-    val os: OutputStream = ex.getResponseBody
-    val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(os, UTF_8), 1 << 16)
-    w.write(head)
-    val it = lines.toLocalIterator()
-    var first = true
-    while (it.hasNext) {
-      if (!first && sep.nonEmpty) w.write(sep)
-      first = false
-      w.write(it.next().getString(0))
-      if (lineEnd.nonEmpty) w.write(lineEnd)
+    streamed {
+      val os: OutputStream = ex.getResponseBody
+      val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(os, UTF_8), 1 << 16)
+      w.write(head)
+      val it = lines.toLocalIterator()
+      var first = true
+      while (it.hasNext) {
+        if (!first && sep.nonEmpty) w.write(sep)
+        first = false
+        w.write(it.next().getString(0))
+        if (lineEnd.nonEmpty) w.write(lineEnd)
+      }
+      w.write(tail)
+      w.flush()
     }
-    w.write(tail)
-    w.flush()
   }
 
   /** The line DataFrame for a quads frame in the negotiated RDF format —
@@ -289,11 +303,13 @@ final class SparqlServer private (spark: SparkSession, initial: DataFrame, port:
                                   qs: DataFrame, fmt: String): Unit = {
     ex.getResponseHeaders.set("Content-Type", contentType)
     ex.sendResponseHeaders(200, 0) // length 0 → chunked
-    val os: OutputStream = ex.getResponseBody
-    val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(os, UTF_8), 1 << 16)
-    val it = rdfLines(qs, fmt).toLocalIterator()
-    while (it.hasNext) { w.write(it.next().getString(0)); w.write('\n') }
-    w.flush()
+    streamed {
+      val os: OutputStream = ex.getResponseBody
+      val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(os, UTF_8), 1 << 16)
+      val it = rdfLines(qs, fmt).toLocalIterator()
+      while (it.hasNext) { w.write(it.next().getString(0)); w.write('\n') }
+      w.flush()
+    }
   }
 
   /** The reference's sd: service description triples
