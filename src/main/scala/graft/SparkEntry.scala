@@ -271,6 +271,17 @@ object SparkEntry {
     Graft.decode(res).orderBy("x", "y")
   }
 
+  /** Zero-or-one path `p?`: each nation yields itself (zero) plus its
+    * region (one step). */
+  private def sparqlPathZeroOrOne(s: SparkSession, dir: String): DataFrame = {
+    val res = graftOver(s, dir, "nation").select(
+      """SELECT ?s ?x WHERE {
+        |  ?s <urn:g:nation#n_name> ?nm .
+        |  ?s <urn:g:nation#ref_region>? ?x .
+        |} ORDER BY ?s ?x""".stripMargin)
+    Graft.decode(res).orderBy("s", "x")
+  }
+
   /** VALUES as a join input: the inline table constrains the region scan. */
   private def sparqlValuesJoin(s: SparkSession, dir: String): DataFrame = {
     val res = graftOver(s, dir, "region", "nation").select(
@@ -732,6 +743,7 @@ object SparkEntry {
     "sparql_exists" -> sparqlExists,
     "sparql_optional_chain" -> sparqlOptionalChain,
     "sparql_path_nps" -> sparqlPathNps,
+    "sparql_path_zero_or_one" -> sparqlPathZeroOrOne,
     "sparql_values_join" -> sparqlValuesJoin,
     "sparql_construct" -> sparqlConstruct,
     "sparql_ask" -> sparqlAsk,
@@ -901,6 +913,14 @@ object SparkEntry {
     "sparql_path_nps" ->
       """SELECT 'urn:g:region/' || n_regionkey AS x, n_name AS y
         |FROM nation ORDER BY 1, 2""".stripMargin,
+    "sparql_path_zero_or_one" ->
+      """SELECT s, x FROM (
+        |  SELECT 'urn:g:nation/' || n_nationkey AS s,
+        |         'urn:g:nation/' || n_nationkey AS x FROM nation
+        |  UNION ALL
+        |  SELECT 'urn:g:nation/' || n_nationkey,
+        |         'urn:g:region/' || n_regionkey FROM nation
+        |) ORDER BY 1, 2""".stripMargin,
     "sparql_values_join" ->
       """SELECT r_name AS rname, n_name AS nname
         |FROM nation JOIN region ON n_regionkey = r_regionkey
