@@ -39,18 +39,28 @@ object Bench {
     try SparkEntry.queries("windfarm_production")(spark, sfDir).limit(1).collect()
     catch { case e: Throwable => System.err.println(s"[bench] windfarm prebuild: $e") }
     System.err.println(f"[bench] windfarm store prebuild: ${(System.nanoTime() - tBuild) / 1e9}%.1f s (untimed)")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // two samples, report the min (criterion-style noise floor — host-level
-      // jitter on shared VMs swings single runs by ±30%+)
-      val samples = (1 to 2).map { _ =>
+    // Three INTERLEAVED full passes over the suite, min per query — not
+    // back-to-back per-query samples. Rationale (measured, r6 A/B probe
+    // tools/AbBench.scala): host-level load spikes on this shared VM last
+    // seconds-to-minutes, so two back-to-back samples of one query are
+    // CORRELATED and min-of-2 does not remove the spike (the r5-reported
+    // "2.6-4.4x regression" on 9 queries reproduced at steady state as
+    // 1.0x — pure noise). Interleaving decorrelates: a spike inflates one
+    // pass's worth of each query, and the min across passes recovers.
+    // Pass 1 additionally JIT/codegen-warms the whole suite for passes 2-3.
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    val passes = (1 to 3).map { _ =>
+      sorted.map { case (name, fn) =>
         val t0 = System.nanoTime()
         // noop sink consumes every row + column (count() would let Catalyst
         // prune the computed columns — dishonest timing)
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-        (System.nanoTime() - t0) / 1e9
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> samples.min
+    }
+    val results = sorted.map { case (name, _) =>
+      name -> passes.map(_.toMap.apply(name)).min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -28,7 +28,17 @@ object Smoke {
     println(q)
 
     println("=== 2. N-Quads read ===")
-    val path = args.headOption.getOrElse("/tmp/smoke.nq")
+    val path = args.headOption.getOrElse {
+      // self-contained: (re)write the tiny fixture so the smoke run never
+      // depends on leftovers from a previous session
+      val p = "/tmp/smoke.nq"
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        ("""<http://ex.org/a> <http://ex.org/knows> <http://ex.org/b> .
+           |<http://ex.org/b> <http://ex.org/name> "Bobé" .
+           |<http://ex.org/b> <http://ex.org/age> "21"^^<http://www.w3.org/2001/XMLSchema#integer> <http://ex.org/g1> .
+           |""".stripMargin).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      p
+    }
     val quads = NTriples.read(spark, path, quads = true)
     quads.show(20, truncate = false)
     println(s"quad count = ${quads.count()}")
