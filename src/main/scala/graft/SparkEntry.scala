@@ -605,6 +605,30 @@ object SparkEntry {
         lpad(bin(col("ahash")), 64, "0").as("ahash_bits"))
       .orderBy("media_id")
 
+  /** REAL compressed-image decode end-to-end (PNG: DEFLATE inflate + filter
+    * reversal via the JDK's javax.imageio — zero new dependencies): same
+    * pixel grid as the BMP gate, PNG is lossless, so the oracle is the same
+    * closed-form grid sum. */
+  private def pngFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractImageFeatures(
+        Multimodal.syntheticPng(t(s, dir, "documents"), "doc_id"))
+      .select(col("media_id"), col("format"), col("width"), col("height"),
+        round(col("mean_r"), 4).as("mean_r"), round(col("mean_b"), 4).as("mean_b"),
+        lpad(bin(col("ahash")), 64, "0").as("ahash_bits"))
+      .orderBy("media_id")
+
+  /** REAL lossy-JPEG decode end-to-end (Huffman + IDCT via javax.imageio):
+    * constant-gray 8×8 blocks at quality 1.0 round-trip exactly (flat block
+    * = DC-only, quant step 1 — verified exhaustively in MultimodalSpec), so
+    * the decoded mean is closed-form in the id despite the lossy codec. */
+  private def jpegFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractImageFeatures(
+        Multimodal.syntheticJpeg(t(s, dir, "documents"), "doc_id"))
+      .select(col("media_id"), col("format"), col("width"), col("height"),
+        round(col("mean_r"), 4).as("mean_r"), round(col("mean_g"), 4).as("mean_g"),
+        lpad(bin(col("ahash")), 64, "0").as("ahash_bits"))
+      .orderBy("media_id")
+
   private def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(
       Multimodal.syntheticMedia(t(s, dir, "documents"), "doc_id"))
@@ -788,6 +812,8 @@ object SparkEntry {
     "multimodal_features" -> multimodalFeatures,
     "wav_features" -> wavFeatures,
     "bmp_features" -> bmpFeatures,
+    "png_features" -> pngFeatures,
+    "jpeg_features" -> jpegFeatures,
     "windfarm_production" -> windfarmProduction,
     "windfarm_grouped_prod" -> windfarmGroupedProd,
     "windfarm_grouped_multi" -> windfarmGroupedMulti)
@@ -1158,6 +1184,26 @@ object SparkEntry {
         |                  ORDER BY p.y * 8 + p.x DESC) AS ahash_bits
         |FROM px p JOIN m ON p.doc_id = m.doc_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "png_features" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, x.range AS x, y.range AS y,
+        |         (d.doc_id + x.range * y.range) % 256 AS v
+        |  FROM documents d, range(8) x, range(8) y),
+        |m AS (SELECT doc_id, avg(v) AS mv FROM px GROUP BY 1)
+        |SELECT p.doc_id AS media_id, 'png' AS format, CAST(8 AS BIGINT) AS width,
+        |       CAST(8 AS BIGINT) AS height,
+        |       round(avg(p.v), 4) AS mean_r, round(avg(p.v), 4) AS mean_b,
+        |       string_agg(CASE WHEN p.v >= m.mv THEN '1' ELSE '0' END, ''
+        |                  ORDER BY p.y * 8 + p.x DESC) AS ahash_bits
+        |FROM px p JOIN m ON p.doc_id = m.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "jpeg_features" ->
+      """SELECT doc_id AS media_id, 'jpeg' AS format,
+        |       CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+        |       round(CAST(doc_id % 256 AS DOUBLE), 4) AS mean_r,
+        |       round(CAST(doc_id % 256 AS DOUBLE), 4) AS mean_g,
+        |       repeat('1', 64) AS ahash_bits
+        |FROM documents ORDER BY 1""".stripMargin,
     "rolling_fp" ->
       """WITH 
         |w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),

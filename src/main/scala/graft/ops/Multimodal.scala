@@ -9,12 +9,14 @@ import org.apache.spark.sql.types._
  * with typed metadata, decode/feature-extract as partition-local batch
  * transforms.
  *
- * Container-parseable formats decode for REAL with zero dependencies:
+ * Image and PCM-audio formats decode for REAL with zero dependencies:
  * [[decodeWav]] walks RIFF chunks and computes PCM sample statistics;
  * [[decodeBmp]] parses the BITMAPINFOHEADER and pixel array (bottom-up rows,
- * 4-byte row padding) into channel means and a 64-bit average-hash. Only
- * COMPRESSED codecs (jpeg/mp3/h264…) remain stubbed (`fakeDecode` — no
- * codec libraries in this container); the distributed shape — partition-
+ * 4-byte row padding) into channel means and a 64-bit average-hash;
+ * [[decodeImage]] decodes COMPRESSED images (PNG inflate, JPEG IDCT) through
+ * the JDK's built-in `javax.imageio` readers. Only compressed AUDIO/VIDEO
+ * codecs (mp3/h264…) remain stubbed (`fakeDecode` — no codec libraries in
+ * this container, and none in the JDK); the distributed shape — partition-
  * local batch map, no shuffle — is identical either way.
  */
 object Multimodal {
@@ -235,6 +237,124 @@ object Multimodal {
     val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
     df.select(col(idCol).cast(LongType))
       .map(r => (r.getLong(0), syntheticBmpBytes(r.getLong(0))))(enc)
+      .toDF("media_id", "media")
+  }
+
+  // ------------------------------------- real codecs (PNG / JPEG via ImageIO)
+
+  final case class ImageFeature(media_id: Long, format: String, width: Long, height: Long,
+                                mean_r: Double, mean_g: Double, mean_b: Double,
+                                ahash: Long)
+
+  /** REAL compressed-image decode via the JDK's built-in `javax.imageio`
+    * readers (PNG = DEFLATE inflate + filter reversal, JPEG = Huffman + IDCT
+    * — zero new dependencies). Same feature contract as [[decodeBmp]]:
+    * channel means over all pixels plus a 64-bit average-hash over the
+    * luminance of the top-left (up to) 8×8 block.
+    *
+    * Single-band (grayscale) images are read from the raster directly:
+    * `getRGB` on `TYPE_BYTE_GRAY` applies a linear-gray→sRGB color-space
+    * conversion that would silently distort the values. */
+  private[graft] def decodeImage(id: Long, b: Array[Byte]): ImageFeature = {
+    require(b != null && b.length >= 8, "not an image")
+    val fmt =
+      if (b(0) == 'B' && b(1) == 'M') "bmp"
+      else if ((b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "png"
+      else if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) "jpeg"
+      else "unknown"
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      catch { case e: java.io.IOException =>
+        throw new IllegalArgumentException(s"undecodable image (format=$fmt): ${e.getMessage}")
+      }
+    require(img != null, s"undecodable image (format=$fmt)")
+    val w = img.getWidth; val h = img.getHeight
+    require(w > 0 && h > 0 && w <= (1 << 14) && h <= (1 << 14), "unsupported image dimensions")
+    val gray = img.getRaster.getNumBands == 1
+    var (sr, sg, sb) = (0.0, 0.0, 0.0)
+    val lum = Array.ofDim[Double](math.min(h, 8), math.min(w, 8))
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (rr, gg, bb) = if (gray) {
+          val v = img.getRaster.getSample(x, y, 0); (v, v, v)
+        } else {
+          val rgb = img.getRGB(x, y)
+          ((rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF)
+        }
+        sr += rr; sg += gg; sb += bb
+        if (y < 8 && x < 8) lum(y)(x) = 0.299 * rr + 0.587 * gg + 0.114 * bb
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toDouble
+    val flat = lum.flatten
+    val mean = if (flat.nonEmpty) flat.sum / flat.length else 0.0
+    var hash = 0L
+    var i = 0
+    while (i < flat.length) { if (flat(i) >= mean) hash |= (1L << i); i += 1 }
+    ImageFeature(id, fmt, w.toLong, h.toLong, sr / n, sg / n, sb / n, hash)
+  }
+
+  /** Decode a PNG/JPEG/BMP media column (partition-local, no shuffle). */
+  def extractImageFeatures(media: DataFrame): DataFrame = {
+    val enc = Encoders.product[ImageFeature]
+    media.select(col("media_id"), col("media"))
+      .map(row => decodeImage(row.getLong(0), row.get(1).asInstanceOf[Array[Byte]]))(enc)
+      .toDF()
+  }
+
+  /** Deterministic VALID 8×8 RGB PNG per id, pixel (x,y) = (id + x·y) mod 256
+    * on all channels — PNG is lossless, so the decode oracle is the same
+    * closed-form grid sum as the BMP gate. */
+  private[graft] def syntheticPngBytes(id: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val v = ((id + x * y) % 256).toInt
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  def syntheticPng(df: DataFrame, idCol: String): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    df.select(col(idCol).cast(LongType))
+      .map(r => (r.getLong(0), syntheticPngBytes(r.getLong(0))))(enc)
+      .toDF("media_id", "media")
+  }
+
+  /** Deterministic VALID baseline JPEG per id: 8×8 single-component
+    * (grayscale) image of CONSTANT value id mod 256, written at compression
+    * quality 1.0. A flat 8×8 block has only a DC coefficient and the
+    * quality-1.0 quantization step is 1, so the lossy round trip is exact
+    * (verified exhaustively over all 256 values in MultimodalSpec) and the
+    * oracle stays closed-form in the id. */
+  private[graft] def syntheticJpegBytes(id: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val v = (id % 256).toInt
+    val raster = img.getRaster
+    for (y <- 0 until 8; x <- 0 until 8) raster.setSample(x, y, 0, v)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(1.0f)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally { writer.dispose(); ios.close() }
+    baos.toByteArray
+  }
+
+  def syntheticJpeg(df: DataFrame, idCol: String): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    df.select(col(idCol).cast(LongType))
+      .map(r => (r.getLong(0), syntheticJpegBytes(r.getLong(0))))(enc)
       .toDF("media_id", "media")
   }
 

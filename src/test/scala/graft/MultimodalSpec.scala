@@ -46,6 +46,46 @@ class MultimodalSpec extends SparkSpec {
     assert(f.ahash == expectHash)
   }
 
+  test("PNG round trip is pixel-exact for all 256 base values (lossless codec)") {
+    for (id <- 0L until 256L) {
+      val f = Multimodal.decodeImage(id, Multimodal.syntheticPngBytes(id))
+      val vals = for (y <- 0 until 8; x <- 0 until 8) yield (id + x * y) % 256
+      val mean = vals.sum.toDouble / 64
+      assert(f.format == "png" && f.width == 8 && f.height == 8)
+      assert(math.abs(f.mean_r - mean) < 1e-9 && f.mean_r == f.mean_g && f.mean_g == f.mean_b,
+        s"id=$id mean_r=${f.mean_r} expect=$mean")
+      var expectHash = 0L
+      for (y <- 0 until 8; x <- 0 until 8)
+        if (((id + x * y) % 256).toDouble >= mean) expectHash |= (1L << (y * 8 + x))
+      assert(f.ahash == expectHash)
+    }
+  }
+
+  test("flat-block quality-1.0 JPEG round trip is exact for all 256 gray values") {
+    // lossy codec, but a constant 8x8 block has only a DC coefficient and the
+    // quality-1.0 quantization step is 1 — must reconstruct exactly
+    for (id <- 0L until 256L) {
+      val f = Multimodal.decodeImage(id, Multimodal.syntheticJpegBytes(id))
+      val v = (id % 256).toDouble
+      assert(f.format == "jpeg" && f.width == 8 && f.height == 8, s"id=$id")
+      assert(f.mean_r == v && f.mean_g == v && f.mean_b == v, s"id=$id got ${f.mean_r} expect $v")
+      assert(f.ahash == -1L, s"flat image: every lum >= mean, all 64 bits set (id=$id)")
+    }
+  }
+
+  test("image decoder rejects hostile input: truncated PNG, garbage bytes") {
+    val png = Multimodal.syntheticPngBytes(3L)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeImage(3L, png.take(20)) // header only, no IDAT
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeImage(3L, Array.fill[Byte](64)(0x41))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeImage(3L, Array[Byte](1, 2, 3))
+    }
+  }
+
   test("distributed extract over a corpus matches per-row decode") {
     import spark.implicits._
     val ids = Seq(1L, 19L, 42L, 63L).toDF("doc_id")
