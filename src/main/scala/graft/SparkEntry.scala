@@ -74,6 +74,43 @@ object SparkEntry {
     Graft.decode(res).orderBy("name")
   }
 
+  /** MINUS whose only shared var (?nname) is OPTIONAL-introduced on the left
+    * — exercises the nullable-shared-var MINUS rewrite (union of semi-join
+    * branches, Rewriter.compatUnionAnti): a left row with ?nname unbound
+    * shares NO binding with any right row (empty dom intersection), so the
+    * SPARQL spec keeps it regardless of the right side. */
+  private def sparqlMinusNullable(s: SparkSession, dir: String): DataFrame = {
+    val res = graftOver(s, dir, "customer", "supplier", "nation").select(
+      """SELECT ?name WHERE {
+        |  ?c <urn:g:customer#c_name> ?name .
+        |  ?c <urn:g:customer#ref_nation> ?cnat .
+        |  OPTIONAL { ?cnat <urn:g:nation#n_name> ?nname . FILTER(CONTAINS(?nname, "1")) }
+        |  MINUS { ?s <urn:g:supplier#s_name> ?sn .
+        |          ?s <urn:g:supplier#ref_nation> ?snat .
+        |          ?snat <urn:g:nation#n_name> ?nname .
+        |          FILTER(CONTAINS(?nname, "2")) }
+        |} ORDER BY ?name""".stripMargin)
+    Graft.decode(res).orderBy("name")
+  }
+
+  /** NOT EXISTS over a nullable correlated var — substitution semantics: a
+    * left row with ?nname unbound leaves ?nname free inside the pattern, so
+    * the pattern matches whenever ANY qualifying supplier exists and the row
+    * is dropped; bound rows drop only on an exact nation match (null-pattern
+    * EXISTS rewrite, Rewriter.scala:970-1122). */
+  private def sparqlExistsNullable(s: SparkSession, dir: String): DataFrame = {
+    val res = graftOver(s, dir, "customer", "supplier", "nation").select(
+      """SELECT ?name WHERE {
+        |  ?c <urn:g:customer#c_name> ?name .
+        |  ?c <urn:g:customer#ref_nation> ?cnat .
+        |  OPTIONAL { ?cnat <urn:g:nation#n_name> ?nname . FILTER(CONTAINS(?nname, "1")) }
+        |  FILTER NOT EXISTS { ?s <urn:g:supplier#ref_nation> ?snat .
+        |                      ?snat <urn:g:nation#n_name> ?nname .
+        |                      FILTER(CONTAINS(?nname, "2")) }
+        |} ORDER BY ?name""".stripMargin)
+    Graft.decode(res).orderBy("name")
+  }
+
   private def sparqlUnion(s: SparkSession, dir: String): DataFrame = {
     val res = graftOver(s, dir, "customer", "supplier").select(
       """SELECT ?name WHERE {
@@ -758,6 +795,8 @@ object SparkEntry {
     "sparql_filter_order" -> sparqlFilterOrder,
     "sparql_optional_agg" -> sparqlOptionalAgg,
     "sparql_minus" -> sparqlMinus,
+    "sparql_minus_nullable" -> sparqlMinusNullable,
+    "sparql_exists_nullable" -> sparqlExistsNullable,
     "sparql_union" -> sparqlUnion,
     "sparql_path_seq" -> sparqlPathSeq,
     "sparql_path_closure" -> sparqlPathClosure,
@@ -875,6 +914,25 @@ object SparkEntry {
       """SELECT c_name AS name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY 1""".stripMargin,
+    "sparql_minus_nullable" ->
+      """SELECT c_name AS name
+        |FROM customer c JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM supplier s JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |  WHERE contains(sn.n_name, '2')
+        |    AND contains(cn.n_name, '1') AND sn.n_name = cn.n_name)
+        |ORDER BY 1""".stripMargin,
+    "sparql_exists_nullable" ->
+      """WITH l AS (
+        |  SELECT c_name AS name,
+        |         CASE WHEN contains(cn.n_name, '1') THEN cn.n_name END AS nname
+        |  FROM customer c JOIN nation cn ON c.c_nationkey = cn.n_nationkey),
+        |r AS (SELECT sn.n_name AS nname
+        |      FROM supplier s JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |      WHERE contains(sn.n_name, '2'))
+        |SELECT name FROM l
+        |WHERE NOT EXISTS (SELECT 1 FROM r WHERE l.nname IS NULL OR r.nname = l.nname)
         |ORDER BY 1""".stripMargin,
     "sparql_union" ->
       """SELECT name FROM (
