@@ -388,6 +388,34 @@ object SparkEntry {
     Graft.decode(res, Map("n" -> LongType)).orderBy("g")
   }
 
+  /** GRAPH-variable enumeration over DOZENS of graphs (vs sparql_graph's 2):
+    * customer quads re-homed into one named graph per nation (25 at any SF),
+    * so graph scoping + enumeration is oracled over a real graph fan-out. */
+  private def sparqlGraphMany(s: SparkSession, dir: String): DataFrame = {
+    val quads = RdbToRdf.mapping(s, dir, Seq("customer")).quads
+    val nk = quads.where(col("predicate.v") === "urn:g:customer#ref_nation")
+      .select(col("subject.v").as("subj"), col("object.v").as("nat"))
+    val graphed = quads.join(nk, col("subject.v") === col("subj"))
+      .select(graft.encoding.TermCols.iri(concat(lit("urn:graph:"), col("nat"))).as("graph"),
+        col("subject"), col("predicate"), col("object"))
+    val res = Graft(graphed).select(
+      """SELECT ?g (COUNT(?s) AS ?n) WHERE {
+        |  GRAPH ?g { ?s <urn:g:customer#c_name> ?o }
+        |} GROUP BY ?g ORDER BY ?g""".stripMargin)
+    Graft.decode(res, Map("n" -> LongType)).orderBy("g")
+  }
+
+  /** Path alternative `p|q` (bag semantics, last spec-only path form):
+    * customer-or-supplier nation membership degree. */
+  private def sparqlPathAlt(s: SparkSession, dir: String): DataFrame = {
+    val res = graftOver(s, dir, "customer", "supplier", "nation").select(
+      """SELECT ?nname (COUNT(?x) AS ?deg) WHERE {
+        |  ?x (<urn:g:customer#ref_nation>|<urn:g:supplier#ref_nation>) ?nat .
+        |  ?nat <urn:g:nation#n_name> ?nname .
+        |} GROUP BY ?nname ORDER BY ?nname""".stripMargin)
+    Graft.decode(res, Map("deg" -> LongType)).orderBy("nname")
+  }
+
   // -------------------------------------------------------- relational / OLAP
 
   private def q1LineitemAgg(s: SparkSession, dir: String): DataFrame =
@@ -813,6 +841,8 @@ object SparkEntry {
     "sparql_describe" -> sparqlDescribe,
     "sparql_lateral" -> sparqlLateral,
     "sparql_graph" -> sparqlGraph,
+    "sparql_graph_many" -> sparqlGraphMany,
+    "sparql_path_alt" -> sparqlPathAlt,
     "sparql_bind_sum" -> sparqlBindSum,
     "sparql_events_agg" -> sparqlEventsAgg,
     "sparql_distinct_agg" -> sparqlDistinctAgg,
@@ -1021,6 +1051,15 @@ object SparkEntry {
         |  SELECT n_name AS nname FROM nation
         |  WHERE n_regionkey = r.r_regionkey ORDER BY n_name LIMIT 2) l
         |ORDER BY 1, 2""".stripMargin,
+    "sparql_graph_many" ->
+      """SELECT 'urn:graph:urn:g:nation/' || c_nationkey AS g, count(*) AS n
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sparql_path_alt" ->
+      """SELECT n_name AS nname, count(*) AS deg FROM (
+        |  SELECT c_nationkey AS k FROM customer
+        |  UNION ALL SELECT s_nationkey FROM supplier) x
+        |JOIN nation ON k = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "sparql_graph" ->
       """SELECT g, n FROM (
         |  SELECT 'urn:g:graph/nation' AS g,
