@@ -23,7 +23,10 @@ class SparqlParser extends RegexParsers {
   private var prefixes = Map.empty[String, String]
   private var baseIri: Option[String] = None
   private var bnodeCounter = 0
-  private def freshBNode(): BNodePat = { bnodeCounter += 1; BNodePat(s"g$bnodeCounter") }
+  // digit-leading label: the BLANK lexer requires [A-Za-z_] first, so a
+  // generated label can never collide with a user-written one (the §19.6
+  // scope validation would otherwise conflate them)
+  private def freshBNode(): BNodePat = { bnodeCounter += 1; BNodePat(s"${bnodeCounter}a") }
 
   private def kw(s: String): Parser[String] = ("(?i)\\b" + s + "\\b").r ^^ (_.toUpperCase)
 
@@ -544,7 +547,7 @@ class SparqlParser extends RegexParsers {
     prefixes = SparqlParser.standardPrefixes
     baseIri = None
     parseAll(query, text) match {
-      case Success(q, _) => q
+      case Success(q, _) => Validate(q)
       case NoSuccess(msg, rest) =>
         throw new IllegalArgumentException(
           s"SPARQL parse error: $msg at line ${rest.pos.line}, col ${rest.pos.column}\n${rest.pos.longString}")
