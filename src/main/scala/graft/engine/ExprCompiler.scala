@@ -388,6 +388,26 @@ object ExprCompiler {
           dec,
           when(dec.isNotNull, lit(kind)).otherwise(lit(0))))
       }
+    case ECall(n, Seq(a)) if n == Xsd.double || n == Xsd.float || n == Xsd.decimal ||
+                             n == Xsd.integer || n == Xsd.int || n == Xsd.long =>
+      // Numeric-domain closure over XSD numeric constructor casts (BSBM
+      // BI-Q8's xsd:float(?count) / ?count BIND and its
+      // float(string(?price)) < ?avg filter): compile the cast ONCE with its
+      // exact generic semantics (xsdCast via term, bound as a column), then
+      // read the pre-decoded num field. Without this the surrounding
+      // arithmetic/comparison falls back to the generic term-struct ladder,
+      // which references each operand ~15× — bi-q8's ratio BIND alone
+      // rendered a 192 KB Project expression and ~13 s of Catalyst optimize
+      // per fresh plan.
+      // xsdCast directly (NOT term(e) — term's ECall branch would recurse
+      // straight back into this numericView case)
+      val t = env.bind(xsdCast(n, bindIf(a, term(a, env), env), env))
+      val k = if (n == Xsd.double) 4 else if (n == Xsd.float) 3
+              else if (n == Xsd.decimal) 2 else 1
+      val dec = if (k >= 3) lit(null).cast(DecimalType(36, 16))
+                else value(t).try_cast(DecimalType(36, 16))
+      // cast failure and unbound input both yield the null term → kind 0
+      Some((numDouble(t), dec, when(t.isNull, lit(0)).otherwise(lit(k))))
     case ECall(name @ ("FLOOR" | "CEIL" | "ABS" | "ROUND"), Seq(a)) =>
       // numeric-domain closure: no term structs materialise between nested
       // numeric calls, so tree growth is additive, not multiplicative
@@ -458,6 +478,12 @@ object ExprCompiler {
       case "YEAR" | "MONTH" | "DAY" | "HOURS" | "MINUTES" | "STRLEN" => Some(1)
       case "SECONDS" => Some(2)
       case "ABS" | "CEIL" | "FLOOR" | "ROUND" => staticKind(args.head, env)
+      // XSD numeric constructor casts: a BOUND result always carries the
+      // target datatype (invalid input → error → unbound)
+      case n if n == graft.model.Xsd.double || n == graft.model.Xsd.float => Some(3)
+      case n if n == graft.model.Xsd.decimal => Some(2)
+      case n if n == graft.model.Xsd.integer || n == graft.model.Xsd.int ||
+                n == graft.model.Xsd.long => Some(1)
       case _ => None
     }
     case _ => None
@@ -497,7 +523,25 @@ object ExprCompiler {
         }.getOrElse(false)
         case _ => true // temporal claims are shape-checked in staticKind
       }
-    case _ => staticKind(e, env)
+    case _ =>
+      staticKind(e, env).filterNot { k =>
+        // a RECORDED kind 3 lets group keys / MIN-MAX buffers collapse to a
+        // double and REBUILD as xsd:double — which would silently retype a
+        // result that is actually xsd:float. staticKind's domain treats 3
+        // as the whole double family, so refuse to record it whenever a
+        // float cast anywhere in the tree could make the value a float.
+        k == 3 && containsFloatCast(e)
+      }
+  }
+
+  private def containsFloatCast(e: Expr): Boolean = e match {
+    case ECall(n, _) if n == graft.model.Xsd.float => true
+    case ECall(_, args) => args.exists(containsFloatCast)
+    case EArith(_, l, r) => containsFloatCast(l) || containsFloatCast(r)
+    case ENeg(x) => containsFloatCast(x)
+    case EIf(c, t, f) => containsFloatCast(c) || containsFloatCast(t) || containsFloatCast(f)
+    case ECoalesce(args) => args.exists(containsFloatCast)
+    case _ => false
   }
 
   /**

@@ -32,7 +32,11 @@ object BsbmProbe {
       graft.QuadStore.load(spark, path).quads
     }
     println(f"[bsbm] generate n=$n: ${quads.count()} quads in ${(System.nanoTime() - t0) / 1e9}%.1f s")
-    val g = Graft(quads)
+    // BSBM_THETA=1 uses the pre-r5 theta compat path; BSBM_REPS repeats each
+    // query (fresh plan each rep) to separate plan-time from steady-state
+    val g = if (sys.env.get("BSBM_THETA").contains("1")) Graft.thetaCompat(quads)
+            else Graft(quads)
+    val reps = sys.env.getOrElse("BSBM_REPS", "1").toInt
     val qdir = Paths.get("/root/reference/bench/tests/query_results/queries")
     val names = Files.list(qdir).iterator().asScala.map(_.getFileName.toString)
       .filter(f => f.startsWith("explore-") || f.startsWith("bi-"))
@@ -40,9 +44,11 @@ object BsbmProbe {
       .filter(q => args.drop(1).isEmpty || args.drop(1).contains(q))
     names.foreach { q =>
       val text = new String(Files.readAllBytes(qdir.resolve(s"$q.sparql")), "UTF-8")
-      val t1 = System.nanoTime()
-      val rows = g.query(text).collect().length
-      println(f"[bsbm] $q%-32s ${(System.nanoTime() - t1) / 1e9}%6.1f s rows $rows")
+      for (_ <- 1 to reps) {
+        val t1 = System.nanoTime()
+        val rows = g.query(text).collect().length
+        println(f"[bsbm] $q%-32s ${(System.nanoTime() - t1) / 1e9}%6.1f s rows $rows")
+      }
     }
   }
 }
