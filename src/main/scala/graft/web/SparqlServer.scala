@@ -47,9 +47,17 @@ final class SparqlServer private (spark: SparkSession, initial: DataFrame, port:
   // concurrent request handling (the reference's axum layer is concurrent;
   // SparkSession actions are thread-safe, so parallel queries just become
   // parallel jobs). Daemon threads: the server must not pin the JVM.
-  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8, r => {
-    val t = new Thread(r, "sparql-server"); t.setDaemon(true); t
-  })
+  // Elastic bounded pool (r5 ADVICE): a chunked stream holds its thread for
+  // the response's full duration, so a FIXED pool of 8 let 8 slow readers
+  // starve every endpoint. Core 8, grow to 64 under load, idle threads
+  // reaped after 60 s; past 64 concurrent streams new connections fail fast
+  // (AbortPolicy → connection reset) instead of queueing behind stalled
+  // consumers.
+  private val pool = new java.util.concurrent.ThreadPoolExecutor(
+    8, 64, 60L, java.util.concurrent.TimeUnit.SECONDS,
+    new java.util.concurrent.SynchronousQueue[Runnable](), r => {
+      val t = new Thread(r, "sparql-server"); t.setDaemon(true); t
+    })
   server.setExecutor(pool)
   server.start()
 
@@ -260,19 +268,38 @@ final class SparqlServer private (spark: SparkSession, initial: DataFrame, port:
       case "csv"  => (vars.mkString(",") + "\r\n", Results.toCsvLines(df), "", "\r\n", "")
       case "tsv"  => (vars.map("?" + _).mkString("\t") + "\n", Results.toTsvLines(df), "", "\n", "")
     }
+    // Force planning + the FIRST partition BEFORE the status line goes out:
+    // analysis/optimizer/early-execution failures still become a clean 500
+    // instead of a truncated 200 body (r5 ADVICE). Only failures in LATER
+    // partitions can now truncate mid-stream.
+    val it = lines.toLocalIterator()
+    it.hasNext
     ex.getResponseHeaders.set("Content-Type", contentType + ";charset=utf-8")
     ex.sendResponseHeaders(200, 0) // length 0 → chunked
     streamed {
       val os: OutputStream = ex.getResponseBody
       val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(os, UTF_8), 1 << 16)
       w.write(head)
-      val it = lines.toLocalIterator()
       var first = true
-      while (it.hasNext) {
-        if (!first && sep.nonEmpty) w.write(sep)
-        first = false
-        w.write(it.next().getString(0))
-        if (lineEnd.nonEmpty) w.write(lineEnd)
+      try {
+        while (it.hasNext) {
+          if (!first && sep.nonEmpty) w.write(sep)
+          first = false
+          w.write(it.next().getString(0))
+          if (lineEnd.nonEmpty) w.write(lineEnd)
+        }
+      } catch {
+        case e: Throwable =>
+          // mid-stream failure with 200 already sent. JSON/XML are left
+          // detectably malformed (no tail); CSV/TSV have no tail marker, so
+          // a silent truncation would be indistinguishable from a complete
+          // smaller result — write an explicit malformed marker line before
+          // aborting so strict parsers and humans both notice.
+          if (fmt == "csv" || fmt == "tsv") {
+            w.write((if (fmt == "csv") "\r\n" else "\n") + "#ERROR query execution failed mid-stream")
+          }
+          w.flush()
+          throw e
       }
       w.write(tail)
       w.flush()
@@ -301,13 +328,24 @@ final class SparqlServer private (spark: SparkSession, initial: DataFrame, port:
     * VERDICT stretch item). */
   private def respondRdfStreaming(ex: HttpExchange, contentType: String,
                                   qs: DataFrame, fmt: String): Unit = {
+    // first partition forced before the 200 — see respondResultsStreaming
+    val it = rdfLines(qs, fmt).toLocalIterator()
+    it.hasNext
     ex.getResponseHeaders.set("Content-Type", contentType)
     ex.sendResponseHeaders(200, 0) // length 0 → chunked
     streamed {
       val os: OutputStream = ex.getResponseBody
       val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(os, UTF_8), 1 << 16)
-      val it = rdfLines(qs, fmt).toLocalIterator()
-      while (it.hasNext) { w.write(it.next().getString(0)); w.write('\n') }
+      try {
+        while (it.hasNext) { w.write(it.next().getString(0)); w.write('\n') }
+      } catch {
+        case e: Throwable =>
+          // line-oriented RDF formats have no tail marker either — leave an
+          // explicitly malformed marker line before aborting
+          w.write("\n#ERROR serialisation failed mid-stream")
+          w.flush()
+          throw e
+      }
       w.flush()
     }
   }

@@ -173,8 +173,11 @@ class RandomOptionalChainDifferentialSpec extends SparkSpec {
 
   test("all-matched OPTIONAL chain plans hash joins only — no nested loop, no cartesian") {
     // every ?s has p1 and every ?t has p3 → null slices empty → branches
-    // prune to the single bound×bound equi join
-    val quads = Turtle.quadsToDF(spark, (0 until 8).flatMap { i =>
+    // prune to the single bound×bound equi join. Sides sized ABOVE the
+    // r6 measured-size gate (Rewriter.CompatUnionMinRows): below it the
+    // engine deliberately keeps the theta join (see next test).
+    val n = 11000
+    val quads = Turtle.quadsToDF(spark, (0 until n).flatMap { i =>
       Seq(
         RdfQuad(None, Iri(s"urn:a$i"), Iri("urn:p0"), Iri(s"urn:s$i")),
         RdfQuad(None, Iri(s"urn:s$i"), Iri("urn:p1"), Iri(s"urn:x${i % 3}")),
@@ -190,7 +193,30 @@ class RandomOptionalChainDifferentialSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
-    // and the result still matches the theta reference
+    // row-count sanity check: left x = i%3 covers all rows, right x = j%4
+    // matches v∈{0,1,2} with exactly n/4 rows each (n % 4 == 0), so the
+    // equi join yields Σ_v countL(v)·countR(v) = n · n/4 rows
+    assert(df.count() == n.toLong * (n / 4))
+  }
+
+  test("measured-small sides keep the theta join (rewrite fixed costs lose below crossover)") {
+    // same all-matched shape, 8 rows/side: the r6 size gate routes this to
+    // thetaCompatJoin on the checkpointed inputs — a BNLJ over structurally
+    // bounded inputs is the faster plan here (tools/CompatUnionProbe)
+    val quads = Turtle.quadsToDF(spark, (0 until 8).flatMap { i =>
+      Seq(
+        RdfQuad(None, Iri(s"urn:a$i"), Iri("urn:p0"), Iri(s"urn:s$i")),
+        RdfQuad(None, Iri(s"urn:s$i"), Iri("urn:p1"), Iri(s"urn:x${i % 3}")),
+        RdfQuad(None, Iri(s"urn:b$i"), Iri("urn:p2"), Iri(s"urn:t$i")),
+        RdfQuad(None, Iri(s"urn:t$i"), Iri("urn:p3"), Iri(s"urn:x${i % 4}")))
+    })
+    val q =
+      """SELECT ?a ?b ?x WHERE {
+        |  { ?a <urn:p0> ?s . OPTIONAL { ?s <urn:p1> ?x } }
+        |  { ?b <urn:p2> ?t . OPTIONAL { ?t <urn:p3> ?x } }
+        |}""".stripMargin
+    val df = Graft(quads).select(q)
+    // result equivalence is what matters; the plan may legally be a BNLJ
     val vars = Seq("a", "b", "x")
     assert(bag(df, vars) == bag(Graft.thetaCompat(quads).select(q), vars))
   }
