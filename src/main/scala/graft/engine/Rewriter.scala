@@ -894,7 +894,7 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
       if (aggs.isEmpty) df.select(keyNames.map(col): _*).dropDuplicates()
       else {
         val aggExprs = aggs.flatMap { case (v, a) =>
-          aggCols(v.name, a, argCols.get(v.name), argKinds.get(v.name)) }
+          aggCols(v.name, a, argCols.get(v.name), argKinds.get(v.name), in.vars) }
         val g = df.groupBy(keyNames.map(col): _*).agg(aggExprs.head, aggExprs.tail: _*)
         g.select(keyNames.map(col) ++ aggs.map { case (v, a) =>
           aggFinal(v.name, a, argKinds.get(v.name)).as(v.name) }: _*)
@@ -1194,7 +1194,7 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
       return SPlan(df.select(keyNames.map(col): _*).dropDuplicates(), keyNames, mu, keyKinds,
         in.tiny)
     val aggExprs: Seq[Column] = aggs.flatMap { case (v, a) =>
-      aggCols(v.name, a, argCols.get(v.name), argKinds.get(v.name)) }
+      aggCols(v.name, a, argCols.get(v.name), argKinds.get(v.name), in.vars) }
     // statically-kinded keys group on one narrow native value instead of the
     // 5-field term struct (hash input shrinks, shuffle rows narrow); the
     // term is rebuilt after aggregation — sound because the kinds-map
@@ -1277,12 +1277,17 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     * the 6-buffer dynamic type ladder (with its per-row datatype dispatch)
     * collapses. */
   private def aggCols(out: String, a: Aggregate, argCol: Option[String],
-                      argKind: Option[Int] = None): Seq[Column] = {
+                      argKind: Option[Int] = None,
+                      rowCols: Seq[String] = Nil): Seq[Column] = {
     import TermCols._
     val in = argCol.map(col)
     a.name match {
       case "COUNT" =>
         val c = in match {
+          // COUNT(DISTINCT *) counts distinct SOLUTIONS (spec 18.5.1 Distinct
+          // before Card): dedup on the struct of every in-scope column — a
+          // struct is never NULL, so rows with unbound vars still count
+          case None if a.distinct => count_distinct(struct(rowCols.map(col): _*))
           case None => count(lit(1))
           case Some(x) => if (a.distinct) count_distinct(x) else count(x)
         }

@@ -117,8 +117,9 @@ class SparqlParser extends RegexParsers {
     }
 
   def selectQuery: Parser[SelectQuery] =
-    selectClause ~ datasetClauses ~ whereClause ~ solutionModifier ^^ {
-      case (dist, red, proj) ~ ds ~ where ~ mods => buildSelect(dist, red, proj, where, mods, ds)
+    selectClause ~ datasetClauses ~ whereClause ~ solutionModifier ~ opt(valuesClause) ^^ {
+      case (dist, red, proj) ~ ds ~ where ~ mods ~ vals =>
+        buildSelect(dist, red, proj, where, mods, ds, vals)
     }
 
   /** (distinct, reduced, projection) — empty projection = '*' */
@@ -174,9 +175,11 @@ class SparqlParser extends RegexParsers {
     success((None, None))
 
   def constructQuery: Parser[ConstructQuery] =
-    kw("CONSTRUCT") ~> constructTemplate ~ datasetClauses ~ whereClause ~ solutionModifier ^^ {
-      case tpl ~ ds ~ where ~ mods =>
-        ConstructQuery(tpl, where, mods.orderBy, mods.offset, mods.limit, ds._1, ds._2,
+    kw("CONSTRUCT") ~> constructTemplate ~ datasetClauses ~ whereClause ~ solutionModifier ~
+      opt(valuesClause) ^^ {
+      case tpl ~ ds ~ where ~ mods ~ vals =>
+        val w = vals match { case Some(v) => Join(where, v); case None => where }
+        ConstructQuery(tpl, w, mods.orderBy, mods.offset, mods.limit, ds._1, ds._2,
           baseIri, prefixes)
     } |
     // CONSTRUCT WHERE { triples } shorthand: the pattern is the template
@@ -188,9 +191,12 @@ class SparqlParser extends RegexParsers {
 
   def constructTemplate: Parser[Seq[TriplePattern]] = "{" ~> triplesBlock <~ "}"
 
-  def askQuery: Parser[AskQuery] = kw("ASK") ~> datasetClauses ~ (opt(kw("WHERE")) ~> groupGraphPattern) ^^ {
-    case ds ~ where => AskQuery(where, ds._1, ds._2, baseIri, prefixes)
-  }
+  def askQuery: Parser[AskQuery] =
+    kw("ASK") ~> datasetClauses ~ (opt(kw("WHERE")) ~> groupGraphPattern) ~ opt(valuesClause) ^^ {
+      case ds ~ where ~ vals =>
+        val w = vals match { case Some(v) => Join(where, v); case None => where }
+        AskQuery(w, ds._1, ds._2, baseIri, prefixes)
+    }
 
   def describeQuery: Parser[DescribeQuery] =
     kw("DESCRIBE") ~> (("*" ^^ (_ => Nil) | rep1(varOrIriPat)) ~ datasetClauses ~
@@ -204,7 +210,8 @@ class SparqlParser extends RegexParsers {
   /** SELECT-level translation: aggregate hoisting (spec §18.2.4). */
   private def buildSelect(distinct: Boolean, reduced: Boolean, proj: Seq[ProjItem],
                           where0: GraphPattern, mods: Mods,
-                          ds: (Seq[Iri], Seq[Iri])): SelectQuery = {
+                          ds: (Seq[Iri], Seq[Iri]),
+                          trailingValues: Option[ValuesPattern] = None): SelectQuery = {
     var aggs = Vector.empty[(Var, Aggregate)]
     def hoist(e: Expr): Expr = e match {
       case EAgg(a) =>
@@ -228,11 +235,18 @@ class SparqlParser extends RegexParsers {
     val havingH = mods.having.map(hoist)
     val orderH = mods.orderBy.map(o => o.copy(expr = hoist(o.expr)))
     val grouped = mods.groupBy.nonEmpty || aggs.nonEmpty
-    val where =
+    val where1 =
       if (grouped) {
         val g = Group(where0, mods.groupBy, aggs)
         havingH match { case Some(h) => Filter(h, g); case None => g }
       } else where0
+    // trailing VALUES (grammar rule ValuesClause): joined AFTER grouping and
+    // HAVING, before projection — spec §18.2.4.3's position in the modifier
+    // conversion order
+    val where = trailingValues match {
+      case Some(v) => Join(where1, v)
+      case None => where1
+    }
     SelectQuery(projH, distinct, reduced, where, mods.groupBy, None, orderH,
       mods.offset, mods.limit, ds._1, ds._2, baseIri, prefixes)
   }
