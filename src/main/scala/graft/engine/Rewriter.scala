@@ -1630,23 +1630,32 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     val projItems = if (q.projection.nonEmpty) q.projection
                     else inScopeVars(q.where).map(v => ProjItem(v, None))
     var df = plan.df
+    // select expressions evaluate SEQUENTIALLY (spec 18.2.4.4): each
+    // (expr AS ?v) extends the solution, so a later expression sees the
+    // earlier aliases — SELECT (1 AS ?a) (?a + 1 AS ?b) binds ?b = 2
+    var seen = plan.vars.toSet
+    var ksAcc = plan.kinds
     projItems.foreach {
       case ProjItem(v, Some(e)) =>
-        df = withTermColumn(df, plan.vars.toSet, plan.kinds, v.name, e)._1
+        val (d2, kind) = withTermColumn(df, seen, ksAcc, v.name, e)
+        df = d2
+        ksAcc = ksAcc ++ kind.map(v.name -> _)
+        seen += v.name
       case ProjItem(v, None) if !plan.vars.contains(v.name) =>
         // projecting a variable that never occurs in the pattern is legal
         // SPARQL — it is simply unbound in every solution
         df = df.withColumn(v.name, TermCols.nullTerm)
-      case _ =>
+        seen += v.name
+      case ProjItem(v, None) => seen += v.name
     }
     val projNames = projItems.map(_.v.name)
     val allVars = (plan.vars ++ projNames).distinct
-    // kinds survive projection: plain vars keep theirs, computed items get
-    // the statically-derived kind — computed EARLY so ORDER BY compiles
-    // narrow sort keys over them
+    // kinds survive projection: plain vars keep theirs, computed items got
+    // theirs during the sequential walk — computed EARLY so ORDER BY
+    // compiles narrow sort keys over them
     val ks = projItems.flatMap {
       case ProjItem(v, None) => plan.kinds.get(v.name).map(v.name -> _)
-      case ProjItem(v, Some(e)) => ExprCompiler.bindKind(e, env).map(v.name -> _)
+      case ProjItem(v, Some(_)) => ksAcc.get(v.name).map(v.name -> _)
     }.toMap
     val env2 = ExprCompiler.envOf(allVars.toSet, plan.kinds ++ ks)
 

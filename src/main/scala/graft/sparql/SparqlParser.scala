@@ -200,8 +200,15 @@ class SparqlParser extends RegexParsers {
 
   def describeQuery: Parser[DescribeQuery] =
     kw("DESCRIBE") ~> (("*" ^^ (_ => Nil) | rep1(varOrIriPat)) ~ datasetClauses ~
-      opt(kw("WHERE") ~> groupGraphPattern | groupGraphPattern)) ^^ {
-      case ts ~ ds ~ where => DescribeQuery(ts, where, ds._1, ds._2, baseIri, prefixes)
+      opt(kw("WHERE") ~> groupGraphPattern | groupGraphPattern)) ~ opt(valuesClause) ^^ {
+      case ts ~ ds ~ where ~ vals =>
+        // ValuesClause sits at the Query level (grammar rule [1]) — it
+        // applies to DESCRIBE too
+        val w = vals match {
+          case Some(v) => Some(where.map(Join(_, v)).getOrElse(v))
+          case None => where
+        }
+        DescribeQuery(ts, w, ds._1, ds._2, baseIri, prefixes)
     }
 
   private def varOrIriPat: Parser[TermPattern] =
@@ -418,7 +425,14 @@ class SparqlParser extends RegexParsers {
 
   def triplesBlock: Parser[Seq[TriplePattern]] =
     rep(triplesSameSubject <~ opt(".")) ^^ { tss =>
-      tss.flatten.collect { case Left(t) => t }
+      val all = tss.flatten
+      // only used for CONSTRUCT templates, whose grammar (TriplesTemplate)
+      // has no path production — silently dropping a path here would emit a
+      // wrong (smaller) template
+      if (all.exists(_.isRight))
+        throw new IllegalArgumentException(
+          "SPARQL validation error: property paths are not allowed in CONSTRUCT templates")
+      all.collect { case Left(t) => t }
     }
 
   // -------------------------------------------------------------------- paths
