@@ -883,6 +883,10 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
       case (v, Aggregate(_, _, Some(arg), _)) =>
         ExprCompiler.staticKind(arg, env).map(v.name -> _)
     }.flatten.toMap
+    val recordKinds: Map[String, Int] = aggs.collect {
+      case (v, Aggregate(_, _, Some(arg), _)) =>
+        ExprCompiler.bindKind(arg, env).map(v.name -> _)
+    }.flatten.toMap
     val argCols: Map[String, String] = aggs.collect {
       case (v, Aggregate(_, _, Some(arg), _)) =>
         val c = fresh("aggin")
@@ -916,7 +920,7 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
       in.kinds.filter { case (v, _) => keyNames.drop(1).contains(v) } ++
       keys.collect { case (v, Some(e)) =>
         ExprCompiler.bindKind(e, env).map(v.name -> _) }.flatten ++
-      aggs.flatMap { case (v, a) => aggResultKind(a, argKinds.get(v.name)).map(v.name -> _) }
+      aggs.flatMap { case (v, a) => aggResultKind(a, recordKinds.get(v.name)).map(v.name -> _) }
     SPlan(joined, (lid +: restore) ++ groupVars, mu, outKinds)
   }
 
@@ -1171,7 +1175,15 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     // aggregate inputs; static kinds let SUM/AVG skip the dynamic type ladder
     val argKinds: Map[String, Int] = aggs.collect {
       case (v, Aggregate(_, _, Some(arg), _)) =>
-        ExprCompiler.staticKind(arg, env).orElse(castArgKind(arg)).map(v.name -> _)
+        ExprCompiler.staticKind(arg, env).map(v.name -> _)
+    }.flatten.toMap
+    // kinds safe to RECORD in the output kinds map: bindKind refuses kind 3
+    // for float-cast-containing args — a recorded 3 means canonical
+    // xsd:double (group-key rebuild, narrow MIN/MAX buffers depend on it),
+    // while staticKind's 3 is the whole double FAMILY
+    val recordKinds: Map[String, Int] = aggs.collect {
+      case (v, Aggregate(_, _, Some(arg), _)) =>
+        ExprCompiler.bindKind(arg, env).map(v.name -> _)
     }.flatten.toMap
     val argCols: Map[String, String] = aggs.collect {
       case (v, Aggregate(_, _, Some(arg), _)) =>
@@ -1189,7 +1201,7 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
       keys.collect { case (v, Some(e)) =>
         ExprCompiler.bindKind(e, env).map(v.name -> _) }.flatten
     val aggKinds = aggs.flatMap { case (v, a) =>
-      aggResultKind(a, argKinds.get(v.name)).map(v.name -> _) }.toMap
+      aggResultKind(a, recordKinds.get(v.name)).map(v.name -> _) }.toMap
     if (aggs.isEmpty)
       return SPlan(df.select(keyNames.map(col): _*).dropDuplicates(), keyNames, mu, keyKinds,
         in.tiny)
@@ -1243,22 +1255,6 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     }
   }
 
-  /** Numeric kind of an XSD constructor-cast aggregate input: a bound cast
-    * result is guaranteed to carry the target datatype (invalid input →
-    * error → unbound, which every aggregate buffer already skips), so
-    * SUM/AVG collapse to the narrow path and MIN/MAX key narrowly while
-    * keeping the original term. Scoped to AGGREGATE inputs — a float cast
-    * must not claim kind 3 in the general kinds map, where group-key
-    * rebuild would reconstruct it as xsd:double (BSBM BI-Q4's
-    * AVG(xsd:float(xsd:string(?price))) was 8× slower through the 6-buffer
-    * ladder's repeated struct-CASE evaluation). */
-  private def castArgKind(e: Expr): Option[Int] = e match {
-    case ECall(n, _) if n == Xsd.double || n == Xsd.float => Some(3)
-    case ECall(n, _) if n == Xsd.decimal => Some(2)
-    case ECall(n, _) if n == Xsd.integer || n == Xsd.int || n == Xsd.long => Some(1)
-    case _ => None
-  }
-
   /** Static kind of an aggregate result, when derivable from its input kind
     * (mirrors the type ladder of the buffers below). */
   private def aggResultKind(a: Aggregate, argKind: Option[Int]): Option[Int] = a.name match {
@@ -1296,6 +1292,9 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
         val x = in.get
         val dbl = if (a.distinct) sum_distinct(numDouble(x)) else sum(numDouble(x))
         Seq(dbl.as(s"__${out}_dbl"),
+          // float vs double is a RUNTIME property under static kind 3 (the
+          // double FAMILY): all-float inputs must yield an xsd:float result
+          max(when(isStrictDoubleTyped(x), 1).otherwise(0)).as(s"__${out}_isd"),
           max(when(x.isNotNull, 1).otherwise(0)).as(s"__${out}_any"),
           // an unbound value in the group is an evaluation error → the whole
           // aggregate errs (ListEval, spec §18.5.1); empty implicit groups
@@ -1307,6 +1306,7 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
         val n = if (a.distinct) count_distinct(numDouble(x))
                 else sum(when(x.isNotNull, 1L).otherwise(0L))
         Seq(dbl.as(s"__${out}_dbl"), n.as(s"__${out}_n"),
+          max(when(isStrictDoubleTyped(x), 1).otherwise(0)).as(s"__${out}_isd"),
           max(when(x.isNull, 1).otherwise(0)).as(s"__${out}_bad"))
       case "SUM" | "AVG" =>
         val x = in.get
@@ -1399,16 +1399,21 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     a.name match {
       case "COUNT" => fromLong(col(s"__${out}_cnt"))
       case "SUM" if argKind.contains(3) =>
-        // all-double input: empty group → SUM({}) = 0; unbound poisons
+        // double-family input: empty group → SUM({}) = 0; unbound poisons;
+        // all-float inputs render xsd:float (promotion ladder)
         when(col(s"__${out}_bad") === 1, nullTerm)
-          .when(col(s"__${out}_any") === 1, fromDouble(col(s"__${out}_dbl")))
+          .when(col(s"__${out}_any") === 1,
+            when(col(s"__${out}_isd") === 1, fromDouble(col(s"__${out}_dbl")))
+              .otherwise(fromFloat(col(s"__${out}_dbl"))))
           .otherwise(fromLong(lit(0L)))
       case "AVG" if argKind.contains(3) =>
         // coalesce: sum() over an empty implicit group is NULL, and
         // Avg({}) = 0 per spec §18.5.1.5 (as SUM already handles)
         val n = coalesce(col(s"__${out}_n"), lit(0L))
         when(col(s"__${out}_bad") === 1, nullTerm)
-          .when(n === 0, fromLong(lit(0L))).otherwise(fromDouble(col(s"__${out}_dbl") / n))
+          .when(n === 0, fromLong(lit(0L)))
+          .otherwise(when(col(s"__${out}_isd") === 1, fromDouble(col(s"__${out}_dbl") / n))
+            .otherwise(fromFloat(col(s"__${out}_dbl") / n)))
       case "SUM" =>
         when(col(s"__${out}_bad") === 1, nullTerm)
           .when(col(s"__${out}_anydbl") === 1, fromDouble(col(s"__${out}_dbl")))
