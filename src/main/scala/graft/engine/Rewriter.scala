@@ -1336,6 +1336,9 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
           // per ListEval (spec §18.5.1); empty implicit groups stay 0
           max(when(x.isNull || !isNumeric(x), 1).otherwise(0)).as(s"__${out}_bad"),
           max(when(isDoubleTyped(x), 1).otherwise(0)).as(s"__${out}_anydbl"),
+          // float vs double within the double family is a render-time
+          // distinction: all-float inputs must yield xsd:float
+          max(when(isStrictDoubleTyped(x), 1).otherwise(0)).as(s"__${out}_isd"),
           max(when(isDecimalTyped(x), 1).otherwise(0)).as(s"__${out}_anydec"),
           cntNum.as(s"__${out}_n"))
       // INTENTIONAL divergence, pinned by the W3C-slice tests
@@ -1416,14 +1419,18 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
             .otherwise(fromFloat(col(s"__${out}_dbl") / n)))
       case "SUM" =>
         when(col(s"__${out}_bad") === 1, nullTerm)
-          .when(col(s"__${out}_anydbl") === 1, fromDouble(col(s"__${out}_dbl")))
+          .when(col(s"__${out}_anydbl") === 1,
+            when(col(s"__${out}_isd") === 1, fromDouble(col(s"__${out}_dbl")))
+              .otherwise(fromFloat(col(s"__${out}_dbl"))))
           .when(col(s"__${out}_anydec") === 1, fromDecimal(col(s"__${out}_dec")))
           .otherwise(fromLong(coalesce(col(s"__${out}_dec").cast(LongType), lit(0L))))
       case "AVG" =>
         val n = coalesce(col(s"__${out}_n"), lit(0L))
         when(col(s"__${out}_bad") === 1, nullTerm)
           .when(n === 0, fromLong(lit(0L)))
-          .when(col(s"__${out}_anydbl") === 1, fromDouble(col(s"__${out}_dbl") / n))
+          .when(col(s"__${out}_anydbl") === 1,
+            when(col(s"__${out}_isd") === 1, fromDouble(col(s"__${out}_dbl") / n))
+              .otherwise(fromFloat(col(s"__${out}_dbl") / n)))
           .otherwise(fromDecimal((col(s"__${out}_dec") / n).cast(DecimalType(36, 16))))
       case "MIN" | "MAX" => col(s"__${out}_mm").getField("t")
       case "SAMPLE" => col(s"__${out}_s")
