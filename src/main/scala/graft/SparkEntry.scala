@@ -659,6 +659,26 @@ object SparkEntry {
         col("duration_ms"), col("peak"), round(col("rms"), 4).as("rms"))
       .orderBy("media_id")
 
+  /** REAL AIFF decode end-to-end: the big-endian sibling of wav_features —
+    * same square wave, same closed-form oracle, AIFF chunk framing with an
+    * 80-bit extended sample rate. */
+  private def aiffFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractAiffFeatures(
+        Multimodal.syntheticAiff(t(s, dir, "documents"), "doc_id"))
+      .select(col("media_id"), col("sample_rate"), col("n_samples"),
+        col("duration_ms"), col("peak"), round(col("rms"), 4).as("rms"))
+      .orderBy("media_id")
+
+  /** REAL multi-frame container decode end-to-end: animated GIFs (2–4
+    * frames of constant gray, LZW + palette via javax.imageio) fan out to
+    * one row per frame; frame means are closed-form in (id, frame). */
+  private def gifFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractGifFrames(
+        Multimodal.syntheticGif(t(s, dir, "documents"), "doc_id"))
+      .select(col("media_id"), col("frame_index"), col("n_frames"),
+        col("width"), col("height"), round(col("mean_lum"), 4).as("mean_lum"))
+      .orderBy("media_id", "frame_index")
+
   /** REAL BMP decode end-to-end: synthesize valid 8x8 24-bit grayscale BMPs,
     * parse headers + bottom-up padded pixel rows; channel means and the
     * average-hash (as a 64-char bit string) are closed-form in the id. */
@@ -880,6 +900,8 @@ object SparkEntry {
     "frame_sample" -> frameSample,
     "multimodal_features" -> multimodalFeatures,
     "wav_features" -> wavFeatures,
+    "aiff_features" -> aiffFeatures,
+    "gif_frames" -> gifFrames,
     "bmp_features" -> bmpFeatures,
     "png_features" -> pngFeatures,
     "jpeg_features" -> jpegFeatures,
@@ -1268,6 +1290,22 @@ object SparkEntry {
         |       CAST(1000 + (doc_id % 20) * 500 AS BIGINT) AS peak,
         |       round(CAST(1000 + (doc_id % 20) * 500 AS DOUBLE), 4) AS rms
         |FROM documents ORDER BY 1""".stripMargin,
+    "aiff_features" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(8000 AS BIGINT) AS sample_rate,
+        |       CAST(400 + (doc_id % 50) * 16 AS BIGINT) AS n_samples,
+        |       CAST((400 + (doc_id % 50) * 16) / 8 AS BIGINT) AS duration_ms,
+        |       CAST(1000 + (doc_id % 20) * 500 AS BIGINT) AS peak,
+        |       round(CAST(1000 + (doc_id % 20) * 500 AS DOUBLE), 4) AS rms
+        |FROM documents ORDER BY 1""".stripMargin,
+    "gif_frames" ->
+      """SELECT d.doc_id AS media_id, f.range AS frame_index,
+        |       CAST(2 + d.doc_id % 3 AS BIGINT) AS n_frames,
+        |       CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+        |       round(CAST((7 * d.doc_id + 13 * f.range) % 256 AS DOUBLE), 4) AS mean_lum
+        |FROM documents d, range(4) f
+        |WHERE f.range < 2 + d.doc_id % 3
+        |ORDER BY 1, 2""".stripMargin,
     "bmp_features" ->
       """WITH px AS (
         |  SELECT d.doc_id, x.range AS x, y.range AS y,

@@ -1566,6 +1566,56 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     result
   }
 
+  /** Heavy (g, src) join keys of `rel` — nodes whose out-degree reaches
+    * [[graft.ops.SkewSalt.hotThreshold]] — or None when `rel` is too small
+    * for any key to qualify (gate/local scale pays zero extra jobs). A hub
+    * key amplifies the closure step join's OUTPUT (frontier-in × edges-out
+    * pairs in one task), which AQE's input-size-based skew splitting can
+    * never see (measured: tools/SkewProbe); the converse case — a hub with
+    * only IN-degree — is plain input skew on the delta side, which AQE does
+    * split. */
+  private def heavyKeys(rel: DataFrame, relCount: Long): Option[DataFrame] = {
+    val hot = graft.ops.SkewSalt.hotThreshold
+    val minRows = sys.props.get("graft.salt.minRows").map(_.toLong).getOrElse(100000L)
+    if (relCount < math.max(hot.toLong, minRows)) None
+    else {
+      val h = rel.groupBy(col("g"), col("src")).agg(count(lit(1)).as("__n"))
+        .where(col("__n") >= hot)
+        .select(col("g").as("hg"), col("src").as("hk")).localCheckpoint()
+      if (h.isEmpty) None else Some(h)
+    }
+  }
+
+  /** One closure step: delta (dg, dsrc, dtgt) ∘ rel (g, src, tgt) →
+    * (g, src, tgt). With `heavy` present the join is salted: delta rows
+    * landing on a heavy key take a deterministic salt hashed from their
+    * OTHER endpoint, heavy rel rows replicate once per salt — every
+    * composed path still produced exactly once, but a hub's quadratic
+    * output enumeration spreads across [[graft.ops.SkewSalt.salts]] tasks
+    * instead of one. */
+  private def stepJoin(delta: DataFrame, rel: DataFrame,
+                       heavy: Option[DataFrame]): DataFrame = heavy match {
+    case None =>
+      delta.join(rel, col("dtgt") === col("src") && (col("dg") <=> col("g")))
+        .select(col("dg").as("g"), col("dsrc").as("src"), col("tgt"))
+    case Some(h) =>
+      val s = graft.ops.SkewSalt.salts
+      val hb = broadcast(h.withColumn("__hot", lit(1)))
+      val d2 = delta
+        .join(hb, col("dtgt") === col("hk") && (col("dg") <=> col("hg")), "left")
+        .withColumn("__sa", when(col("__hot") === 1,
+          pmod(xxhash64(col("dsrc")), lit(s)).cast("int")).otherwise(lit(0)))
+        .select(col("dg"), col("dsrc"), col("dtgt"), col("__sa"))
+      val r2 = rel
+        .join(hb, col("src") === col("hk") && (col("g") <=> col("hg")), "left")
+        .withColumn("__sb", explode(when(col("__hot") === 1,
+          sequence(lit(0), lit(s - 1))).otherwise(array(lit(0)))))
+        .select(col("g"), col("src"), col("tgt"), col("__sb"))
+      d2.join(r2, col("dtgt") === col("src") && (col("dg") <=> col("g")) &&
+          col("__sa") === col("__sb"))
+        .select(col("dg").as("g"), col("dsrc").as("src"), col("tgt"))
+  }
+
   private def closureCompute(edges0: DataFrame, seeds: Option[DataFrame]): DataFrame = {
     val edges = edges0.dropDuplicates().localCheckpoint()
     seeds match {
@@ -1579,9 +1629,12 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
         // dense seed set: the walk would touch most of the graph anyway, and
         // linear rounds pay fixed job overhead per hop — log-round full
         // doubling restricted back to the seeds is strictly fewer rounds
-        if (all.count() * 8 >= edges.count())
+        val eCnt = edges.count()
+        if (all.count() * 8 >= eCnt)
           return closure(edges, None)
             .join(s, col("src") === col("n") && (col("g") <=> col("sg")), "left_semi")
+        // hub out-degrees are static across rounds: detect once
+        val eHeavy = heavyKeys(edges, eCnt)
         var delta = all
         var rounds = 0
         // linear BFS rounds are O(frontier) work but pay fixed driver/job
@@ -1592,17 +1645,14 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
         while (!delta.isEmpty && rounds < maxLinear) {
           rounds += 1
           val d = delta.select(col("g").as("dg"), col("src").as("dsrc"), col("tgt").as("dtgt"))
-          val next = d.join(edges, col("dtgt") === col("src") && (col("dg") <=> col("g")))
-            .select(col("dg").as("g"), col("dsrc").as("src"), col("tgt"))
-            .dropDuplicates()
+          val next = stepJoin(d, edges, eHeavy).dropDuplicates()
           delta = next.except(all).localCheckpoint()
           if (!delta.isEmpty) all = all.unionAll(delta).localCheckpoint()
         }
         if (!delta.isEmpty) {
           val full = closure(edges, None)
-          val a = all.select(col("g").as("ag"), col("src").as("asrc"), col("tgt").as("atgt"))
-          all = a.join(full, col("atgt") === col("src") && (col("ag") <=> col("g")))
-            .select(col("ag").as("g"), col("asrc").as("src"), col("tgt"))
+          val a = all.select(col("g").as("dg"), col("src").as("dsrc"), col("tgt").as("dtgt"))
+          all = stepJoin(a, full, heavyKeys(full, full.count()))
             .unionAll(all).dropDuplicates().localCheckpoint()
         }
         all
@@ -1614,9 +1664,10 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
         var grew = true
         var size = all.count()
         while (grew) {
-          val a = all.select(col("g").as("ag"), col("src").as("asrc"), col("tgt").as("atgt"))
-          val next = a.join(all, col("atgt") === col("src") && (col("ag") <=> col("g")))
-            .select(col("ag").as("g"), col("asrc").as("src"), col("tgt"))
+          val a = all.select(col("g").as("dg"), col("src").as("dsrc"), col("tgt").as("dtgt"))
+          // reachability out-degrees grow round over round: re-detect on the
+          // current relation (gated on its known size — free when small)
+          val next = stepJoin(a, all, heavyKeys(all, size))
             .unionAll(all)
             .dropDuplicates().localCheckpoint()
           val n2 = next.count()

@@ -256,14 +256,14 @@ object Dedup {
    */
   private val sigCache = new IndexCache[DataFrame]()
 
-  /** `maxBucketSize`: optional skew guard for the bucket self-join. A band
-    * bucket of k members emits k·(k−1)/2 candidate rows from ONE task, and
-    * AQE's skew splitting cannot help — it detects shuffle-INPUT size, and
-    * this is output amplification from a small input (measured:
-    * tools/SkewProbe). Buckets above the cap are dropped entirely: a bucket
-    * that degenerate means thousands of near-identical docs, which exact
-    * dedup ([[exact]]) removes more cheaply first. Off by default —
-    * results are exact/lossless unless the caller opts in. */
+  /** Hot band buckets (≥ [[SkewSalt.hotThreshold]] members) are salted by
+    * default — lossless, spreads a hot bucket's k² pair enumeration across
+    * [[SkewSalt.salts]] tasks (AQE cannot: it sees shuffle-INPUT size, and
+    * this is OUTPUT amplification — measured, tools/SkewProbe).
+    * `maxBucketSize` remains an optional hard cap on top: buckets above it
+    * are dropped entirely (lossy) — a bucket that degenerate means
+    * thousands of near-identical docs, which exact dedup ([[exact]])
+    * removes more cheaply first. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5,
                       shingleK: Int = 3,
@@ -283,16 +283,13 @@ object Dedup {
         b => md5(concat(concat_ws(",", slice(col("sig"), b * lit(r) + 1, lit(r))),
           lit("#"), b.cast(StringType))))))
       .select(col("id"), col("sig"), col("pos").as("band"), col("col").as("bh"))
-    val banded = maxBucketSize match {
-      case Some(cap) =>
-        val ok = banded0.groupBy("band", "bh").agg(count(lit(1)).as("__bn"))
-          .where(col("__bn") <= cap).select("band", "bh")
-        banded0.join(ok.hint("shuffle_hash"), Seq("band", "bh"))
-      case None => banded0
-    }
-    val a = banded.select(col("band"), col("bh"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bh"), col("id").as("id_b"), col("sig").as("sig_b"))
-    val cand = a.join(b, Seq("band", "bh")).where(col("id_a") < col("id_b"))
+    val (la, rb, jc) =
+      SkewSalt.selfJoinSides(banded0, Seq("band", "bh"), col("id"), maxBucketSize)
+    val a = la.select(col("band"), col("bh"), col("__salt"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = rb.select(col("band"), col("bh"), col("__salt"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    val cand = a.join(b, jc).where(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "sig_a", "sig_b").dropDuplicates("id_a", "id_b")
     cand.withColumn("est_jaccard",
         round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
@@ -331,9 +328,12 @@ object Dedup {
       posexplode(array((0 until 4).map(c =>
         shiftright(col("simhash"), c * 15).bitwiseAND(0x7FFFL)): _*)))
       .select(col("id"), col("simhash"), col("pos").as("chunk"), col("col").as("ch"))
-    val a = chunked.select(col("chunk"), col("ch"), col("id").as("id_a"), col("simhash").as("sh_a"))
-    val b = chunked.select(col("chunk"), col("ch"), col("id").as("id_b"), col("simhash").as("sh_b"))
-    val cand = a.join(b, Seq("chunk", "ch")).where(col("id_a") < col("id_b"))
+    val (la, rb, jc) = SkewSalt.selfJoinSides(chunked, Seq("chunk", "ch"), col("id"))
+    val a = la.select(col("chunk"), col("ch"), col("__salt"),
+      col("id").as("id_a"), col("simhash").as("sh_a"))
+    val b = rb.select(col("chunk"), col("ch"), col("__salt"),
+      col("id").as("id_b"), col("simhash").as("sh_b"))
+    val cand = a.join(b, jc).where(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "sh_a", "sh_b").dropDuplicates("id_a", "id_b")
     cand.withColumn("dist", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .where(col("dist") <= maxDist)

@@ -358,6 +358,202 @@ object Multimodal {
       .toDF("media_id", "media")
   }
 
+  // --------------------------------------- real codecs (animated GIF frames)
+
+  final case class GifFrame(media_id: Long, frame_index: Long, n_frames: Long,
+                            width: Long, height: Long, mean_lum: Double)
+
+  /** REAL multi-frame container decode: animated GIF through the JDK's
+    * `javax.imageio` GIF reader (LZW decompress + palette lookup). This is
+    * the frame-extraction path for video-like media made real: one output
+    * row per frame, partition-local, fan-out = frame count. Frame count and
+    * dimensions are validated before decode (DoS posture as [[decodeWav]]). */
+  private[graft] def decodeGifFrames(id: Long, b: Array[Byte]): Seq[GifFrame] = {
+    require(b != null && b.length >= 6 &&
+      b(0) == 'G' && b(1) == 'I' && b(2) == 'F', "not a GIF")
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(b))
+    try {
+      reader.setInput(iis, false, true)
+      val n = reader.getNumImages(true)
+      require(n >= 1 && n <= 4096, s"unsupported frame count $n")
+      (0 until n).map { i =>
+        val img = reader.read(i)
+        val w = img.getWidth; val h = img.getHeight
+        require(w > 0 && h > 0 && w <= (1 << 14) && h <= (1 << 14),
+          "unsupported image dimensions")
+        var s = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            s += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+              0.114 * (rgb & 0xFF)
+            x += 1
+          }
+          y += 1
+        }
+        GifFrame(id, i.toLong, n.toLong, w.toLong, h.toLong, s / (w.toLong * h))
+      }
+    } finally { reader.dispose(); iis.close() }
+  }
+
+  /** Decode an animated-GIF media column into per-frame feature rows
+    * (partition-local flatMap, no shuffle). */
+  def extractGifFrames(media: DataFrame): DataFrame = {
+    val enc = Encoders.product[GifFrame]
+    media.select(col("media_id"), col("media"))
+      .flatMap(row => decodeGifFrames(row.getLong(0), row.get(1).asInstanceOf[Array[Byte]]))(enc)
+      .toDF()
+  }
+
+  /** Deterministic VALID animated GIF per id: 2 + (id mod 3) frames of 8×8
+    * constant gray value (7·id + 13·f) mod 256 for frame f. Frames are
+    * written TYPE_BYTE_INDEXED over an explicit 256-gray identity palette,
+    * so the GIF round trip is byte-exact by construction (no quantization,
+    * no gray→sRGB conversion) and every decoded frame mean is closed-form
+    * in (id, f) — verified exhaustively over all 256 values in
+    * MultimodalSpec. */
+  private[graft] def syntheticGifBytes(id: Long): Array[Byte] = {
+    val frames = (2 + (id % 3)).toInt
+    val ramp = Array.tabulate(256)(_.toByte)
+    val palette = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < frames) {
+        val v = ((7 * id + 13 * f) % 256).toInt
+        val img = new java.awt.image.BufferedImage(8, 8,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, palette)
+        val raster = img.getRaster
+        for (y <- 0 until 8; x <- 0 until 8) raster.setSample(x, y, 0, v)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    baos.toByteArray
+  }
+
+  def syntheticGif(df: DataFrame, idCol: String): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    df.select(col(idCol).cast(LongType))
+      .map(r => (r.getLong(0), syntheticGifBytes(r.getLong(0))))(enc)
+      .toDF("media_id", "media")
+  }
+
+  // ------------------------------------------------------ real codecs (AIFF)
+
+  private def be16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xFF) << 8) | (b(o + 1) & 0xFF)
+  private def be32(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xFF) << 24) | ((b(o + 1) & 0xFF) << 16) | ((b(o + 2) & 0xFF) << 8) | (b(o + 3) & 0xFF)
+
+  /** REAL AIFF decoder (big-endian IFF chunk walk, COMM + SSND, 16-bit PCM,
+    * 80-bit extended-precision sample rate) — the Apple-lineage sibling of
+    * [[decodeWav]], same feature contract and the same Long-space length
+    * hardening against hostile headers. */
+  private[graft] def decodeAiff(id: Long, b: Array[Byte]): WavFeature = {
+    require(b.length >= 12 && b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M' &&
+      b(8) == 'A' && b(9) == 'I' && b(10) == 'F' && b(11) == 'F', "not a FORM/AIFF file")
+    var o = 12L
+    var rate = 0L; var channels = 0; var bits = 0; var nFrames = 0L
+    var dataOff = -1L; var dataLen = 0L
+    while (o + 8 <= b.length) {
+      val id4 = new String(b, o.toInt, 4, "US-ASCII")
+      val len = be32(b, o.toInt + 4).toLong & 0xFFFFFFFFL
+      val body = o + 8
+      if (id4 == "COMM" && len >= 18 && body + 18 <= b.length) {
+        channels = be16(b, body.toInt)
+        nFrames = be32(b, body.toInt + 2).toLong & 0xFFFFFFFFL
+        bits = be16(b, body.toInt + 6)
+        // 80-bit extended: 1+15-bit sign/exponent, 64-bit mantissa with
+        // explicit integer bit; integral rates decode exactly
+        val e = be16(b, body.toInt + 8) & 0x7FFF
+        var m = 0L
+        var i = 0
+        while (i < 8) { m = (m << 8) | (b(body.toInt + 10 + i) & 0xFF); i += 1 }
+        val shift = 16383 + 63 - e
+        require(shift >= 0 && shift < 64, "unsupported sample rate encoding")
+        rate = m >>> shift
+      } else if (id4 == "SSND" && body + 8 <= b.length) {
+        val off = be32(b, body.toInt).toLong & 0xFFFFFFFFL
+        dataOff = body + 8 + off
+        dataLen = len - 8 - off
+      }
+      // chunks are word-aligned: odd lengths carry a pad byte
+      o = body + len + (len & 1L)
+    }
+    require(rate > 0 && channels == 1 && bits == 16, "unsupported AIFF layout")
+    require(dataOff >= 0 && dataLen >= 0 && dataOff + dataLen <= b.length,
+      "SSND chunk out of bounds")
+    val n = math.min(nFrames, dataLen / 2).toInt
+    var peak = 0L; var sumSq = 0.0
+    var i = 0
+    while (i < n) {
+      // big-endian 16-bit signed sample
+      val s = (be16(b, (dataOff + 2L * i).toInt) << 16) >> 16
+      peak = math.max(peak, math.abs(s.toLong)); sumSq += s.toDouble * s
+      i += 1
+    }
+    WavFeature(id, rate, channels.toLong, bits.toLong, n.toLong,
+      if (rate > 0) n * 1000L / rate else 0L, peak,
+      if (n > 0) math.sqrt(sumSq / n) else 0.0)
+  }
+
+  def extractAiffFeatures(media: DataFrame): DataFrame = {
+    val enc = Encoders.product[WavFeature]
+    media.select(col("media_id"), col("media"))
+      .map(row => decodeAiff(row.getLong(0), row.get(1).asInstanceOf[Array[Byte]]))(enc)
+      .toDF()
+  }
+
+  /** Deterministic VALID 16-bit PCM AIFF per id: same square wave as
+    * [[syntheticWavBytes]] (RMS = amplitude exactly), in big-endian AIFF
+    * framing with an 80-bit extended sample rate. */
+  private[graft] def syntheticAiffBytes(id: Long): Array[Byte] = {
+    val rate = 8000L; val n = (400 + (id % 50) * 16).toInt
+    val amp = (1000 + (id % 20) * 500).toInt
+    val dataLen = n * 2
+    // FORM(12) + COMM(8+18) + SSND(8+8+data)
+    val out = new Array[Byte](12 + 26 + 16 + dataLen)
+    def putAscii(o: Int, s: String): Unit = s.getBytes("US-ASCII").copyToArray(out, o)
+    def put32(o: Int, v: Int): Unit = { out(o) = (v >> 24).toByte; out(o + 1) = (v >> 16).toByte
+      out(o + 2) = (v >> 8).toByte; out(o + 3) = v.toByte }
+    def put16(o: Int, v: Int): Unit = { out(o) = (v >> 8).toByte; out(o + 1) = v.toByte }
+    putAscii(0, "FORM"); put32(4, out.length - 8); putAscii(8, "AIFF")
+    putAscii(12, "COMM"); put32(16, 18)
+    put16(20, 1) // channels
+    put32(22, n) // sample frames
+    put16(26, 16) // bits
+    // 80-bit extended for `rate`: normalize mantissa to the top bit
+    var m = rate; var e = 16383 + 63
+    while ((m & Long.MinValue) == 0) { m <<= 1; e -= 1 }
+    put16(28, e)
+    var i = 0
+    while (i < 8) { out(30 + i) = (m >>> (56 - 8 * i)).toByte; i += 1 }
+    putAscii(38, "SSND"); put32(42, 8 + dataLen); put32(46, 0); put32(50, 0)
+    i = 0
+    while (i < n) {
+      val s = if ((i / 8) % 2 == 0) amp else -amp
+      put16(54 + 2 * i, s)
+      i += 1
+    }
+    out
+  }
+
+  def syntheticAiff(df: DataFrame, idCol: String): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    df.select(col(idCol).cast(LongType))
+      .map(r => (r.getLong(0), syntheticAiffBytes(r.getLong(0))))(enc)
+      .toDF("media_id", "media")
+  }
+
   /** Build a small synthetic media table from any table's rows (for tests
     * and benches — deterministic bytes derived from an id column). */
   def syntheticMedia(df: DataFrame, idCol: String): DataFrame =

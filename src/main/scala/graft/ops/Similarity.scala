@@ -431,9 +431,13 @@ object Similarity {
     // within-bucket pair one dot traversal instead of three (sim is
     // bit-identical to cosine — same fold order, same sqrt(dot) norms)
     val withSig = lshIndex(emb, idCol, vecCol, nPlanes)
-    val a = withSig.select(col("sig"), col(idCol).as("id_a"), col("v").as("va"), col("nr").as("na"))
-    val b = withSig.select(col("sig"), col(idCol).as("id_b"), col("v").as("vb"), col("nr").as("nb"))
-    a.join(b, Seq("sig")).where(col("id_a") < col("id_b"))
+    // hot signature buckets are salted (lossless) — see ops.SkewSalt
+    val (la, rb, jc) = SkewSalt.selfJoinSides(withSig, Seq("sig"), col(idCol))
+    val a = la.select(col("sig"), col("__salt"),
+      col(idCol).as("id_a"), col("v").as("va"), col("nr").as("na"))
+    val b = rb.select(col("sig"), col("__salt"),
+      col(idCol).as("id_b"), col("v").as("vb"), col("nr").as("nb"))
+    a.join(b, jc).where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("sim"))
       .where(col("sim") >= minCosine)

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Lossless mitigation for OUTPUT-amplification skew in bucketed self-joins.
+ *
+ * All candidate-pair generators here (MinHash-LSH band buckets, SimHash
+ * pigeonhole chunks, hyperplane-LSH signature buckets) enumerate pairs by
+ * self-joining a relation on its bucket key. A bucket of k members emits
+ * k·(k−1)/2 candidate rows out of only k input rows — and they are all
+ * produced by ONE shuffle task, because a join key maps to one partition.
+ * AQE's skew-join splitting cannot help: it detects shuffle-INPUT partition
+ * size, and a hot bucket's input is tiny (measured: tools/SkewProbe — the
+ * sanity input-skew case splits, the bucket cases never do).
+ *
+ * The fix is classic salting, applied only to buckets whose size crosses
+ * [[hotThreshold]]: the left side of the self-join gets a deterministic salt
+ * in [0, S) hashed from the row's id, the right side replicates hot-bucket
+ * rows once per salt value, and the join key grows by the salt column. Every
+ * within-bucket ordered pair still matches EXACTLY once (the left row's one
+ * salt meets the right row's matching replica), so the result bag is
+ * identical — but a hot bucket's k²-pair enumeration is spread across S
+ * tasks instead of one. Input cost: k·(S−1) extra replicated rows per hot
+ * bucket, negligible against the k² output it spreads.
+ *
+ * The bucket-size aggregation this needs also pays for itself: buckets of
+ * size 1 — the overwhelming majority on non-degenerate corpora — cannot
+ * produce a pair and are dropped BEFORE the self-join, shrinking its input
+ * to only colliding rows.
+ */
+object SkewSalt {
+  /** Bucket size at/above which the salt spreads its pair enumeration.
+    * Overridable for probes via -Dgraft.salt.hotBucket. */
+  def hotThreshold: Int =
+    sys.props.get("graft.salt.hotBucket").map(_.toInt).getOrElse(1024)
+
+  /** Salt fan-out S: how many tasks a hot bucket's pairs spread across.
+    * Overridable via -Dgraft.salt.factor. */
+  def salts: Int =
+    sys.props.get("graft.salt.factor").map(_.toInt).getOrElse(16)
+
+  /**
+   * Prepare the two sides of a within-bucket pair self-join over `banded`.
+   *
+   * @param banded     one row per (member, bucket) assignment
+   * @param bucketCols the bucket key columns
+   * @param saltBy     deterministic per-row expression (the member id) the
+   *                   left-side salt is hashed from
+   * @param maxBucket  optional hard cap: buckets larger than this are
+   *                   dropped entirely (lossy, caller-documented)
+   * @return (left, right, joinCols): join `left` to `right` on `joinCols`;
+   *         the joined bag equals the plain self-join on `bucketCols`
+   *         restricted to buckets of size ≥ 2 (singletons produce no pairs).
+   */
+  def selfJoinSides(banded: DataFrame, bucketCols: Seq[String], saltBy: Column,
+                    maxBucket: Option[Int] = None)
+      : (DataFrame, DataFrame, Seq[String]) = {
+    val s = salts
+    val hot = hotThreshold
+    val sizes0 = banded.groupBy(bucketCols.map(col): _*)
+      .agg(count(lit(1)).as("__bn"))
+      .where(col("__bn") >= 2)
+    val sizes = maxBucket.fold(sizes0)(cap => sizes0.where(col("__bn") <= cap))
+    // shuffle_hash: the size relation is ≤ one row per bucket but Catalyst
+    // has no stats for it; never let it pick a nested-loop or force a sort
+    val kept = banded.join(sizes.hint("shuffle_hash"), bucketCols)
+    val left = kept
+      .withColumn("__salt",
+        when(col("__bn") >= hot, pmod(xxhash64(saltBy), lit(s)).cast("int"))
+          .otherwise(lit(0)))
+      .drop("__bn")
+    val right = kept
+      .withColumn("__salt",
+        explode(when(col("__bn") >= hot, sequence(lit(0), lit(s - 1)))
+          .otherwise(array(lit(0)))))
+      .drop("__bn")
+    (left, right, bucketCols :+ "__salt")
+  }
+}

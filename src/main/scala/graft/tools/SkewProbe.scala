@@ -63,16 +63,28 @@ object SkewProbe {
     // with `hubDegree` in-edges and out-edges (the hub's delta-join key
     // carries ~hubDegree² candidate pairs through the doubling join)
     val p = Iri("urn:e")
-    val chain = (0 until 200).map(i =>
-      RdfQuad(None, Iri(s"urn:c$i"), p, Iri(s"urn:c${i + 1}")))
-    val hubIn = (0 until hubDegree).map(i =>
-      RdfQuad(None, Iri(s"urn:in$i"), p, Iri("urn:hub")))
-    val hubOut = (0 until hubDegree).map(i =>
-      RdfQuad(None, Iri("urn:hub"), p, Iri(s"urn:out$i")))
-    val quads = graft.sources.Turtle.quadsToDF(spark, chain ++ hubIn ++ hubOut)
-      .repartition(32).localCheckpoint()
-    val closure = Graft(quads).select(
-      "SELECT (COUNT(?a) AS ?n) WHERE { ?a <urn:e>+ ?b }")
+    // distinct node namespaces per run: the closure cache keys on the input
+    // plan, so a shared graph would hand later runs the first run's result
+    def hubGraph(ns: String) = {
+      val chain = (0 until 200).map(i =>
+        RdfQuad(None, Iri(s"urn:$ns$i"), p, Iri(s"urn:$ns${i + 1}")))
+      val hubIn = (0 until hubDegree).map(i =>
+        RdfQuad(None, Iri(s"urn:${ns}in$i"), p, Iri(s"urn:${ns}hub")))
+      val hubOut = (0 until hubDegree).map(i =>
+        RdfQuad(None, Iri(s"urn:${ns}hub"), p, Iri(s"urn:${ns}out$i")))
+      graft.sources.Turtle.quadsToDF(spark, chain ++ hubIn ++ hubOut)
+        .repartition(32).localCheckpoint()
+    }
+    def withProps[T](props: (String, String)*)(f: => T): T = {
+      val old = props.map { case (k, _) => k -> sys.props.get(k) }
+      props.foreach { case (k, v) => sys.props(k) = v }
+      try f
+      finally old.foreach {
+        case (k, Some(v)) => sys.props(k) = v
+        case (k, None) => sys.props.remove(k)
+      }
+    }
+    val quads = hubGraph("c")
     // the fixpoint loop computes its joins eagerly (localCheckpoint per
     // round), so the final plan can't show them — probe the doubling step's
     // join shape directly: edges ⋈ edges on dst=src, where the hub key
@@ -81,7 +93,20 @@ object SkewProbe {
     val delta = e.as("a").join(e.as("b"), col("a.dst") === col("b.src"))
       .select(col("a.src"), col("b.dst"))
     skewReport("closure delta join (edges x edges, hub key)", delta)
-    skewReport("closure full fixpoint (plan is post-loop)", closure)
+    // end-to-end fixpoint timing (construction included — the loop runs
+    // eagerly): unsalted vs Rewriter.stepJoin's hub salting
+    def runClosure(ns: String): Unit = {
+      val n = Graft(hubGraph(ns)).select(
+        s"SELECT (COUNT(?a) AS ?n) WHERE { ?a <urn:e>+ ?b }")
+        .select(col("n.v")).collect()(0).getString(0)
+      println(s"[skew]   closure pairs=$n")
+    }
+    withProps("graft.salt.hotBucket" -> (1 << 30).toString) {
+      time("closure fixpoint, salting OFF")(runClosure("c"))
+    }
+    withProps("graft.salt.minRows" -> "1000") {
+      time("closure fixpoint, hub SALTED")(runClosure("d"))
+    }
 
     // ---- 2. MinHash-LSH bucket self-join on a stopword-heavy corpus:
     // half the docs share one template (identical shingles → identical
@@ -92,11 +117,19 @@ object SkewProbe {
                  else s"unique document $i " + (0 until 30).map(j => s"tok${i}_$j").mkString(" ")
       (i.toLong, text)
     }.toDF("doc_id", "text")
-    val pairs = graft.ops.Dedup.minhashLshPairs(docs, "doc_id", "text")
-    skewReport("lsh bucket-join stopword corpus", pairs)
-    val capped = graft.ops.Dedup.minhashLshPairs(docs, "doc_id", "text",
-      maxBucketSize = Some(64))
-    skewReport("lsh bucket-join with maxBucketSize=64", capped)
+    // build + cache the signature artifact untimed (cap=1 drops every
+    // bucket, so only the signature job runs) — all three timed variants
+    // then start from the same cached signatures
+    graft.ops.Dedup.minhashLshPairs(docs, "doc_id", "text",
+      maxBucketSize = Some(1)).write.format("noop").mode("overwrite").save()
+    withProps("graft.salt.hotBucket" -> (1 << 30).toString) {
+      skewReport("lsh bucket-join stopword corpus, salting OFF",
+        graft.ops.Dedup.minhashLshPairs(docs, "doc_id", "text"))
+    }
+    skewReport("lsh bucket-join, default salting (hot buckets spread)",
+      graft.ops.Dedup.minhashLshPairs(docs, "doc_id", "text"))
+    skewReport("lsh bucket-join with maxBucketSize=64 (lossy cap)",
+      graft.ops.Dedup.minhashLshPairs(docs, "doc_id", "text", maxBucketSize = Some(64)))
 
     // ---- 3. sanity: INPUT-skewed shuffled join — one key holds ~2M left
     // rows (tens of MB in one shuffle partition) against a uniform right
@@ -112,9 +145,10 @@ object SkewProbe {
     println("[skew] conclusion: AQE splits INPUT skew (sanity case) but the")
     println("[skew]   closure delta and LSH bucket joins amplify small inputs")
     println("[skew]   into large outputs — input-size-based skew detection")
-    println("[skew]   cannot see them. LSH verification is already balanced")
-    println("[skew]   by the dropDuplicates exchange; the one-task cost is")
-    println("[skew]   hot-bucket pair ENUMERATION, bounded by maxBucketSize.")
+    println("[skew]   cannot see them. Both now take the LOSSLESS salted path")
+    println("[skew]   (ops.SkewSalt / Rewriter.stepJoin): hot-key pair")
+    println("[skew]   enumeration spreads across the salt fan-out instead of")
+    println("[skew]   one task; maxBucketSize remains as a lossy hard cap.")
     spark.stop()
   }
 }

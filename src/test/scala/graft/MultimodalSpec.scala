@@ -86,6 +86,61 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("AIFF square wave features are exact (big-endian framing, 80-bit rate)") {
+    for (id <- Seq(0L, 7L, 19L, 49L, 255L)) {
+      val f = Multimodal.decodeAiff(id, Multimodal.syntheticAiffBytes(id))
+      val n = 400 + (id % 50) * 16
+      val amp = 1000 + (id % 20) * 500
+      assert(f.sample_rate == 8000 && f.channels == 1 && f.bits == 16, s"id=$id")
+      assert(f.n_samples == n && f.duration_ms == n * 1000 / 8000, s"id=$id")
+      assert(f.peak == amp && math.abs(f.rms - amp) < 1e-9,
+        s"id=$id peak=${f.peak} rms=${f.rms} expect $amp")
+    }
+  }
+
+  test("AIFF decoder walks chunks and rejects hostile input") {
+    val base = Multimodal.syntheticAiffBytes(5L)
+    // splice an ANNO chunk (odd length → pad byte) between COMM and SSND
+    val extra = new Array[Byte](8 + 3 + 1)
+    "ANNO".getBytes("US-ASCII").copyToArray(extra, 0)
+    extra(7) = 3
+    val spliced = base.take(38) ++ extra ++ base.drop(38)
+    val formLen = spliced.length - 8
+    spliced(4) = (formLen >> 24).toByte; spliced(5) = (formLen >> 16).toByte
+    spliced(6) = (formLen >> 8).toByte; spliced(7) = formLen.toByte
+    val f = Multimodal.decodeAiff(5L, spliced)
+    assert(f.peak == 1000 + (5 % 20) * 500 && f.n_samples == 400 + (5 % 50) * 16)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeAiff(1L, Array.fill[Byte](64)(0x41))
+    }
+    // hostile SSND length pointing past the buffer must not read out of bounds
+    val evil = Multimodal.syntheticAiffBytes(1L)
+    evil(42) = 0x7F.toByte // SSND size → huge
+    intercept[IllegalArgumentException] { Multimodal.decodeAiff(1L, evil) }
+  }
+
+  test("animated GIF round trip is exact for all 256 gray values and frame counts") {
+    for (id <- 0L until 256L) {
+      val frames = Multimodal.decodeGifFrames(id, Multimodal.syntheticGifBytes(id))
+      val expectN = 2 + (id % 3)
+      assert(frames.length == expectN, s"id=$id got ${frames.length} frames")
+      frames.zipWithIndex.foreach { case (f, i) =>
+        val v = ((7 * id + 13 * i) % 256).toDouble
+        assert(f.frame_index == i && f.n_frames == expectN && f.width == 8 && f.height == 8)
+        assert(math.abs(f.mean_lum - v) < 1e-9,
+          s"id=$id frame=$i mean=${f.mean_lum} expect $v")
+      }
+    }
+  }
+
+  test("GIF decoder rejects hostile input: garbage, truncation") {
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeGifFrames(1L, Array.fill[Byte](64)(0x41))
+    }
+    val gif = Multimodal.syntheticGifBytes(9L)
+    intercept[Exception] { Multimodal.decodeGifFrames(9L, gif.take(16)) }
+  }
+
   test("distributed extract over a corpus matches per-row decode") {
     import spark.implicits._
     val ids = Seq(1L, 19L, 42L, 63L).toDF("doc_id")
