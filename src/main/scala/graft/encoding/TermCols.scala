@@ -99,8 +99,14 @@ object TermCols {
     * float op {integer,decimal,float} → float, never double. */
   def fromFloat(c: Column): Column = {
     val f = c.cast(FloatType)
-    val lex = when(f === f.cast(LongType).cast(FloatType) && abs(f) < 1e15f,
-      f.cast(LongType).cast(StringType)).otherwise(f.cast(StringType))
+    // see dblToLexical: specials dodge the ANSI long-cast throw and render
+    // the XSD canonical forms
+    val lex = when(isnan(f), lit("NaN"))
+      .when(f === Float.PositiveInfinity, lit("INF"))
+      .when(f === Float.NegativeInfinity, lit("-INF"))
+      .when(abs(f) < 1e15f && f === f.cast(LongType).cast(FloatType),
+        f.cast(LongType).cast(StringType))
+      .otherwise(f.cast(StringType))
     when(c.isNull, nullTerm)
       .otherwise(mk(lit(TermType.Literal), lex, lit(Xsd.float), nullStr, f.cast(DoubleType)))
   }
@@ -208,8 +214,15 @@ object TermCols {
     * casting back to native types in verification queries). */
   private def dblToLexical(c: Column): Column = {
     val d = c.cast(DoubleType)
-    when(d === d.cast(LongType).cast(DoubleType) && abs(d) < 1e15,
-      d.cast(LongType).cast(StringType)).otherwise(d.cast(StringType))
+    // specials first: under ANSI mode NaN/±Inf → LongType THROWS, and the
+    // XSD canonical lexicals are "NaN"/"INF"/"-INF" (not Java's "Infinity");
+    // the range guard sits LEFT of the long-cast so And short-circuits it
+    when(isnan(d), lit("NaN"))
+      .when(d === Double.PositiveInfinity, lit("INF"))
+      .when(d === Double.NegativeInfinity, lit("-INF"))
+      .when(abs(d) < 1e15 && d === d.cast(LongType).cast(DoubleType),
+        d.cast(LongType).cast(StringType))
+      .otherwise(d.cast(StringType))
   }
 
   // ---------------------------------------------------------------- ordering

@@ -327,13 +327,16 @@ object ExprCompiler {
           case "+" => ld + rd
           case "-" => ld - rd
           case "*" => ld * rd
-          case "/" => ld / rd // double division by zero → ±INF (XPath)
+          case "/" => ieeeDiv(ld, rd)
         }
         val dec = op match {
           case "+" => le + re
           case "-" => le - re
           case "*" => (le * re).cast(DecimalType(36, 16))
-          case "/" => when(re =!= 0, (le / re).cast(DecimalType(36, 16))) // ÷0 → error
+          // try_divide, NOT a when-guard around `/`: with literal operands
+          // the division folds independently of the guard and an ANSI ÷0
+          // throws at plan time; try_divide folds to null = evaluation error
+          case "/" => try_divide(le, re).cast(DecimalType(36, 16))
         }
         val minKind = if (op == "/") 2 else 1 // int ÷ int is xsd:decimal
         val kind = when(lk === 0 || rk === 0, lit(0))
@@ -454,7 +457,10 @@ object ExprCompiler {
       .when(kind === 4, fromDouble(d))
       .when(kind === 3, fromFloat(d))
       .when(kind === 2, fromDecimal(dec))
-      .otherwise(fromLong(dec.cast(LongType)))
+      // try_cast: integer overflow beyond i64 is an evaluation error
+      // (fromLong(null) = nullTerm), matching the reference's checked ops —
+      // an ANSI cast would THROW and kill the query instead
+      .otherwise(fromLong(dec.try_cast(LongType)))
 
   /** Statically-known numeric kind of an expression's bound result, if
     * derivable at plan time (promotion over static operand kinds). Lets the
@@ -561,6 +567,21 @@ object ExprCompiler {
   /** Numeric promotion ladder Integer → Decimal → Float → Double; `/` of
     * integers is decimal (reference lib/functions/src/scalar/numeric/{add,div,…}.rs,
     * ladder lib/model/src/xsd/numeric.rs). Non-numeric operand → error. */
+  /** IEEE/XPath double division: ÷0 yields ±INF (or NaN for 0/0). Spark's
+    * ANSI Divide THROWS on a zero divisor even for doubles, and constant
+    * folding evaluates a literal division independently of any enclosing
+    * guard — so divide by NULLIF-style `when(rd ≠ 0, rd)` (a null divisor
+    * never throws and folds to null) and rebuild the IEEE specials,
+    * honouring a negative-zero divisor's sign. */
+  private def ieeeDiv(ld: Column, rd: Column): Column = {
+    val q = ld / when(rd =!= 0.0d, rd)
+    val zsign = when(rd.cast(StringType).startsWith("-"), lit(-1.0d)).otherwise(lit(1.0d))
+    when(ld.isNull || rd.isNull, lit(null).cast(DoubleType))
+      .when(rd =!= 0.0d, q)
+      .when(isnan(ld) || ld === 0.0d, lit(Double.NaN))
+      .otherwise(signum(ld) * zsign * lit(Double.PositiveInfinity))
+  }
+
   def arith(op: String, l: Column, r: Column): Column = {
     val bothNum = isNumeric(l) && isNumeric(r)
     val anyDouble = isStrictDoubleTyped(l) || isStrictDoubleTyped(r)
@@ -572,19 +593,20 @@ object ExprCompiler {
       case "+" => dl + dr
       case "-" => dl - dr
       case "*" => dl * dr
-      case "/" => when(dr =!= 0.0, dl / dr) // double div-by-zero → INF in XPath; keep error=null for 0 denom on non-double below
+      case "/" => ieeeDiv(dl, dr)
     }
     val eres = op match {
       case "+" => el + er
       case "-" => el - er
       case "*" => (el * er).cast(DecimalType(36, 16))
-      case "/" => when(er =!= 0, (el / er).cast(DecimalType(36, 16))) // div by zero → error
+      case "/" => try_divide(el, er).cast(DecimalType(36, 16)) // div by zero → error (null)
     }
     when(!bothNum, nullTerm)
-      .when(anyDouble, if (op == "/") fromDouble(dl / dr) else fromDouble(dres))
-      .when(anyFloat, if (op == "/") fromFloat(dl / dr) else fromFloat(dres))
+      .when(anyDouble, fromDouble(dres))
+      .when(anyFloat, fromFloat(dres))
       .when(lit(op == "/") || anyDecimal, fromDecimal(eres))
-      .otherwise(fromLong(eres.cast(LongType)))
+      // try_cast: i64 overflow → evaluation error, not an ANSI throw
+      .otherwise(fromLong(eres.try_cast(LongType)))
   }
 
   def negate(c: Column): Column =
@@ -592,7 +614,7 @@ object ExprCompiler {
       .when(isFloatTyped(c), fromFloat(-numDouble(c)))
       .when(isDoubleTyped(c), fromDouble(-numDouble(c)))
       .when(isDecimalTyped(c), fromDecimal(-numDecimal(c)))
-      .otherwise(fromLong((-numDecimal(c)).cast(LongType)))
+      .otherwise(fromLong((-numDecimal(c)).try_cast(LongType)))
 
   // --------------------------------------------------------------- functions
 
@@ -780,7 +802,7 @@ object ExprCompiler {
       .when(isFloatTyped(c), fromFloat(d(numDouble(c))))
       .when(isDoubleTyped(c), fromDouble(d(numDouble(c))))
       .when(isDecimalTyped(c), fromDecimal(e(numDecimal(c))))
-      .otherwise(fromLong(e(numDecimal(c)).cast(LongType)))
+      .otherwise(fromLong(e(numDecimal(c)).try_cast(LongType)))
 
   /** XPath/XQuery regex flags s,m,i,x → Java embedded flags. */
   private def regexWithFlags(pat: Column, flags: Column): Column =
@@ -834,8 +856,15 @@ object ExprCompiler {
   }
 
   private def dblLex(d: Column): Column = {
-    when(d === d.cast(LongType).cast(DoubleType) && abs(d) < 1e15,
-      d.cast(LongType).cast(StringType)).otherwise(d.cast(StringType))
+    // specials first: NaN/±Inf → LongType throws under ANSI, and the XSD
+    // canonical lexicals are "NaN"/"INF"/"-INF" (Spark's cast PARSES those
+    // special strings case-insensitively, so round trips hold)
+    when(isnan(d), lit("NaN"))
+      .when(d === Double.PositiveInfinity, lit("INF"))
+      .when(d === Double.NegativeInfinity, lit("-INF"))
+      .when(abs(d) < 1e15 && d === d.cast(LongType).cast(DoubleType),
+        d.cast(LongType).cast(StringType))
+      .otherwise(d.cast(StringType))
   }
 
   /** Custom function registry by IRI (reference

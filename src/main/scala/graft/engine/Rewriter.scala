@@ -1423,7 +1423,10 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
             when(col(s"__${out}_isd") === 1, fromDouble(col(s"__${out}_dbl")))
               .otherwise(fromFloat(col(s"__${out}_dbl"))))
           .when(col(s"__${out}_anydec") === 1, fromDecimal(col(s"__${out}_dec")))
-          .otherwise(fromLong(coalesce(col(s"__${out}_dec").cast(LongType), lit(0L))))
+          // empty group → 0; an i64-overflowing integer sum poisons
+          // (try_cast null → nullTerm) instead of throwing under ANSI
+          .when(col(s"__${out}_dec").isNull, fromLong(lit(0L)))
+          .otherwise(fromLong(col(s"__${out}_dec").try_cast(LongType)))
       case "AVG" =>
         val n = coalesce(col(s"__${out}_n"), lit(0L))
         when(col(s"__${out}_bad") === 1, nullTerm)
@@ -1652,7 +1655,7 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
         if (!delta.isEmpty) {
           val full = closure(edges, None)
           val a = all.select(col("g").as("dg"), col("src").as("dsrc"), col("tgt").as("dtgt"))
-          all = stepJoin(a, full, heavyKeys(full, full.count()))
+          all = stepJoin(a, full, eHeavy)
             .unionAll(all).dropDuplicates().localCheckpoint()
         }
         all
@@ -1663,11 +1666,16 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
         var all = edges
         var grew = true
         var size = all.count()
+        // hub keys come from the BASE edges, detected once: re-detecting on
+        // the evolving reachability relation costs O(|all|) extra per round
+        // (measured 2× on a 16M-pair closure) for marginal coverage — the
+        // base hub is the amplification epicenter; a node whose CLOSURE
+        // degree alone is huge spreads its output across its many distinct
+        // frontier rows, which is ordinary input skew AQE does split
+        val eHeavy = heavyKeys(edges, size)
         while (grew) {
           val a = all.select(col("g").as("dg"), col("src").as("dsrc"), col("tgt").as("dtgt"))
-          // reachability out-degrees grow round over round: re-detect on the
-          // current relation (gated on its known size — free when small)
-          val next = stepJoin(a, all, heavyKeys(all, size))
+          val next = stepJoin(a, all, eHeavy)
             .unionAll(all)
             .dropDuplicates().localCheckpoint()
           val n2 = next.count()

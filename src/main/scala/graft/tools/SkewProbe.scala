@@ -65,12 +65,12 @@ object SkewProbe {
     val p = Iri("urn:e")
     // distinct node namespaces per run: the closure cache keys on the input
     // plan, so a shared graph would hand later runs the first run's result
-    def hubGraph(ns: String) = {
+    def hubGraph(ns: String, deg: Int) = {
       val chain = (0 until 200).map(i =>
         RdfQuad(None, Iri(s"urn:$ns$i"), p, Iri(s"urn:$ns${i + 1}")))
-      val hubIn = (0 until hubDegree).map(i =>
+      val hubIn = (0 until deg).map(i =>
         RdfQuad(None, Iri(s"urn:${ns}in$i"), p, Iri(s"urn:${ns}hub")))
-      val hubOut = (0 until hubDegree).map(i =>
+      val hubOut = (0 until deg).map(i =>
         RdfQuad(None, Iri(s"urn:${ns}hub"), p, Iri(s"urn:${ns}out$i")))
       graft.sources.Turtle.quadsToDF(spark, chain ++ hubIn ++ hubOut)
         .repartition(32).localCheckpoint()
@@ -84,28 +84,48 @@ object SkewProbe {
         case (k, None) => sys.props.remove(k)
       }
     }
-    val quads = hubGraph("c")
+    val quads = hubGraph("c", hubDegree)
     // the fixpoint loop computes its joins eagerly (localCheckpoint per
     // round), so the final plan can't show them — probe the doubling step's
     // join shape directly: edges ⋈ edges on dst=src, where the hub key
-    // carries hubDegree² of the output
+    // carries hubDegree² of the output. This bare join is where hub skew
+    // bites: count() avoids materialisation, so the measurement isolates
+    // single-task output ENUMERATION against the salted spread. (The full
+    // fixpoint is NOT the demonstration surface at probe scale — there the
+    // dedup/checkpoint of the quadratic pair relation dominates both
+    // variants equally.)
     val e = quads.select(col("subject").as("src"), col("object").as("dst"))
-    val delta = e.as("a").join(e.as("b"), col("a.dst") === col("b.src"))
+      .localCheckpoint()
+    val plain = e.as("a").join(e.as("b"), col("a.dst") === col("b.src"))
       .select(col("a.src"), col("b.dst"))
-    skewReport("closure delta join (edges x edges, hub key)", delta)
-    // end-to-end fixpoint timing (construction included — the loop runs
-    // eagerly): unsalted vs Rewriter.stepJoin's hub salting
-    def runClosure(ns: String): Unit = {
-      val n = Graft(hubGraph(ns)).select(
-        s"SELECT (COUNT(?a) AS ?n) WHERE { ?a <urn:e>+ ?b }")
-        .select(col("n.v")).collect()(0).getString(0)
-      println(s"[skew]   closure pairs=$n")
-    }
-    withProps("graft.salt.hotBucket" -> (1 << 30).toString) {
-      time("closure fixpoint, salting OFF")(runClosure("c"))
-    }
-    withProps("graft.salt.minRows" -> "1000") {
-      time("closure fixpoint, hub SALTED")(runClosure("d"))
+    skewReport("closure delta join UNSALTED (hub output in one task)", plain)
+    // inline replica of Rewriter.stepJoin's salting (the engine method is
+    // private): hub-targeting left rows hash-salted, hub edges replicated
+    val s = 16
+    val hub = e.groupBy("src").agg(count(lit(1)).as("n")).where(col("n") >= 1024)
+      .select(col("src").as("hk")).localCheckpoint()
+    val hb = broadcast(hub.withColumn("hot", lit(1)))
+    val a2 = e.join(hb, col("dst") === col("hk"), "left")
+      .select(col("src").as("asrc"), col("dst").as("adst"),
+        when(col("hot") === 1, pmod(xxhash64(col("src")), lit(s)).cast("int"))
+          .otherwise(lit(0)).as("sa"))
+    val b2 = e.join(hb, col("src") === col("hk"), "left")
+      .select(col("src").as("bsrc"), col("dst").as("bdst"),
+        explode(when(col("hot") === 1, sequence(lit(0), lit(s - 1)))
+          .otherwise(array(lit(0)))).as("sb"))
+    val salted = a2.join(b2, col("adst") === col("bsrc") && col("sa") === col("sb"))
+      .select(col("asrc"), col("bdst"))
+    skewReport(s"closure delta join SALTED (spread over $s tasks)", salted)
+    // end-to-end losslessness sanity on a small graph (SkewSaltSpec pins
+    // the full matrix): salted fixpoint count equals the analytic count
+    withProps("graft.salt.minRows" -> "100") {
+      time("closure fixpoint with salting engaged (sanity)") {
+        val tiny = hubGraph("t", 300)
+        val n = Graft(tiny).select(
+          "SELECT (COUNT(?a) AS ?n) WHERE { ?a <urn:e>+ ?b }")
+          .select(col("n.v")).collect()(0).getString(0)
+        println(s"[skew]   closure pairs=$n")
+      }
     }
 
     // ---- 2. MinHash-LSH bucket self-join on a stopword-heavy corpus:
