@@ -639,6 +639,25 @@ object SparkEntry {
     TextAnalysis.rollingFingerprints(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("id", "band")
 
+  /** PII redaction over documents carrying synthesized-but-realistic PII
+    * (an email, an international phone and an IPv4 per doc, deterministic
+    * in doc_id — the raw corpus is PII-free word soup, which would gate
+    * nothing): counts + typed-placeholder redaction, oracled by the same
+    * regex cascade in DuckDB RE2. */
+  private def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        lit(" reach user"), col("doc_id"), lit("@example.com or +1 555-01"),
+        lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"), lit(" 4321 from 10.0."),
+        pmod(col("doc_id"), lit(256)).cast("string"), lit(".7 thanks")).as("text"))
+    TextAnalysis.piiScrub(docs, "doc_id", "text").orderBy("doc_id")
+  }
+
+  /** Repetition quality metrics — distinct-word / duplicate-bigram /
+    * top-word-share ratios over the normalised token stream. */
+  private def docRepetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetition(t(s, dir, "documents"), "doc_id", "text").orderBy("id")
+
   private def qualityScore(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text")
       .select("doc_id", "score").orderBy("doc_id")
@@ -893,6 +912,8 @@ object SparkEntry {
     "token_stats" -> tokenStats,
     "fingerprint" -> fingerprint,
     "rolling_fp" -> rollingFp,
+    "pii_scrub" -> piiScrub,
+    "doc_repetition" -> docRepetition,
     "quality_score" -> qualityScore,
     "emb_near_dup" -> embNearDup,
     "emb_centroids" -> embCentroids,
@@ -1350,6 +1371,42 @@ object SparkEntry {
         |SELECT id, CAST(((16 * (strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
         |             + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 8) AS INT) AS band, min(h) AS fp_hash
         |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "pii_scrub" ->
+      """WITH d AS (SELECT doc_id,
+        |  text || ' reach user' || doc_id || '@example.com or +1 555-01' ||
+        |  lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' 4321 from 10.0.' ||
+        |  CAST(doc_id % 256 AS VARCHAR) || '.7 thanks' AS text FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\+\d{1,2}[ -]\d{3}[ -]\d{3,4}[ -]\d{4}')) AS INT) AS n_phones,
+        |  CAST(len(regexp_extract_all(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\+\d{1,2}[ -]\d{3}[ -]\d{3,4}[ -]\d{4}', '[PHONE]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS clean_text
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "doc_repetition" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+        |                                      x -> len(x) > 0) AS words FROM documents),
+        |base AS (SELECT doc_id, words, len(words) AS n,
+        |  CASE WHEN len(words) >= 2
+        |       THEN list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1])
+        |       ELSE []::VARCHAR[] END AS grams FROM w),
+        |tc AS (SELECT doc_id, max(c) AS topc FROM (
+        |         SELECT doc_id, wd, count(*) AS c
+        |         FROM (SELECT doc_id, unnest(words) AS wd FROM w) GROUP BY doc_id, wd)
+        |       GROUP BY doc_id)
+        |SELECT b.doc_id AS id, CAST(b.n AS INT) AS n_words,
+        |  CASE WHEN b.n > 0 THEN round(len(list_distinct(b.words)) / CAST(b.n AS DOUBLE), 6)
+        |       ELSE 0.0 END AS uniq_word_ratio,
+        |  CASE WHEN len(b.grams) > 0
+        |       THEN round(1.0 - len(list_distinct(b.grams)) / CAST(len(b.grams) AS DOUBLE), 6)
+        |       ELSE 0.0 END AS dup_bigram_ratio,
+        |  CASE WHEN b.n > 0 THEN round(coalesce(tc.topc, 0) / CAST(b.n AS DOUBLE), 6)
+        |       ELSE 0.0 END AS top_word_share
+        |FROM base b LEFT JOIN tc ON b.doc_id = tc.doc_id
+        |ORDER BY id""".stripMargin,
     "emb_centroids" ->
       """WITH x AS (SELECT label, i, embedding[CAST(i+1 AS INT)]::DOUBLE AS v
         |           FROM embeddings, range(0, 64) t(i))

@@ -158,4 +158,80 @@ object TextAnalysis {
     }
     df.where(u < rate)
   }
+
+  // --------------------------------------------------------------------- PII
+
+  /** PII patterns, shared VERBATIM with the DuckDB oracle — every construct
+    * is in the Java-regex ∩ RE2 intersection (no backrefs, no lookaround).
+    * The email pattern requires an alphabetic TLD, so `user@203.0.113.9`
+    * is left for the IP pass — replacement order (email → phone → IP) is
+    * part of the contract. */
+  val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePat = "\\+\\d{1,2}[ -]\\d{3}[ -]\\d{3,4}[ -]\\d{4}"
+  val ipPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /**
+   * PII redaction — the compliance pass every training-data pipeline runs
+   * before text leaves the curation tier: emails, international-format
+   * phone numbers and bare IPv4 addresses are counted (on the ORIGINAL
+   * text) and replaced by typed placeholders. Pure per-row column
+   * expressions — no shuffle, full scan-pipeline fusion; at 100 TB this is
+   * a narrow map stage that rides whatever partitioning the scan has.
+   */
+  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val clean =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, emailPat, "[EMAIL]"),
+          phonePat, "[PHONE]"),
+        ipPat, "[IP]")
+    df.select(col(idCol),
+      size(regexp_extract_all(t, lit(emailPat), lit(0))).as("n_emails"),
+      size(regexp_extract_all(t, lit(phonePat), lit(0))).as("n_phones"),
+      // IPs counted AFTER email removal, matching what the replacement
+      // cascade actually redacts as [IP]
+      size(regexp_extract_all(regexp_replace(t, emailPat, "[EMAIL]"),
+        lit(ipPat), lit(0))).as("n_ips"),
+      clean.as("clean_text"))
+  }
+
+  // -------------------------------------------------------------- repetition
+
+  /**
+   * Repetition metrics — the standard quality signal for generated/spammy
+   * text (a high top-word share or duplicated-bigram ratio flags degenerate
+   * documents). Per-document ratios are pure array expressions over the
+   * normalised token stream; the top-word share distributes as one
+   * (id, word) aggregation + per-id max — both map-side-combining shuffles
+   * keyed by document, so the plan scales with corpus size, never with
+   * vocabulary.
+   */
+  def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+    val base = df.select(col(idCol).as("id"), words.as("w"))
+    val n = size_(col("w"))
+    // bigrams via aligned slices (sequence() would count DOWN for n<2)
+    val grams = when(n >= 2,
+      zip_with(slice(col("w"), lit(1), greatest(n - 1, lit(1))),
+               slice(col("w"), lit(2), greatest(n - 1, lit(1))),
+        (a, b) => concat(a, lit(" "), b))).otherwise(array().cast("array<string>"))
+    val perDoc = base.select(col("id"), col("w"), grams.as("g"),
+      n.as("n_words"),
+      when(n > 0, round(size_(array_distinct(col("w"))) / n.cast(DoubleType), 6))
+        .otherwise(lit(0.0)).as("uniq_word_ratio"))
+      .withColumn("dup_bigram_ratio",
+        when(size_(col("g")) > 0,
+          round(lit(1.0) - size_(array_distinct(col("g"))) / size_(col("g")).cast(DoubleType), 6))
+          .otherwise(lit(0.0)))
+    // top-word share: distributed mode-per-document (explode → grouped count
+    // → per-id max); ties need no break because only the SHARE is reported
+    val counts = base.select(col("id"), explode(col("w")).as("wd"))
+      .groupBy("id", "wd").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(max(col("c")).as("topc"))
+    perDoc.join(counts, Seq("id"), "left")
+      .select(col("id"), col("n_words"), col("uniq_word_ratio"), col("dup_bigram_ratio"),
+        when(col("n_words") > 0, round(coalesce(col("topc"), lit(0L)) / col("n_words").cast(DoubleType), 6))
+          .otherwise(lit(0.0)).as("top_word_share"))
+  }
 }
