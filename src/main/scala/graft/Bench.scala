@@ -48,7 +48,11 @@ object Bench {
     // 1.0x — pure noise). Interleaving decorrelates: a spike inflates one
     // pass's worth of each query, and the min across passes recovers.
     // Pass 1 additionally JIT/codegen-warms the whole suite for passes 2-3.
+    // optional arg: comma-separated query subset (local iteration only —
+    // the driver always runs the full suite)
+    val only: Option[Set[String]] = args.headOption.map(_.split(",").toSet)
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val passes = (1 to 3).map { _ =>
       sorted.map { case (name, fn) =>
         val t0 = System.nanoTime()

@@ -676,11 +676,34 @@ object ExprCompiler {
       // ---- strings (reference lib/functions/src/scalar/strings/)
       case "STRLEN" => when(isStringLit(a0), fromLong(length(value(a0)))).otherwise(nullTerm)
       case "SUBSTR" =>
-        val start = numDecimal(a1).cast(IntegerType)
-        val len = if (args.size > 2) numDecimal(a2).cast(IntegerType)
-                  else (length(value(a0)) - start + 1)
+        // XPath fn:substring (SPARQL 17.4.3.3): keep characters at 1-based
+        // positions p with round(start) <= p < round(start) + round(length),
+        // round = half-toward-+INF (floor(x+0.5): round(-1.5) = -1, unlike
+        // Spark's away-from-zero). So SUBSTR("hello", 0, 2) = "h",
+        // SUBSTR("12345", -3, 5) = "1", a NaN operand (or -INF+INF end)
+        // yields "" — NOT an error. All arithmetic stays in double space and
+        // is clamped to [1, n+1] before the int casts, so a hostile 1e300
+        // start can never overflow or ANSI-throw.
+        val src = value(a0)
+        val nD = length(src).cast(DoubleType)
+        // NaN must be tested on the RAW operands: Spark's floor() returns
+        // BIGINT (NaN.toLong = 0 silently), so floor(NaN + 0.5) is not NaN.
+        // ±INF survive as ±Long.Min/Max ≈ ∓9.2e18, which the [1, n+1]
+        // clamps handle (and -INF start + INF length sums to -1 → empty,
+        // matching XPath's NaN end).
+        val s0 = numDouble(a1)
+        val anyNan = if (args.size > 2) isnan(s0) || isnan(numDouble(a2)) else isnan(s0)
+        val sR = floor(s0 + 0.5d).cast(DoubleType)
+        val eR = if (args.size > 2) sR + floor(numDouble(a2) + 0.5d).cast(DoubleType)
+                 else nD + 1.0d
+        val from = least(greatest(sR, lit(1.0d)), nD + 1.0d)
+        val upTo = least(greatest(eR, lit(1.0d)), nD + 1.0d)
+        val cnt = upTo - from
+        val picked =
+          when(anyNan || cnt <= 0.0d, lit(""))
+            .otherwise(src.substr(from.cast(IntegerType), cnt.cast(IntegerType)))
         when(isStringLit(a0) && isNumeric(a1) && (if (args.size > 2) isNumeric(a2) else lit(true)),
-          likeStringOf(a0, value(a0).substr(start, len))).otherwise(nullTerm)
+          likeStringOf(a0, picked)).otherwise(nullTerm)
       case "UCASE" => when(isStringLit(a0), likeStringOf(a0, upper(value(a0)))).otherwise(nullTerm)
       case "LCASE" => when(isStringLit(a0), likeStringOf(a0, lower(value(a0)))).otherwise(nullTerm)
       case "STRSTARTS" =>

@@ -1703,22 +1703,25 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     var df = plan.df
     // select expressions evaluate SEQUENTIALLY (spec 18.2.4.4): each
     // (expr AS ?v) extends the solution, so a later expression sees the
-    // earlier aliases — SELECT (1 AS ?a) (?a + 1 AS ?b) binds ?b = 2
-    var seen = plan.vars.toSet
-    var ksAcc = plan.kinds
+    // earlier aliases — SELECT (1 AS ?a) (?a + 1 AS ?b) binds ?b = 2.
+    // Tracked as an SPlan so EXISTS subexpressions rewrite to marker
+    // columns here too (SELECT (EXISTS {…} AS ?b) is legal SPARQL).
+    var cur = SPlan(df, plan.vars, plan.maybeUnbound, plan.kinds)
     projItems.foreach {
       case ProjItem(v, Some(e)) =>
-        val (d2, kind) = withTermColumn(df, seen, ksAcc, v.name, e)
-        df = d2
-        ksAcc = ksAcc ++ kind.map(v.name -> _)
-        seen += v.name
-      case ProjItem(v, None) if !plan.vars.contains(v.name) =>
+        val (e2, p2) = rewriteExists(e, cur, scope)
+        val (d2, kind) = withTermColumn(p2.df, p2.vars.toSet, p2.kinds, v.name, e2)
+        cur = SPlan(d2, p2.vars :+ v.name, p2.maybeUnbound + v.name,
+          p2.kinds ++ kind.map(v.name -> _))
+      case ProjItem(v, None) if !cur.vars.contains(v.name) =>
         // projecting a variable that never occurs in the pattern is legal
         // SPARQL — it is simply unbound in every solution
-        df = df.withColumn(v.name, TermCols.nullTerm)
-        seen += v.name
-      case ProjItem(v, None) => seen += v.name
+        cur = SPlan(cur.df.withColumn(v.name, TermCols.nullTerm),
+          cur.vars :+ v.name, cur.maybeUnbound + v.name, cur.kinds)
+      case _ =>
     }
+    df = cur.df
+    val ksAcc = cur.kinds
     val projNames = projItems.map(_.v.name)
     val allVars = (plan.vars ++ projNames).distinct
     // kinds survive projection: plain vars keep theirs, computed items got

@@ -21,6 +21,16 @@ import org.apache.spark.sql.types._
  */
 object Multimodal {
 
+  // ImageIO's default stream cache backs every ImageInputStream /
+  // ImageOutputStream with a TEMP FILE — one disk round-trip per encoded or
+  // decoded ROW through the javax.imageio paths below (measured: the GIF
+  // gate spent ~4× its decode time in FileCacheImageInputStream churn).
+  // Media rows are byte arrays already in memory; memory-cached streams are
+  // strictly better. JVM-global, set once per executor at class load (the
+  // decode lambdas reference this object, so executors initialise it before
+  // first use).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Canonical media-table schema. */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

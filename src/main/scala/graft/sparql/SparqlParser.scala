@@ -346,7 +346,13 @@ class SparqlParser extends RegexParsers {
     variable ~ ("{" ~> rep(dataBlockValue) <~ "}") ^^ {
       case v ~ vals => ValuesPattern(Seq(v), vals.map(x => Seq(x))) } |
     ("(" ~> rep(variable) <~ ")") ~ ("{" ~> rep("(" ~> rep(dataBlockValue) <~ ")") <~ "}") ^^ {
-      case vs ~ rows => ValuesPattern(vs, rows)
+      case vs ~ rows =>
+        // grammar rule [62]: every data row must match the variable arity
+        rows.find(_.size != vs.size).foreach { r =>
+          throw new IllegalArgumentException(
+            s"SPARQL validation error: VALUES row has ${r.size} values for ${vs.size} variables")
+        }
+        ValuesPattern(vs, rows)
     }
 
   def dataBlockValue: Parser[Option[RdfTerm]] =
