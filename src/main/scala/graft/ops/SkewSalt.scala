@@ -44,6 +44,16 @@ object SkewSalt {
   /**
    * Prepare the two sides of a within-bucket pair self-join over `banded`.
    *
+   * The hot-bucket set is broadcast, not shuffle-joined: a bucket qualifies
+   * only at ≥[[hotThreshold]] members, so the set has at most |banded|/1024
+   * rows — a corpus would need ~10¹⁰ rows *inside hot buckets* before the
+   * broadcast approaches executor memory, and a corpus that degenerate is
+   * exact-dedup's job first. This keeps the salting decision a NARROW map
+   * over `banded` (no extra shuffle of the big relation — the r6 first cut
+   * shuffle-joined every row against the full size histogram, a measurable
+   * fixed cost on small corpora for zero scale benefit), mirroring the
+   * closure stepJoin's broadcast of its heavy-key set.
+   *
    * @param banded     one row per (member, bucket) assignment
    * @param bucketCols the bucket key columns
    * @param saltBy     deterministic per-row expression (the member id) the
@@ -52,30 +62,35 @@ object SkewSalt {
    *                   dropped entirely (lossy, caller-documented)
    * @return (left, right, joinCols): join `left` to `right` on `joinCols`;
    *         the joined bag equals the plain self-join on `bucketCols`
-   *         restricted to buckets of size ≥ 2 (singletons produce no pairs).
+   *         (singleton buckets pass through — they produce no pairs).
    */
   def selfJoinSides(banded: DataFrame, bucketCols: Seq[String], saltBy: Column,
                     maxBucket: Option[Int] = None)
       : (DataFrame, DataFrame, Seq[String]) = {
     val s = salts
-    val hot = hotThreshold
-    val sizes0 = banded.groupBy(bucketCols.map(col): _*)
+    val counts = banded.groupBy(bucketCols.map(col): _*)
       .agg(count(lit(1)).as("__bn"))
-      .where(col("__bn") >= 2)
-    val sizes = maxBucket.fold(sizes0)(cap => sizes0.where(col("__bn") <= cap))
-    // shuffle_hash: the size relation is ≤ one row per bucket but Catalyst
-    // has no stats for it; never let it pick a nested-loop or force a sort
-    val kept = banded.join(sizes.hint("shuffle_hash"), bucketCols)
+    val sizes = counts.where(col("__bn") >= hotThreshold)
+    val hotSet = broadcast(
+      maxBucket.fold(sizes)(cap => sizes.where(col("__bn") <= cap))
+        .select(bucketCols.map(col): _*).withColumn("__hot", lit(1)))
+    // the over-cap drop reads the UNFILTERED counts: a bucket can exceed the
+    // caller's cap without reaching the salting threshold
+    val base = maxBucket.fold(banded) { cap =>
+      banded.join(broadcast(counts.where(col("__bn") > cap)
+        .select(bucketCols.map(col): _*)), bucketCols, "left_anti")
+    }
+    val kept = base.join(hotSet, bucketCols, "left")
     val left = kept
       .withColumn("__salt",
-        when(col("__bn") >= hot, pmod(xxhash64(saltBy), lit(s)).cast("int"))
+        when(col("__hot") === 1, pmod(xxhash64(saltBy), lit(s)).cast("int"))
           .otherwise(lit(0)))
-      .drop("__bn")
+      .drop("__hot")
     val right = kept
       .withColumn("__salt",
-        explode(when(col("__bn") >= hot, sequence(lit(0), lit(s - 1)))
+        explode(when(col("__hot") === 1, sequence(lit(0), lit(s - 1)))
           .otherwise(array(lit(0)))))
-      .drop("__bn")
+      .drop("__hot")
     (left, right, bucketCols :+ "__salt")
   }
 }
