@@ -658,6 +658,16 @@ object SparkEntry {
   private def docRepetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetition(t(s, dir, "documents"), "doc_id", "text").orderBy("id")
 
+  /** Top-5 TF-IDF terms per document (smooth idf, term-tie determinism). */
+  private def docTfidf(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfIdf(t(s, dir, "documents"), "doc_id", "text", topK = 5)
+      .orderBy("id", "term")
+
+  /** BM25 top-10 documents for a fixed keyword query. */
+  private def bm25Search(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25(t(s, dir, "documents"), "doc_id", "text",
+      Seq("spark", "vector", "merge"), topK = 10)
+
   private def qualityScore(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text")
       .select("doc_id", "score").orderBy("doc_id")
@@ -914,6 +924,8 @@ object SparkEntry {
     "rolling_fp" -> rollingFp,
     "pii_scrub" -> piiScrub,
     "doc_repetition" -> docRepetition,
+    "doc_tfidf" -> docTfidf,
+    "bm25_search" -> bm25Search,
     "quality_score" -> qualityScore,
     "emb_near_dup" -> embNearDup,
     "emb_centroids" -> embCentroids,
@@ -1407,6 +1419,35 @@ object SparkEntry {
         |       ELSE 0.0 END AS top_word_share
         |FROM base b LEFT JOIN tc ON b.doc_id = tc.doc_id
         |ORDER BY id""".stripMargin,
+    "doc_tfidf" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+        |                                      x -> len(x) > 0) AS words FROM documents),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |tf AS (SELECT doc_id, wd AS term, count(*) AS tf
+        |       FROM (SELECT doc_id, unnest(words) AS wd FROM w) GROUP BY doc_id, wd),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |s AS (SELECT tf.doc_id AS id, tf.term, tf.tf,
+        |        round(tf.tf * (ln((nn.n + 1.0) / (dfq.df + 1.0)) + 1.0), 6) AS tfidf
+        |      FROM tf JOIN dfq USING (term) CROSS JOIN nn),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY tfidf DESC, term ASC) AS rn FROM s)
+        |SELECT id, term, CAST(tf AS BIGINT) AS tf, tfidf FROM r WHERE rn <= 5
+        |ORDER BY id, term""".stripMargin,
+    "bm25_search" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+        |                                      x -> len(x) > 0) AS words FROM documents),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |al AS (SELECT avg(len(words)) AS avgl FROM w),
+        |q(term) AS (VALUES ('spark'), ('vector'), ('merge')),
+        |t AS (SELECT doc_id, len(words) AS len, unnest(words) AS wd FROM w),
+        |tf AS (SELECT doc_id, len, wd AS term, count(*) AS tf
+        |       FROM t JOIN q ON t.wd = q.term GROUP BY doc_id, len, wd),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |sc AS (SELECT tf.doc_id AS id,
+        |         ln(1.0 + (nn.n - dfq.df + 0.5) / (dfq.df + 0.5)) * (tf.tf * (1.2 + 1.0)) /
+        |           (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.len / al.avgl)) AS contrib
+        |       FROM tf JOIN dfq USING (term) CROSS JOIN nn CROSS JOIN al)
+        |SELECT id, round(sum(contrib), 6) AS score FROM sc GROUP BY id
+        |ORDER BY score DESC, id LIMIT 10""".stripMargin,
     "emb_centroids" ->
       """WITH x AS (SELECT label, i, embedding[CAST(i+1 AS INT)]::DOUBLE AS v
         |           FROM embeddings, range(0, 64) t(i))

@@ -234,4 +234,67 @@ object TextAnalysis {
         when(col("n_words") > 0, round(coalesce(col("topc"), lit(0L)) / col("n_words").cast(DoubleType), 6))
           .otherwise(lit(0.0)).as("top_word_share"))
   }
+
+  // ------------------------------------------------------------ tf-idf / BM25
+
+  /**
+   * TF-IDF term weights — the retrieval/relevance layer of a curation
+   * pipeline (keyword extraction, near-query mining, corpus drift
+   * monitoring). Classic smooth-idf formulation:
+   * `tf = count(term in doc)`, `idf = ln((N + 1) / (df + 1)) + 1`.
+   *
+   * Distribution: one explode + (id, term) count (map-side combined), a
+   * (term) aggregation for document frequencies, and a term-keyed join of
+   * the two — every shuffle is keyed by term or document, so the plan
+   * scales with corpus size and the df relation (≤ vocabulary) stays the
+   * small side. N comes from a scalar count the caller's action triggers
+   * once (a broadcast-friendly literal at 100 TB, not a per-row subquery).
+   *
+   * Returns (id, term, tf, tfidf), the `topK` highest-weighted terms per
+   * document (ties broken by term for determinism).
+   */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String, topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+    val n = df.count()
+    val terms = df.select(col(idCol).as("id"), explode(words).as("term"))
+    val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("id").orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .withColumn("tfidf",
+        round(col("tf") * (log((lit(n) + 1.0d) / (col("df") + 1.0d)) + 1.0d), 6))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= topK)
+      .select(col("id"), col("term"), col("tf"), col("tfidf"))
+  }
+
+  /**
+   * BM25 relevance of every document against a keyword query — the standard
+   * lexical ranking function (k1/b defaults from the literature). The query
+   * is a handful of terms: its term set broadcasts, the corpus streams.
+   * `score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·len/avgLen))` with
+   * the Robertson idf `ln(1 + (N−df+0.5)/(df+0.5))`.
+   */
+  def bm25(df: DataFrame, idCol: String, textCol: String, queryTerms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+    val n = df.count()
+    val base = df.select(col(idCol).as("id"), words.as("w")).withColumn("len", size(col("w")))
+    val avgLen = base.agg(avg(col("len"))).head().getDouble(0)
+    val q = broadcast(queryTerms.distinct.toDF("term"))
+    val tf = base.select(col("id"), col("len"), explode(col("w")).as("term"))
+      .join(q, Seq("term"))
+      .groupBy("id", "term", "len").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), Seq("term"))
+      .withColumn("contrib",
+        log(lit(1.0d) + (lit(n.toDouble) - col("df") + 0.5d) / (col("df") + 0.5d)) *
+          (col("tf") * (lit(k1) + 1.0d)) /
+          (col("tf") + lit(k1) * (lit(1.0d - b) + lit(b) * col("len") / lit(avgLen))))
+      .groupBy("id").agg(round(sum(col("contrib")), 6).as("score"))
+    scored.orderBy(col("score").desc, col("id").asc).limit(topK)
+  }
 }
