@@ -668,6 +668,11 @@ object SparkEntry {
     TextAnalysis.bm25(t(s, dir, "documents"), "doc_id", "text",
       Seq("spark", "vector", "merge"), topK = 10)
 
+  /** Concat-then-cut sequence packing into 256-token bins over 8 shards. */
+  private def docPacking(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.packSequences(t(s, dir, "documents"), "doc_id", "text",
+      capacity = 256, nShards = 8).orderBy("id")
+
   private def qualityScore(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text")
       .select("doc_id", "score").orderBy("doc_id")
@@ -926,6 +931,7 @@ object SparkEntry {
     "doc_repetition" -> docRepetition,
     "doc_tfidf" -> docTfidf,
     "bm25_search" -> bm25Search,
+    "doc_packing" -> docPacking,
     "quality_score" -> qualityScore,
     "emb_near_dup" -> embNearDup,
     "emb_centroids" -> embCentroids,
@@ -1448,6 +1454,22 @@ object SparkEntry {
         |       FROM tf JOIN dfq USING (term) CROSS JOIN nn CROSS JOIN al)
         |SELECT id, round(sum(contrib), 6) AS score FROM sc GROUP BY id
         |ORDER BY score DESC, id LIMIT 10""".stripMargin,
+    "doc_packing" ->
+      """WITH w AS (SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> len(x) > 0)) AS n_tokens,
+        |    (list_sum(list_transform(range(0,10), j ->
+        |       (strpos('0123456789abcdef', substr(md5('pack|' || doc_id), 1+j, 1))-1)::BIGINT
+        |         * ([68719476736,4294967296,268435456,16777216,1048576,65536,4096,256,16,1])[j+1])) % 8) AS shard
+        |  FROM documents),
+        |s AS (SELECT doc_id, n_tokens, shard,
+        |        coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens, 0) AS st
+        |      FROM w WHERE n_tokens > 0)
+        |SELECT doc_id AS id, CAST(shard AS INT) AS shard,
+        |  CAST(shard * 1099511627776 + floor(st / 256.0) AS BIGINT) AS bin,
+        |  CAST(st % 256 AS BIGINT) AS bin_offset,
+        |  CAST(n_tokens AS INT) AS n_tokens
+        |FROM s ORDER BY id""".stripMargin,
     "emb_centroids" ->
       """WITH x AS (SELECT label, i, embedding[CAST(i+1 AS INT)]::DOUBLE AS v
         |           FROM embeddings, range(0, 64) t(i))

@@ -270,6 +270,39 @@ object TextAnalysis {
   }
 
   /**
+   * Sequence packing — the GPT-style pretraining prep step: documents are
+   * concatenated in a deterministic order and cut into fixed-capacity
+   * context windows, so each document lands in bin `floor(start/capacity)`
+   * at offset `start mod capacity` (a document may straddle two bins — the
+   * concat-then-cut convention). Packing is inherently sequential, so it
+   * distributes per SHARD: a portable hash assigns each document to one of
+   * `nShards` shards and the running token offset is a window cumsum within
+   * the shard — tasks scale with shards, bins never cross shards (bin ids
+   * are globally unique via shard * 2^40 + local bin).
+   *
+   * Returns (id, shard, bin, bin_offset, n_tokens).
+   */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    capacity: Int = 2048, nShards: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(capacity > 0 && nShards > 0, "need capacity > 0 and nShards > 0")
+    val nTok = size_(filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"), t => length(t) > 0))
+    // portable shard hash: same md5-derived uniform as stratifiedSample
+    val shard = (conv(substring(md5(concat(lit("pack|"), col(idCol).cast("string"))), 1, 10), 16, 10)
+      .cast(LongType) % nShards).cast(IntegerType)
+    val base = df.select(col(idCol).as("id"), nTok.as("n_tokens"), shard.as("shard"))
+      .where(col("n_tokens") > 0)
+    val w = Window.partitionBy("shard").orderBy("id")
+    val start = coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L))
+    base.withColumn("__start", start)
+      .select(col("id"), col("shard"),
+        (col("shard").cast(LongType) * (1L << 40) + floor(col("__start") / capacity))
+          .as("bin"),
+        (col("__start") % capacity).as("bin_offset"),
+        col("n_tokens"))
+  }
+
+  /**
    * BM25 relevance of every document against a keyword query — the standard
    * lexical ranking function (k1/b defaults from the literature). The query
    * is a handful of terms: its term set broadcasts, the corpus streams.

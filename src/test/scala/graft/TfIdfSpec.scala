@@ -44,4 +44,26 @@ class TfIdfSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(got.toSet == Set(1L, 3L))
   }
+
+  test("packing: running offsets cut into capacity bins, shard-local") {
+    // one shard so the running order is just doc_id; token counts 3,2,4
+    val packed = TextAnalysis.packSequences(docs, "doc_id", "text",
+        capacity = 4, nShards = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+      .toSeq.sortBy(_._1)
+    // starts: 0, 3, 5 -> bins 0, 0, 1; offsets 0, 3, 1 (doc 2 straddles bins 0/1)
+    assert(packed == Seq((1L, 0, 0L, 0L, 3), (2L, 0, 0L, 3L, 2), (3L, 0, 1L, 1L, 4)))
+  }
+
+  test("packing: empty docs dropped; bins globally unique across shards") {
+    import spark.implicits._
+    val d = (Seq((10L, ""), (11L, "a b c"), (12L, "d e")) ++
+      (20L to 40L).map(i => (i, s"w$i x y z"))).toDF("doc_id", "text")
+    val packed = TextAnalysis.packSequences(d, "doc_id", "text", capacity = 8, nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(!packed.exists(_._1 == 10L))
+    // bin ids embed the shard: no two shards share a bin id
+    val byBin = packed.groupBy(_._3).values
+    assert(byBin.forall(g => g.map(_._2).distinct.size == 1))
+  }
 }
