@@ -673,6 +673,16 @@ object SparkEntry {
     TextAnalysis.packSequences(t(s, dir, "documents"), "doc_id", "text",
       capacity = 256, nShards = 8).orderBy("id")
 
+  /** Exact-substring dedup: 8-token spans, global first occurrence kept. */
+  private def docSpanDedup(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.spanDedup(t(s, dir, "documents"), "doc_id", "text",
+      spanTokens = 8).orderBy("id")
+
+  /** Corpus-trained bigram-LM perplexity scores (CCNet-style filter). */
+  private def docPerplexity(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lmPerplexity(t(s, dir, "documents"), "doc_id", "text",
+      alpha = 0.1).orderBy("id")
+
   private def qualityScore(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text")
       .select("doc_id", "score").orderBy("doc_id")
@@ -932,6 +942,8 @@ object SparkEntry {
     "doc_tfidf" -> docTfidf,
     "bm25_search" -> bm25Search,
     "doc_packing" -> docPacking,
+    "doc_span_dedup" -> docSpanDedup,
+    "doc_perplexity" -> docPerplexity,
     "quality_score" -> qualityScore,
     "emb_near_dup" -> embNearDup,
     "emb_centroids" -> embCentroids,
@@ -1470,6 +1482,42 @@ object SparkEntry {
         |  CAST(st % 256 AS BIGINT) AS bin_offset,
         |  CAST(n_tokens AS INT) AS n_tokens
         |FROM s ORDER BY id""".stripMargin,
+    "doc_span_dedup" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |b AS (SELECT doc_id, toks, CAST(ceil(len(toks) / 8.0) AS INT) AS ns
+        |      FROM t WHERE len(toks) > 0),
+        |sp AS (SELECT doc_id, i AS idx, array_to_string(toks[i*8+1 : i*8+8], ' ') AS span
+        |       FROM b, LATERAL (SELECT unnest(range(0, CAST(ns AS BIGINT))) AS i)),
+        |k AS (SELECT doc_id, idx, span,
+        |        row_number() OVER (PARTITION BY span ORDER BY doc_id, idx) AS rn
+        |      FROM sp)
+        |SELECT b.doc_id AS id, b.ns AS n_spans,
+        |  CAST(count(k.idx) AS INT) AS n_kept,
+        |  coalesce(string_agg(k.span, ' ' ORDER BY k.idx), '') AS clean_text
+        |FROM b LEFT JOIN (SELECT * FROM k WHERE rn = 1) k ON b.doc_id = k.doc_id
+        |GROUP BY b.doc_id, b.ns ORDER BY id""".stripMargin,
+    "doc_perplexity" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |b AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+        |u AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(toks) AS w FROM b) GROUP BY w),
+        |tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS t, CAST(count(*) AS DOUBLE) AS v FROM u),
+        |bg AS (SELECT doc_id, toks[CAST(i AS INT)] AS w1, toks[CAST(i+1 AS INT)] AS w2
+        |       FROM b, LATERAL (SELECT unnest(range(1, CAST(n AS BIGINT))) AS i)),
+        |b2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+        |contrib AS (
+        |  SELECT f.doc_id, ln((u.c1 + 0.1) / (tot.t + 0.1 * tot.v)) AS lp
+        |  FROM (SELECT doc_id, toks[1] AS w FROM b) f JOIN u ON u.w = f.w CROSS JOIN tot
+        |  UNION ALL
+        |  SELECT bg.doc_id, ln((b2.c2 + 0.1) / (u.c1 + 0.1 * tot.v))
+        |  FROM bg JOIN b2 USING (w1, w2) JOIN u ON u.w = bg.w1 CROSS JOIN tot)
+        |SELECT b.doc_id AS id, CAST(b.n AS INT) AS n_tokens,
+        |  round(exp(-sum(c.lp) / b.n), 6) AS ppl
+        |FROM b JOIN contrib c ON b.doc_id = c.doc_id
+        |GROUP BY b.doc_id, b.n ORDER BY id""".stripMargin,
     "emb_centroids" ->
       """WITH x AS (SELECT label, i, embedding[CAST(i+1 AS INT)]::DOUBLE AS v
         |           FROM embeddings, range(0, 64) t(i))

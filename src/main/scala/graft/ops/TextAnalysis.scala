@@ -303,6 +303,95 @@ object TextAnalysis {
   }
 
   /**
+   * Duplicate-span removal — the exact-substring dedup of Lee et al.
+   * ("Deduplicating Training Data Makes Language Models Better"), in its
+   * practical span-hash form: cut every document into non-overlapping
+   * `spanTokens`-token spans and keep only the globally FIRST occurrence of
+   * each distinct span (ordered by (doc, position)); later copies are cut
+   * out and the document reassembled from its surviving spans.
+   *
+   * Distribution: the only corpus-wide shuffle is keyed by the span content
+   * itself (the first-occurrence window), so hot spans are ordinary input
+   * skew AQE splits; reassembly groups by document and each group is
+   * bounded by one document's own spans.
+   *
+   * Returns (id, n_spans, n_kept, clean_text) — docs whose every span was
+   * removed keep a row with n_kept = 0 and empty clean_text.
+   */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+                spanTokens: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(spanTokens > 0, "need spanTokens > 0")
+    val words = filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+    val base = df.select(col(idCol).as("id"), words.as("w"))
+      .where(size_(col("w")) > 0)
+      .withColumn("n_spans", ceil(size_(col("w")) / lit(spanTokens.toDouble)).cast(IntegerType))
+    val spans = base.select(col("id"), col("n_spans"),
+      posexplode(transform(sequence(lit(0), col("n_spans") - 1),
+        i => array_join(slice(col("w"), i * spanTokens + 1, lit(spanTokens)), " "))))
+      .toDF("id", "n_spans", "idx", "span")
+    val w = Window.partitionBy("span").orderBy(col("id").asc, col("idx").asc)
+    val kept = spans.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .groupBy("id").agg(
+        count(lit(1)).cast(IntegerType).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("idx"), col("span")))),
+          s => s.getField("span")), " ").as("clean_text"))
+    base.select(col("id"), col("n_spans")).join(kept, Seq("id"), "left")
+      .select(col("id"), col("n_spans"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /**
+   * Corpus-trained bigram-LM perplexity — the CCNet-style quality filter:
+   * train an add-alpha-smoothed bigram language model on the corpus itself
+   * and score every document by `ppl = exp(-(Σ log P) / n)` where the first
+   * token scores `P(w1) = (c(w1)+α)/(T+αV)` and each bigram
+   * `P(w2|w1) = (c(w1,w2)+α)/(c(w1)+αV)`. Low-perplexity documents look
+   * like the corpus; high-perplexity ones are outliers/noise.
+   *
+   * Distribution: the count relations are vocabulary-bounded (not
+   * corpus-bounded), so the scoring joins are equi-joins against small
+   * sides; the T/V scalars enter as a one-row cross join. Every shuffle is
+   * keyed by token, bigram, or document.
+   *
+   * Returns (id, n_tokens, ppl).
+   */
+  def lmPerplexity(df: DataFrame, idCol: String, textCol: String,
+                   alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0, "need alpha > 0")
+    val words = filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+    val base = df.select(col(idCol).as("id"), words.as("w"))
+      .where(size_(col("w")) > 0)
+      .withColumn("n", size_(col("w")))
+    // bigrams via aligned slices (sequence() would count DOWN for n<2)
+    val grams = when(col("n") >= 2,
+      zip_with(slice(col("w"), lit(1), greatest(col("n") - 1, lit(1))),
+               slice(col("w"), lit(2), greatest(col("n") - 1, lit(1))),
+        (a, b) => struct(a.as("w1"), b.as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val uni = base.select(explode(col("w")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c1"))
+    val tot = uni.agg(sum(col("c1")).cast(DoubleType).as("t"),
+      count(lit(1)).cast(DoubleType).as("v"))
+    val bi = base.select(explode(grams).as("g"))
+      .groupBy(col("g.w1").as("w1"), col("g.w2").as("w2")).agg(count(lit(1)).as("c2"))
+    val a = lit(alpha)
+    val first = base.select(col("id"), col("w").getItem(0).as("tok"))
+      .join(uni, Seq("tok")).crossJoin(broadcast(tot))
+      .select(col("id"), log((col("c1") + a) / (col("t") + a * col("v"))).as("lp"))
+    val rest = base.select(col("id"), explode(grams).as("g"))
+      .select(col("id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .join(bi, Seq("w1", "w2"))
+      .join(uni.withColumnRenamed("tok", "w1"), Seq("w1")).crossJoin(broadcast(tot))
+      .select(col("id"), log((col("c2") + a) / (col("c1") + a * col("v"))).as("lp"))
+    base.select(col("id"), col("n"))
+      .join(first.unionAll(rest).groupBy("id").agg(sum(col("lp")).as("slp")), Seq("id"))
+      .select(col("id"), col("n").as("n_tokens"),
+        round(exp(-col("slp") / col("n")), 6).as("ppl"))
+  }
+
+  /**
    * BM25 relevance of every document against a keyword query — the standard
    * lexical ranking function (k1/b defaults from the literature). The query
    * is a handful of terms: its term set broadcasts, the corpus streams.
