@@ -1406,16 +1406,18 @@ object SparkEntry {
         |  text || ' reach user' || doc_id || '@example.com or +1 555-01' ||
         |  lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' 4321 from 10.0.' ||
         |  CAST(doc_id % 256 AS VARCHAR) || '.7 thanks' AS text FROM documents)
+        |, st AS (SELECT doc_id, text,
+        |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS after_email
+        |  FROM d)
+        |, st2 AS (SELECT doc_id, text, after_email,
+        |    regexp_replace(after_email, '\+\d{1,2}[ -]\d{3}[ -]\d{3,4}[ -]\d{4}', '[PHONE]', 'g') AS after_phone
+        |  FROM st)
         |SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
-        |  CAST(len(regexp_extract_all(text, '\+\d{1,2}[ -]\d{3}[ -]\d{3,4}[ -]\d{4}')) AS INT) AS n_phones,
-        |  CAST(len(regexp_extract_all(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
-        |  regexp_replace(regexp_replace(regexp_replace(text,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-        |    '\+\d{1,2}[ -]\d{3}[ -]\d{3,4}[ -]\d{4}', '[PHONE]', 'g'),
-        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS clean_text
-        |FROM d ORDER BY doc_id""".stripMargin,
+        |  CAST(len(regexp_extract_all(after_email, '\+\d{1,2}[ -]\d{3}[ -]\d{3,4}[ -]\d{4}')) AS INT) AS n_phones,
+        |  CAST(len(regexp_extract_all(after_phone, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
+        |  regexp_replace(after_phone, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS clean_text
+        |FROM st2 ORDER BY doc_id""".stripMargin,
     "doc_repetition" ->
       """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
         |                                      x -> len(x) > 0) AS words FROM documents),

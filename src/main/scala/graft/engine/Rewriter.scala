@@ -55,6 +55,7 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
   // ================================================================ patterns
 
   def pattern(p: GraphPattern, scope: GraphScope): SPlan = p match {
+    case BnodeScope(inner) => pattern(inner, scope) // validation marker only
     case Bgp(Nil) => unitPlan
     case Bgp(ps) =>
       // BGP self-joins over the quad relation: sides are similar-sized slices
@@ -820,6 +821,7 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     * Contract: the result contains lid + all ctx vars + p's vars. */
   private def lateralPattern(p: GraphPattern, ctx: SPlan, lid: String,
                              scope: GraphScope): SPlan = p match {
+    case BnodeScope(inner) => lateralPattern(inner, ctx, lid, scope)
     case Bgp(Nil) => ctx
     case Bgp(ps) =>
       bgpPlans(ps, scope).foldLeft(ctx)((acc, p) => join(acc, p, "inner", None, scope))

@@ -104,6 +104,7 @@ object ServiceExecutor {
         walk(i); keys.foreach(_._2.foreach(walkE)); aggs.foreach(a => a._2.arg.foreach(walkE))
       case SubSelect(q) => walk(q.where); q.projection.foreach(_.expr.foreach(walkE))
       case Service(ep, i, _) => tp(ep); walk(i)
+      case BnodeScope(i) => walk(i)
       case _: ValuesPattern =>
     }
     walk(p)
@@ -111,6 +112,7 @@ object ServiceExecutor {
   }
 
   private def renderPattern(p: GraphPattern): Option[String] = p match {
+    case BnodeScope(inner) => renderPattern(inner)
     case Bgp(ps) =>
       Some(ps.map(tp => s"  ${slot(tp.s)} ${slot(tp.p)} ${slot(tp.o)} .").mkString("\n"))
     case PathPattern(s, path, o) =>

@@ -281,6 +281,9 @@ object Multimodal {
     val w = img.getWidth; val h = img.getHeight
     require(w > 0 && h > 0 && w <= (1 << 14) && h <= (1 << 14), "unsupported image dimensions")
     val gray = img.getRaster.getNumBands == 1
+    // raster samples are raw at the source bit depth (1-bit bilevel: 0..1,
+    // 16-bit gray: 0..65535) — normalise to the 0..255 contract getRGB gives
+    val grayMax = if (gray) (1L << img.getRaster.getSampleModel.getSampleSize(0)) - 1 else 255L
     var (sr, sg, sb) = (0.0, 0.0, 0.0)
     val lum = Array.ofDim[Double](math.min(h, 8), math.min(w, 8))
     var y = 0
@@ -288,7 +291,8 @@ object Multimodal {
       var x = 0
       while (x < w) {
         val (rr, gg, bb) = if (gray) {
-          val v = img.getRaster.getSample(x, y, 0); (v, v, v)
+          val v = ((img.getRaster.getSample(x, y, 0).toLong * 255L + grayMax / 2) / grayMax).toInt
+          (v, v, v)
         } else {
           val rgb = img.getRGB(x, y)
           ((rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF)

@@ -25,10 +25,12 @@ import org.apache.spark.sql.functions._
  * tasks instead of one. Input cost: k·(S−1) extra replicated rows per hot
  * bucket, negligible against the k² output it spreads.
  *
- * The bucket-size aggregation this needs also pays for itself: buckets of
- * size 1 — the overwhelming majority on non-degenerate corpora — cannot
- * produce a pair and are dropped BEFORE the self-join, shrinking its input
- * to only colliding rows.
+ * Singleton buckets are NOT pre-dropped: filtering them would need either a
+ * broadcast of the (large, mostly-singleton) bucket set or a shuffle join of
+ * the full relation against the size histogram — the exact fixed cost this
+ * design removed (see the broadcast note in [[selfJoinSides]]). A singleton
+ * row flows through the self-join, matches only itself, and falls to the
+ * callers' id1 < id2 pair filter.
  */
 object SkewSalt {
   /** Bucket size at/above which the salt spreads its pair enumeration.

@@ -15,6 +15,22 @@ object TextAnalysis {
   private def toks(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)
 
+  /** Canonical normalised token stream shared by the whole curation family
+    * (chunking, span dedup, tf-idf, BM25, packing, repetition, perplexity)
+    * AND their DuckDB oracles: lowercase, maximal letter/digit runs. Any
+    * change here must land in the oracle SQL in lockstep. */
+  private[graft] def normTokens(text: Column): Column =
+    filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+
+  /** Adjacent-pair (bigram) array over token array `w` of size `n`, built
+    * from aligned slices (sequence() would count DOWN for n<2); `f` combines
+    * each pair, `emptyType` types the n<2 empty array. */
+  private def bigramsWith(w: Column, n: Column, f: (Column, Column) => Column,
+                          emptyType: String): Column =
+    when(n >= 2, zip_with(slice(w, lit(1), greatest(n - 1, lit(1))),
+                          slice(w, lit(2), greatest(n - 1, lit(1))), f))
+      .otherwise(array().cast(emptyType))
+
   /** BPE-ish subword count: word fragments of ≤4 chars + punctuation, the
     * usual cheap proxy for LLM token count. */
   def bpeishTokenCount(text: Column): Column =
@@ -125,9 +141,9 @@ object TextAnalysis {
             size: Int = 64, overlap: Int = 8): DataFrame = {
     require(size > overlap && overlap >= 0, "need size > overlap >= 0")
     val step = size - overlap
-    // canonical normalised tokens (lowercase, alnum runs) — same token
-    // stream as the dedup/shingle family, NOT the raw whitespace split
-    val ts = filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+    // canonical normalised tokens — same stream as the dedup/shingle family,
+    // NOT the raw whitespace split
+    val ts = normTokens(col(textCol))
     val nChunks = when(size_(ts) === 0, 0)
       .otherwise(ceil((size_(ts) - lit(overlap)).cast("double") / step).cast("int"))
     df.select(col(idCol).as("id"),
@@ -173,27 +189,25 @@ object TextAnalysis {
   /**
    * PII redaction — the compliance pass every training-data pipeline runs
    * before text leaves the curation tier: emails, international-format
-   * phone numbers and bare IPv4 addresses are counted (on the ORIGINAL
-   * text) and replaced by typed placeholders. Pure per-row column
-   * expressions — no shuffle, full scan-pipeline fusion; at 100 TB this is
-   * a narrow map stage that rides whatever partitioning the scan has.
+   * phone numbers and bare IPv4 addresses are counted (each on the text as
+   * the replacement cascade sees it) and replaced by typed placeholders.
+   * Pure per-row column expressions — no shuffle, full scan-pipeline
+   * fusion; at 100 TB this is a narrow map stage that rides whatever
+   * partitioning the scan has.
    */
   def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
-    val clean =
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(t, emailPat, "[EMAIL]"),
-          phonePat, "[PHONE]"),
-        ipPat, "[IP]")
+    // each count runs on the text as the cascade sees it at that stage, so
+    // n_* always equals the number of placeholders of that type in
+    // clean_text — counting phones/IPs on the original text can disagree
+    // when an earlier replacement creates or destroys a match boundary
+    val afterEmail = regexp_replace(t, emailPat, "[EMAIL]")
+    val afterPhone = regexp_replace(afterEmail, phonePat, "[PHONE]")
     df.select(col(idCol),
       size(regexp_extract_all(t, lit(emailPat), lit(0))).as("n_emails"),
-      size(regexp_extract_all(t, lit(phonePat), lit(0))).as("n_phones"),
-      // IPs counted AFTER email removal, matching what the replacement
-      // cascade actually redacts as [IP]
-      size(regexp_extract_all(regexp_replace(t, emailPat, "[EMAIL]"),
-        lit(ipPat), lit(0))).as("n_ips"),
-      clean.as("clean_text"))
+      size(regexp_extract_all(afterEmail, lit(phonePat), lit(0))).as("n_phones"),
+      size(regexp_extract_all(afterPhone, lit(ipPat), lit(0))).as("n_ips"),
+      regexp_replace(afterPhone, ipPat, "[IP]").as("clean_text"))
   }
 
   // -------------------------------------------------------------- repetition
@@ -208,14 +222,9 @@ object TextAnalysis {
    * vocabulary.
    */
   def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val words = filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
-    val base = df.select(col(idCol).as("id"), words.as("w"))
+    val base = df.select(col(idCol).as("id"), normTokens(col(textCol)).as("w"))
     val n = size_(col("w"))
-    // bigrams via aligned slices (sequence() would count DOWN for n<2)
-    val grams = when(n >= 2,
-      zip_with(slice(col("w"), lit(1), greatest(n - 1, lit(1))),
-               slice(col("w"), lit(2), greatest(n - 1, lit(1))),
-        (a, b) => concat(a, lit(" "), b))).otherwise(array().cast("array<string>"))
+    val grams = bigramsWith(col("w"), n, (a, b) => concat(a, lit(" "), b), "array<string>")
     val perDoc = base.select(col("id"), col("w"), grams.as("g"),
       n.as("n_words"),
       when(n > 0, round(size_(array_distinct(col("w"))) / n.cast(DoubleType), 6))
@@ -247,23 +256,24 @@ object TextAnalysis {
    * (term) aggregation for document frequencies, and a term-keyed join of
    * the two — every shuffle is keyed by term or document, so the plan
    * scales with corpus size and the df relation (≤ vocabulary) stays the
-   * small side. N comes from a scalar count the caller's action triggers
-   * once (a broadcast-friendly literal at 100 TB, not a per-row subquery).
+   * small side. N enters as a broadcast one-row cross join — computed once
+   * by the caller's action, not eagerly at plan-construction time.
    *
    * Returns (id, term, tf, tfidf), the `topK` highest-weighted terms per
    * document (ties broken by term for determinism).
    */
   def tfIdf(df: DataFrame, idCol: String, textCol: String, topK: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val words = filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
-    val n = df.count()
-    val terms = df.select(col(idCol).as("id"), explode(words).as("term"))
+    // N enters as a broadcast one-row cross join so the whole operator stays
+    // lazy — no Spark job fires at DataFrame-construction time
+    val nDocs = broadcast(df.agg(count(lit(1)).cast(DoubleType).as("n_docs")))
+    val terms = df.select(col(idCol).as("id"), explode(normTokens(col(textCol))).as("term"))
     val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("id").orderBy(col("tfidf").desc, col("term").asc)
-    tf.join(dfreq, Seq("term"))
+    tf.join(dfreq, Seq("term")).crossJoin(nDocs)
       .withColumn("tfidf",
-        round(col("tf") * (log((lit(n) + 1.0d) / (col("df") + 1.0d)) + 1.0d), 6))
+        round(col("tf") * (log((col("n_docs") + 1.0d) / (col("df") + 1.0d)) + 1.0d), 6))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= topK)
       .select(col("id"), col("term"), col("tf"), col("tfidf"))
@@ -286,7 +296,7 @@ object TextAnalysis {
                     capacity: Int = 2048, nShards: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(capacity > 0 && nShards > 0, "need capacity > 0 and nShards > 0")
-    val nTok = size_(filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"), t => length(t) > 0))
+    val nTok = size_(normTokens(col(textCol)))
     // portable shard hash: same md5-derived uniform as stratifiedSample
     val shard = (conv(substring(md5(concat(lit("pack|"), col(idCol).cast("string"))), 1, 10), 16, 10)
       .cast(LongType) % nShards).cast(IntegerType)
@@ -322,8 +332,7 @@ object TextAnalysis {
                 spanTokens: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(spanTokens > 0, "need spanTokens > 0")
-    val words = filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
-    val base = df.select(col(idCol).as("id"), words.as("w"))
+    val base = df.select(col(idCol).as("id"), normTokens(col(textCol)).as("w"))
       .where(size_(col("w")) > 0)
       .withColumn("n_spans", ceil(size_(col("w")) / lit(spanTokens.toDouble)).cast(IntegerType))
     val spans = base.select(col("id"), col("n_spans"),
@@ -360,16 +369,11 @@ object TextAnalysis {
   def lmPerplexity(df: DataFrame, idCol: String, textCol: String,
                    alpha: Double = 0.1): DataFrame = {
     require(alpha > 0, "need alpha > 0")
-    val words = filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
-    val base = df.select(col(idCol).as("id"), words.as("w"))
+    val base = df.select(col(idCol).as("id"), normTokens(col(textCol)).as("w"))
       .where(size_(col("w")) > 0)
       .withColumn("n", size_(col("w")))
-    // bigrams via aligned slices (sequence() would count DOWN for n<2)
-    val grams = when(col("n") >= 2,
-      zip_with(slice(col("w"), lit(1), greatest(col("n") - 1, lit(1))),
-               slice(col("w"), lit(2), greatest(col("n") - 1, lit(1))),
-        (a, b) => struct(a.as("w1"), b.as("w2"))))
-      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val grams = bigramsWith(col("w"), col("n"),
+      (a, b) => struct(a.as("w1"), b.as("w2")), "array<struct<w1:string,w2:string>>")
     val uni = base.select(explode(col("w")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c1"))
     val tot = uni.agg(sum(col("c1")).cast(DoubleType).as("t"),
@@ -402,20 +406,23 @@ object TextAnalysis {
            k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val words = filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
-    val n = df.count()
-    val base = df.select(col(idCol).as("id"), words.as("w")).withColumn("len", size(col("w")))
-    val avgLen = base.agg(avg(col("len"))).head().getDouble(0)
+    val base = df.select(col(idCol).as("id"), normTokens(col(textCol)).as("w"))
+      .withColumn("len", size(col("w")))
+    // N and avgLen enter as a broadcast one-row cross join — the operator
+    // stays lazy (no job at construction time) and an empty corpus yields an
+    // empty result instead of an NPE on the null avg aggregate
+    val stats = broadcast(base.agg(count(lit(1)).cast(DoubleType).as("n_docs"),
+      avg(col("len")).as("avg_len")))
     val q = broadcast(queryTerms.distinct.toDF("term"))
     val tf = base.select(col("id"), col("len"), explode(col("w")).as("term"))
       .join(q, Seq("term"))
       .groupBy("id", "term", "len").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(dfreq), Seq("term"))
+    val scored = tf.join(broadcast(dfreq), Seq("term")).crossJoin(stats)
       .withColumn("contrib",
-        log(lit(1.0d) + (lit(n.toDouble) - col("df") + 0.5d) / (col("df") + 0.5d)) *
+        log(lit(1.0d) + (col("n_docs") - col("df") + 0.5d) / (col("df") + 0.5d)) *
           (col("tf") * (lit(k1) + 1.0d)) /
-          (col("tf") + lit(k1) * (lit(1.0d - b) + lit(b) * col("len") / lit(avgLen))))
+          (col("tf") + lit(k1) * (lit(1.0d - b) + lit(b) * col("len") / col("avg_len"))))
       .groupBy("id").agg(round(sum(col("contrib")), 6).as("score"))
     scored.orderBy(col("score").desc, col("id").asc).limit(topK)
   }

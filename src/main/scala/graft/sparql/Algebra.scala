@@ -75,6 +75,12 @@ object Algebra {
   sealed trait GraphPattern
   final case class Bgp(patterns: Seq[TriplePattern]) extends GraphPattern
   final case class PathPattern(s: TermPattern, path: PropertyPath, o: TermPattern) extends GraphPattern
+  /** Parser-emitted marker: `inner` is ONE basic graph pattern for §19.6
+    * blank-node-label scoping (a maximal run of triples/paths split only by
+    * FILTERs — a FILTER does not end a BGP, W3C syn-blabel-cross-filter).
+    * Transparent to evaluation; only Validate reads it. Emitted only when the
+    * run contains a user-written blank-node label. */
+  final case class BnodeScope(inner: GraphPattern) extends GraphPattern
   final case class Join(l: GraphPattern, r: GraphPattern) extends GraphPattern
   final case class LeftJoin(l: GraphPattern, r: GraphPattern, filter: Option[Expr]) extends GraphPattern
   final case class Filter(expr: Expr, inner: GraphPattern) extends GraphPattern
@@ -176,6 +182,7 @@ object Algebra {
         walk(q.where); q.projection.foreach(_.expr.foreach(expr))
         q.orderBy.foreach(o => expr(o.expr)); q.having.foreach(expr)
       case Service(_, i, _) => walk(i)
+      case BnodeScope(i) => walk(i)
       case Bgp(_) | PathPattern(_, _, _) | ValuesPattern(_, _) =>
     }
     walk(p)
@@ -210,6 +217,7 @@ object Algebra {
       case SubSelect(q) =>
         if (q.projection.isEmpty) walk(q.where) else buf ++= q.projection.map(_.v)
       case Service(_, i, _) => walk(i)
+      case BnodeScope(i) => walk(i)
     }
     walk(p)
     buf.toSeq

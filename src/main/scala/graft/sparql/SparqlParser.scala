@@ -266,9 +266,11 @@ class SparqlParser extends RegexParsers {
   def subSelectPattern: Parser[GraphPattern] =
     selectClause ~ whereClause ~ solutionModifier ~ opt(valuesClause) ^^ {
       case (d, r, proj) ~ where ~ mods ~ vals =>
-        val q = buildSelect(d, r, proj, where, mods, (Nil, Nil))
-        val sub: GraphPattern = SubSelect(q)
-        vals match { case Some(v) => Join(sub, v); case None => sub }
+        // §18.2.4.3: a sub-select's trailing VALUES joins with its solutions
+        // BEFORE projection (same position as the main-query path) — joining
+        // outside the SubSelect would cross-join against already-projected
+        // rows and leak the VALUES bindings into the outer scope
+        SubSelect(buildSelect(d, r, proj, where, mods, (Nil, Nil), vals))
     }
 
   def valuesClause: Parser[ValuesPattern] = kw("VALUES") ~> dataBlock
@@ -315,26 +317,50 @@ class SparqlParser extends RegexParsers {
   private def assembleGroup(elems: Seq[GElem]): GraphPattern = {
     var cur: GraphPattern = Bgp(Nil)
     var filters = Vector.empty[Expr]
+    // A maximal run of triples/paths split only by FILTERs is ONE basic graph
+    // pattern (§19.6 / W3C syn-blabel-cross-filter: a FILTER does not end a
+    // BGP) — buffer across GFilter elements and flush on any other element.
+    var runTrips = Vector.empty[TriplePattern]
+    var runPaths = Vector.empty[PathPattern]
     def joinWith(p: GraphPattern): Unit = cur match {
       case Bgp(Nil) => cur = p
       case _ => cur = Join(cur, p)
     }
+    def flushRun(): Unit = if (runTrips.nonEmpty || runPaths.nonEmpty) {
+      var run: GraphPattern =
+        if (runTrips.nonEmpty) Bgp(runTrips)
+        else runPaths.head
+      (if (runTrips.nonEmpty) runPaths else runPaths.tail)
+        .foreach(pp => run = Join(run, pp))
+      // digit-leading labels are parser-generated ([] desugaring) and exempt
+      // from scope checking — wrap only runs with user-written labels
+      val hasUserLabel =
+        (runTrips.flatMap(t => Seq(t.s, t.p, t.o)) ++ runPaths.flatMap(p => Seq(p.s, p.o)))
+          .exists { case BNodePat(l) => !l.head.isDigit; case _ => false }
+      joinWith(if (hasUserLabel) BnodeScope(run) else run)
+      runTrips = Vector.empty; runPaths = Vector.empty
+    }
     elems.foreach {
       case GTriples(trips, paths) =>
-        if (trips.nonEmpty) joinWith(Bgp(trips))
-        paths.foreach(pp => joinWith(pp))
+        runTrips ++= trips; runPaths ++= paths
       case GFilter(e) => filters :+= e
-      case GOptional(p) => p match {
-        case Filter(e, inner) => cur = LeftJoin(cur, inner, Some(e))
-        case _ => cur = LeftJoin(cur, p, None)
-      }
-      case GMinus(p) => cur = Minus(cur, p)
-      case GLateral(p) => cur = Lateral(cur, p)
-      case GBind(v, e) => cur = Extend(cur, v, e)
-      case GValues(v) => joinWith(v)
-      case GGraph(n, p) => joinWith(GraphGraph(n, p))
-      case GSub(p) => joinWith(p)
+      case other =>
+        flushRun()
+        other match {
+          case GOptional(p) => p match {
+            case Filter(e, inner) => cur = LeftJoin(cur, inner, Some(e))
+            case _ => cur = LeftJoin(cur, p, None)
+          }
+          case GMinus(p) => cur = Minus(cur, p)
+          case GLateral(p) => cur = Lateral(cur, p)
+          case GBind(v, e) => cur = Extend(cur, v, e)
+          case GValues(v) => joinWith(v)
+          case GGraph(n, p) => joinWith(GraphGraph(n, p))
+          case GSub(p) => joinWith(p)
+          case GTriples(_, _) | GFilter(_) => // unreachable
+        }
     }
+    flushRun()
     filters.foldLeft(cur)((acc, f) => Filter(f, acc))
   }
 

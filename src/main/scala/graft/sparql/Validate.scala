@@ -55,9 +55,13 @@ object Validate {
   private def validateSelect(s: SelectQuery): Unit = {
     // buildSelect hoists aggregates into a Group node (optionally wrapped in
     // the HAVING Filter) at the top of `where`
+    // a trailing VALUES clause joins after grouping/HAVING, so the Group may
+    // sit one Join(_, ValuesPattern) below the top — look through it
     val (havingOpt, groupOpt) = s.where match {
       case Filter(h, g: Group) => (Some(h), Some(g))
       case g: Group => (None, Some(g))
+      case Join(Filter(h, g: Group), _: ValuesPattern) => (Some(h), Some(g))
+      case Join(g: Group, _: ValuesPattern) => (None, Some(g))
       case _ => (None, None)
     }
     groupOpt.foreach { g =>
@@ -165,6 +169,7 @@ object Validate {
         aggs.foreach(_._2.arg.foreach(e => exprPatterns(e).foreach(validatePattern)))
       case SubSelect(q) => validateSelect(q)
       case Service(_, i, _) => validatePattern(i)
+      case BnodeScope(i) => validatePattern(i)
       case Bgp(_) | PathPattern(_, _, _) | ValuesPattern(_, _) =>
     }
   }
@@ -189,6 +194,21 @@ object Validate {
       case _ => Nil
     }
     p match {
+      // the parser wraps each maximal triples/path run (split only by
+      // FILTERs) in BnodeScope — that whole run is ONE basic graph pattern
+      // for §19.6, so its labels land in a single scope set
+      case BnodeScope(inner) =>
+        val labels = collection.mutable.Set[String]()
+        def leaves(g: GraphPattern): Unit = g match {
+          case Bgp(ps) => labels ++= ps.flatMap(t => Seq(t.s, t.p, t.o))
+            .collect { case BNodePat(l) if !l.head.isDigit => l }
+          case PathPattern(s, _, o) =>
+            labels ++= Seq(s, o).collect { case BNodePat(l) if !l.head.isDigit => l }
+          case Join(l, r) => leaves(l); leaves(r)
+          case other => collectBnodeScopes(other, out) // defensive: not parser-emitted
+        }
+        leaves(inner)
+        if (labels.nonEmpty) out += labels.toSet
       // digit-leading labels are parser-generated (anonymous [] desugaring,
       // fresh per occurrence — may legally span the PathPattern and the Bgp
       // its property list lowers into); only user-written labels are scoped

@@ -340,9 +340,11 @@ final class SparqlServer private (spark: SparkSession, initial: DataFrame, port:
         while (it.hasNext) { w.write(it.next().getString(0)); w.write('\n') }
       } catch {
         case e: Throwable =>
-          // line-oriented RDF formats have no tail marker either — leave an
-          // explicitly malformed marker line before aborting
-          w.write("\n#ERROR serialisation failed mid-stream")
+          // line-oriented RDF formats have no tail marker either — leave a
+          // marker line that is a SYNTAX ERROR in every served format ('#'
+          // would be a harmless comment in the N-family/Turtle/TriG and let
+          // strict parsers ingest the truncated graph cleanly)
+          w.write("\nERROR! serialisation failed mid-stream")
           w.flush()
           throw e
       }

@@ -73,6 +73,25 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("1-bit and 16-bit grayscale PNGs normalise to the 0..255 contract") {
+    import java.awt.image.BufferedImage
+    def pngBytes(img: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // pure-white bilevel image: raw samples are 0/1, contract mean is 255
+    val bilevel = new BufferedImage(8, 8, BufferedImage.TYPE_BYTE_BINARY)
+    for (y <- 0 until 8; x <- 0 until 8) bilevel.setRGB(x, y, 0xFFFFFF)
+    val fb = Multimodal.decodeImage(1L, pngBytes(bilevel))
+    assert(fb.mean_r == 255.0 && fb.mean_g == 255.0 && fb.mean_b == 255.0)
+    // half-intensity 16-bit gray: raw samples 0x8000ish, contract mean ~128
+    val gray16 = new BufferedImage(8, 8, BufferedImage.TYPE_USHORT_GRAY)
+    gray16.getRaster.setPixels(0, 0, 8, 8, Array.fill(64)(0x8080))
+    val f16 = Multimodal.decodeImage(2L, pngBytes(gray16))
+    assert(math.abs(f16.mean_r - 128.0) <= 1.0, s"16-bit gray mean ${f16.mean_r}")
+  }
+
   test("image decoder rejects hostile input: truncated PNG, garbage bytes") {
     val png = Multimodal.syntheticPngBytes(3L)
     intercept[IllegalArgumentException] {

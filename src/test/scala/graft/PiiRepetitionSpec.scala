@@ -32,6 +32,15 @@ class PiiRepetitionSpec extends SparkSpec {
     assert(scrub("v 1.2.3 released") == ((0, 0, 0, "v 1.2.3 released")))
   }
 
+  test("counts match clean_text placeholders when the phone pass creates an IP boundary") {
+    // the phone match consumes '5555', leaving '[PHONE]1.2.3.4' where ']'
+    // provides the \b the IP pattern needs — n_ips must see the SAME text
+    // the cascade redacts, so count and placeholder agree (both 1)
+    val (e, p, i, clean) = scrub("call +1 555 555 55551.2.3.4")
+    assert((e, p) == ((0, 1)) && clean == "call [PHONE][IP]")
+    assert(i == 1, s"n_ips=$i must equal the one [IP] in '$clean'")
+  }
+
   test("email whose domain ends in an alpha TLD swallows an embedded IP — cascade order") {
     // the whole token is one email match; the IP inside must NOT be double-counted
     assert(scrub("bob@10.0.0.7.net wrote") == ((1, 0, 0, "[EMAIL] wrote")))

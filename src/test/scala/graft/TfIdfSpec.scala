@@ -32,6 +32,14 @@ class TfIdfSpec extends SparkSpec {
     assert(rows == Seq((1L, "apple"), (2L, "banana"), (3L, "cherry")))
   }
 
+  test("tfIdf and bm25 are lazy and tolerate an empty corpus") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // construction must not run a job or NPE on the null avg aggregate
+    val t = TextAnalysis.tfIdf(empty, "doc_id", "text")
+    val b = TextAnalysis.bm25(empty, "doc_id", "text", Seq("x"))
+    assert(t.count() == 0 && b.count() == 0)
+  }
+
   test("bm25 ranks the term-dense doc first; docs without query terms are absent") {
     val got = TextAnalysis.bm25(docs, "doc_id", "text", Seq("cherry"), topK = 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
