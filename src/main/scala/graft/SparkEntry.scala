@@ -605,6 +605,21 @@ object SparkEntry {
 
   /** Class centroids: element-wise mean embedding per label, exploded to
     * (label, dim, mean) rows so the oracle compares scalars. */
+  /** Distributed Lloyd's k-means, deterministic seeds, 3 rounds. */
+  private def embKmeans(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansAssign(t(s, dir, "embeddings"), "vec_id", "embedding",
+      k = 8, iters = 3).orderBy("id")
+
+  /** Int8 scalar-quantised brute-force cosine (the 4×-smaller scale path). */
+  private def annQuantized(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizedCosineTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+      queryId = 0L, k = 10)
+
+  /** Temperature-weighted (τ=0.5) mixture sampling over sources. */
+  private def docMixture(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.mixtureSample(t(s, dir, "documents"), "doc_id", "source",
+      targetRows = 120, temperature = 0.5, salt = "mix2").orderBy("doc_id")
+
   private def embCentroids(s: SparkSession, dir: String): DataFrame =
     Similarity.centroids(t(s, dir, "embeddings"), "label", "embedding")
       .select(col("label"), posexplode(col("centroid")))
@@ -947,6 +962,9 @@ object SparkEntry {
     "quality_score" -> qualityScore,
     "emb_near_dup" -> embNearDup,
     "emb_centroids" -> embCentroids,
+    "emb_kmeans" -> embKmeans,
+    "ann_quantized" -> annQuantized,
+    "doc_mixture" -> docMixture,
     "doc_chunks" -> docChunks,
     "frame_sample" -> frameSample,
     "multimodal_features" -> multimodalFeatures,
@@ -1525,6 +1543,56 @@ object SparkEntry {
         |           FROM embeddings, range(0, 64) t(i))
         |SELECT label, CAST(i AS BIGINT) AS dim, round(avg(v), 4) AS m
         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "emb_kmeans" ->
+      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c1 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cid, v AS cv
+        |       FROM e ORDER BY id LIMIT 8),
+        |a1 AS (SELECT id, v, cl FROM (
+        |  SELECT e.id, e.v, c.cid AS cl, row_number() OVER (PARTITION BY e.id ORDER BY
+        |    list_sum(list_transform(range(1,65), i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))) ASC,
+        |    c.cid ASC) AS rn FROM e CROSS JOIN c1 c) WHERE rn = 1),
+        |m2 AS (SELECT cl AS cid, i, round(avg(v[CAST(i AS INT)]), 9) AS m
+        |       FROM a1, range(1,65) t(i) GROUP BY 1, 2),
+        |n2 AS (SELECT cid, list(m ORDER BY i) AS cv FROM m2 GROUP BY cid),
+        |c2 AS (SELECT c1.cid, coalesce(n2.cv, c1.cv) AS cv FROM c1 LEFT JOIN n2 USING (cid)),
+        |a2 AS (SELECT id, v, cl FROM (
+        |  SELECT e.id, e.v, c.cid AS cl, row_number() OVER (PARTITION BY e.id ORDER BY
+        |    list_sum(list_transform(range(1,65), i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))) ASC,
+        |    c.cid ASC) AS rn FROM e CROSS JOIN c2 c) WHERE rn = 1),
+        |m3 AS (SELECT cl AS cid, i, round(avg(v[CAST(i AS INT)]), 9) AS m
+        |       FROM a2, range(1,65) t(i) GROUP BY 1, 2),
+        |n3 AS (SELECT cid, list(m ORDER BY i) AS cv FROM m3 GROUP BY cid),
+        |c3 AS (SELECT c2.cid, coalesce(n3.cv, c2.cv) AS cv FROM c2 LEFT JOIN n3 USING (cid)),
+        |a3 AS (SELECT id, cl FROM (
+        |  SELECT e.id, c.cid AS cl, row_number() OVER (PARTITION BY e.id ORDER BY
+        |    list_sum(list_transform(range(1,65), i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))) ASC,
+        |    c.cid ASC) AS rn FROM e CROSS JOIN c3 c) WHERE rn = 1)
+        |SELECT id, CAST(cl AS INT) AS cluster FROM a3 ORDER BY id""".stripMargin,
+    "ann_quantized" ->
+      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |r AS (SELECT i, min(v[CAST(i AS INT)]) AS lo, max(v[CAST(i AS INT)]) AS hi
+        |      FROM e, range(1,65) t(i) GROUP BY i),
+        |rl AS (SELECT list(struct_pack(lo := lo, hi := hi) ORDER BY i) AS rng FROM r),
+        |d AS (SELECT id, list_transform(range(1,65), i ->
+        |        CASE WHEN rng[i].hi = rng[i].lo THEN rng[i].lo
+        |             ELSE rng[i].lo + round((v[i]-rng[i].lo)/(rng[i].hi-rng[i].lo)*255.0, 0)
+        |                    * (rng[i].hi-rng[i].lo)/255.0 END) AS dv
+        |      FROM e CROSS JOIN rl),
+        |q AS (SELECT dv AS qv FROM d WHERE id = 0)
+        |SELECT d.id, round(list_cosine_similarity(d.dv, q.qv), 6) AS sim
+        |FROM d CROSS JOIN q WHERE d.id != 0
+        |ORDER BY sim DESC, d.id LIMIT 10""".stripMargin,
+    "doc_mixture" ->
+      """WITH h AS (SELECT source AS s, count(*) AS n FROM documents GROUP BY 1),
+        |w AS (SELECT s, n, pow(n::DOUBLE, 0.5) AS w FROM h),
+        |tw AS (SELECT sum(w) AS tw FROM w),
+        |r AS (SELECT s, round(least(1.0, 120.0 * w / tw / n), 9) AS rate FROM w CROSS JOIN tw)
+        |SELECT doc_id, source, rate FROM documents d JOIN r ON d.source = r.s
+        |WHERE ((list_sum(list_transform(range(0,10), j ->
+        |         (strpos('0123456789abcdef', substr(md5('mix2|' || doc_id), 1+j, 1))-1)::BIGINT
+        |           * ([68719476736,4294967296,268435456,16777216,1048576,65536,4096,256,16,1])[j+1]))::DOUBLE + 0.5)
+        |       / 1099511627776.0) < rate
+        |ORDER BY doc_id""".stripMargin,
     "doc_chunks" ->
       """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
         |                                 x -> len(x) > 0) AS ws FROM documents),

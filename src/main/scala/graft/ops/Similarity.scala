@@ -457,4 +457,99 @@ object Similarity {
       .groupBy(col("grp"), col("pos")).agg(avg(col("col")).as("m"))
       .groupBy(col("grp")).agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("grp").as(groupCol), transform(col("pm"), x => x.getField("m")).as("centroid"))
+
+  /** Σ (aᵢ−bᵢ)² via zip_with + aggregate (codegen'd, left-to-right sum —
+    * the same evaluation order the DuckDB oracle's list_sum uses). */
+  private def sqDistCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x)
+
+  /**
+   * Fully-distributed k-means document clustering (Lloyd's, fixed iteration
+   * count, deterministic seeding) — the topic/domain-bucketing step of a
+   * curation pipeline, and the trainable sibling of [[centroids]].
+   *
+   * Seeds are the `k` lowest-id vectors (reproducible across engines/runs —
+   * no RNG). Each iteration is: (1) assignment — the current centroid set
+   * rides along as ONE broadcast row holding an array of (cid, centroid)
+   * structs, and every corpus row computes its argmin over that array with
+   * `array_min` on (distance, cid) structs, so assignment is a NARROW map
+   * (zero shuffle of the corpus, ties broken by lowest cid); (2) update —
+   * posexplode + grouped AVG per (cluster, dim), k×dims scalars through a
+   * map-side-combined shuffle, rebuilt into arrays. Clusters that lose all
+   * members keep their previous centroid. Centroid dims round to 9 decimals
+   * so engine-specific float-summation order cannot flip an assignment.
+   *
+   * At 100 TB: per iteration, one full corpus scan (narrow) + one k×dims
+   * aggregate — the corpus is never shuffled, joined, or replicated; the
+   * broadcast payload is k·dims doubles.
+   *
+   * Returns (id, cluster) after `iters` assignment rounds.
+   */
+  def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
+                   k: Int = 8, iters: Int = 3): DataFrame = {
+    require(k > 0 && iters > 0, "need k > 0 and iters > 0")
+    import org.apache.spark.sql.expressions.Window
+    val e = emb.select(col(idCol).cast(LongType).as("id"), toDouble(col(vecCol)).as("v"))
+    def packed(cents: DataFrame): DataFrame =
+      cents.agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
+    var cents: DataFrame = e.orderBy("id").limit(k)
+      .select((row_number().over(Window.orderBy("id")) - 1).cast(IntegerType).as("cid"),
+        col("v").as("cv"))
+    def assign(cs: DataFrame): DataFrame =
+      e.crossJoin(broadcast(packed(cs)))
+        .select(col("id"), col("v"),
+          array_min(transform(col("cents"),
+            c => struct(sqDistCol(col("v"), c.getField("cv")).as("d"),
+              c.getField("cid").as("cid"))))
+            .getField("cid").as("cluster"))
+    var assigned = assign(cents)
+    for (_ <- 2 to iters) {
+      val means = assigned.select(col("cluster").as("cid"), posexplode(col("v")))
+        .groupBy("cid", "pos").agg(round(avg(col("col")), 9).as("m"))
+        .groupBy("cid").agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("mv"))
+      cents = cents.join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("mv"), col("cv")).as("cv"))
+      assigned = assign(cents)
+    }
+    assigned.select(col("id"), col("cluster"))
+  }
+
+  /**
+   * Int8 scalar quantization + quantized cosine top-k — the memory-bandwidth
+   * scale path for brute-force search: per-dimension corpus min/max maps
+   * every value to a 0..255 code (4× smaller vectors, byte-comparable), and
+   * search scores cosine over the DEQUANTISED codes
+   * `x̂ᵢ = minᵢ + qᵢ·(maxᵢ−minᵢ)/255` — a closed-form, engine-portable
+   * approximation (no RNG, no training). The min/max relation is ONE row of
+   * 2·dims doubles, broadcast; quantisation and scoring are narrow maps, the
+   * corpus never shuffles. A constant dimension (max = min) dequantises to
+   * that constant.
+   *
+   * Returns the exact analogue of [[cosineTopK]] on the quantised space:
+   * (id, sim) top-k for the given query id, the query quantised the same way.
+   */
+  def quantizedCosineTopK(emb: DataFrame, idCol: String, vecCol: String,
+                          queryId: Long, k: Int): DataFrame = {
+    val e = emb.select(col(idCol).cast(LongType).as("id"), toDouble(col(vecCol)).as("v"))
+    val ranges = broadcast(e.select(posexplode(col("v")))
+      .groupBy("pos").agg(min(col("col")).as("lo"), max(col("col")).as("hi"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("lo"), col("hi")))),
+        s => struct(s.getField("lo").as("lo"), s.getField("hi").as("hi"))).as("rng")))
+    // dequantised reconstruction: lo + round((x-lo)/(hi-lo)*255) * (hi-lo)/255
+    def dq(v: Column): Column =
+      zip_with(v, col("rng"), (x, r) => {
+        val lo = r.getField("lo"); val hi = r.getField("hi")
+        when(hi === lo, lo)
+          .otherwise(lo + round((x - lo) / (hi - lo) * 255.0d, 0) * (hi - lo) / 255.0d)
+      })
+    val q = e.where(col("id") === queryId).crossJoin(ranges)
+      .select(dq(col("v")).as("qv")).withColumn("qn", norm(col("qv")))
+    e.crossJoin(ranges).where(col("id") =!= queryId)
+      .select(col("id"), dq(col("v")).as("dv"))
+      .crossJoin(broadcast(q))
+      .select(col("id"), round(dot(col("dv"), col("qv")) / (norm(col("dv")) * col("qn")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("id").asc)
+      .limit(k)
+  }
 }

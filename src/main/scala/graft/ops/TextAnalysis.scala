@@ -175,6 +175,36 @@ object TextAnalysis {
     df.where(u < rate)
   }
 
+  /**
+   * Temperature-weighted mixture sampling — the multilingual/multi-domain
+   * rebalancing step (the α-sampling of the XLM-R / mT5 recipes): stratum
+   * weights are `w_s ∝ n_s^temperature` (τ < 1 upsamples small strata
+   * relative to their share, τ = 1 is proportional), each stratum's keep
+   * rate is `min(1, targetRows·w_s/Σw / n_s)`, and the keep decision reuses
+   * the portable md5-derived per-row uniform of [[stratifiedSample]] — the
+   * SAME sample falls out on any engine/run.
+   *
+   * Distribution: the stratum histogram is a map-side-combined aggregate of
+   * |strata| rows, broadcast back as the rate lookup; the filter itself is a
+   * narrow per-row decision. Returns the kept rows as (id, stratum, rate
+   * rounded to 9 decimals for cross-engine boundary stability).
+   */
+  def mixtureSample(df: DataFrame, idCol: String, strataCol: String,
+                    targetRows: Long, temperature: Double, salt: String): DataFrame = {
+    require(targetRows > 0 && temperature > 0, "need targetRows > 0 and temperature > 0")
+    val hist = df.groupBy(col(strataCol).as("__s")).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", pow(col("__n").cast(DoubleType), lit(temperature)))
+    val rates = broadcast(hist.crossJoin(broadcast(hist.agg(sum(col("__w")).as("__tw"))))
+      .select(col("__s"),
+        round(least(lit(1.0d), lit(targetRows.toDouble) * col("__w") / col("__tw") / col("__n")), 9)
+          .as("rate")))
+    val u = (conv(substring(md5(concat(lit(salt + "|"), col(idCol).cast("string"))), 1, 10), 16, 10)
+      .cast("double") + 0.5) / 1099511627776.0d
+    df.join(rates, df(strataCol) === rates("__s"))
+      .where(u < col("rate"))
+      .select(col(idCol), col(strataCol), col("rate"))
+  }
+
   // --------------------------------------------------------------------- PII
 
   /** PII patterns, shared VERBATIM with the DuckDB oracle — every construct

@@ -56,4 +56,30 @@ class CurationOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq.sortBy(_._1)
     assert(got == Seq((1L, 1), (2L, 4)))
   }
+
+  test("mixtureSample: temperature rates are right and the sample is deterministic") {
+    val d = (1L to 8L).map(i => (i, "A")).++(Seq((9L, "B"), (10L, "B")))
+      .toDF("doc_id", "src")
+    // tau = 0.5: w_A = sqrt(8), w_B = sqrt(2); target 5 rows
+    val wA = math.sqrt(8.0); val wB = math.sqrt(2.0)
+    val expectA = BigDecimal(5.0 * wA / (wA + wB) / 8.0)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expectB = BigDecimal(5.0 * wB / (wA + wB) / 2.0)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TextAnalysis.mixtureSample(d, "doc_id", "src",
+      targetRows = 5, temperature = 0.5, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq.sortBy(_._1)
+    assert(got.forall { case (_, s, r) => r == (if (s == "A") expectA else expectB) },
+      s"rates wrong: $got (expect A=$expectA B=$expectB)")
+    // tau = 0.5 upsamples the small stratum RELATIVE to proportional
+    assert(expectB > expectA)
+    val again = TextAnalysis.mixtureSample(d, "doc_id", "src",
+      targetRows = 5, temperature = 0.5, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq.sortBy(_._1)
+    assert(got == again)
+    // a huge target caps every rate at 1.0 and keeps everything
+    val all = TextAnalysis.mixtureSample(d, "doc_id", "src",
+      targetRows = 1000, temperature = 0.5, salt = "t")
+    assert(all.count() == 10 && all.select("rate").distinct().collect().map(_.getDouble(0)).toSeq == Seq(1.0))
+  }
 }

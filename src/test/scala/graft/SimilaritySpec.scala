@@ -108,6 +108,48 @@ class SimilaritySpec extends SparkSpec {
     assert(batch == loop, s"batch≠loop:\nonly batch=${(batch -- loop).take(5)}\nonly loop=${(loop -- batch).take(5)}")
   }
 
+  test("kmeans separates two obvious clusters with deterministic seeds") {
+    import spark.implicits._
+    // seeds are the 2 lowest ids — both in the near-origin cluster; one
+    // update round must pull centroid 1 toward the far group
+    val tiny = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(0.1f, 0.0f)),
+      (3L, Seq(10.0f, 10.0f)), (4L, Seq(10.1f, 10.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.kmeansAssign(tiny, "vec_id", "embedding", k = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1), s"got $got")
+  }
+
+  test("kmeans on real embeddings: k clusters, all vectors assigned, deterministic") {
+    val a = Similarity.kmeansAssign(emb, "vec_id", "embedding", k = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val b = Similarity.kmeansAssign(emb, "vec_id", "embedding", k = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(a == b && a.size == emb.count() && a.values.toSet.subsetOf(Set(0, 1, 2, 3)))
+  }
+
+  test("quantized cosine equals exact cosine when values sit on the int8 grid") {
+    import spark.implicits._
+    // all dims span [0, 255] with integer values -> quantisation is lossless
+    val grid = Seq(
+      (0L, Seq(255.0f, 0.0f, 10.0f)), (1L, Seq(200.0f, 30.0f, 0.0f)),
+      (2L, Seq(10.0f, 255.0f, 255.0f)), (3L, Seq(0.0f, 100.0f, 30.0f)),
+      (4L, Seq(128.0f, 128.0f, 255.0f))).toDF("vec_id", "embedding")
+    val exact = Similarity.cosineTopK(grid, "vec_id", "embedding", 0L, 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val quant = Similarity.quantizedCosineTopK(grid, "vec_id", "embedding", 0L, 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(quant == exact, s"quant=$quant exact=$exact")
+  }
+
+  test("quantized cosine approximates exact on real embeddings (high recall)") {
+    val exact = ids(Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 10)).toSet
+    val quant = Similarity.quantizedCosineTopK(emb, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(quant.size == 10 && (exact & quant).size >= 7,
+      s"quantised recall too low: ${(exact & quant).size}/10")
+  }
+
   test("batch ivfTopKAll is exact vs brute force per query") {
     val qids = Seq(1L, 7L, 23L)
     import spark.implicits._
