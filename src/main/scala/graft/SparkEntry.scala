@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
 import graft.engine.Graft
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis, Urls}
 import graft.sources.RdbToRdf
 
 /**
@@ -620,6 +620,47 @@ object SparkEntry {
     TextAnalysis.mixtureSample(t(s, dir, "documents"), "doc_id", "source",
       targetRows = 120, temperature = 0.5, salt = "mix2").orderBy("doc_id")
 
+  /** SemDeDup: k-means clusters, then intra-cluster cosine dominance drop. */
+  private def embSemdedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+      k = 8, iters = 3, minCosine = 0.3).orderBy("id")
+
+  /** URL canonicalization + first-fetch-wins dedup. The corpus has no URL
+    * column, so messy variants (case, www, default port, tracking params,
+    * param order, fragment, trailing slash) are a deterministic function of
+    * doc_id — built identically in the oracle SQL. */
+  private def urlDedupQ(s: SparkSession, dir: String): DataFrame = {
+    val h = (col("doc_id") % 7).cast("string")
+    val p = (col("doc_id") % 13).cast("string")
+    val base = concat(lit("example"), h, lit(".org/item/"), p)
+    val raw = when(col("doc_id") % 5 === 0, concat(lit("https://"), base))
+      .when(col("doc_id") % 5 === 1, concat(lit("HTTPS://www."), base, lit("/")))
+      .when(col("doc_id") % 5 === 2,
+        concat(lit("https://example"), h, lit(".org:443/item/"), p,
+          lit("?utm_source=feed&utm_campaign=x")))
+      .when(col("doc_id") % 5 === 3, concat(lit("https://"), base, lit("?b=2&a=1#frag")))
+      .otherwise(concat(lit("https://"), base, lit("?a=1&b=2")))
+    Urls.urlDedup(t(s, dir, "documents").select(col("doc_id"), raw.as("url")),
+      "doc_id", "url").orderBy("id")
+  }
+
+  /** Gopher/C4 heuristic rules over deterministically-dirtied text (the raw
+    * corpus is uniformly clean word-soup — each doc_id%6 stratum trips a
+    * different rule; the oracle dirties identically). */
+  private def docFilterRules(s: SparkSession, dir: String): DataFrame = {
+    val m = col("doc_id") % 6
+    val hashes = Seq.fill(20)("#").mkString(" ")
+    val txt = when(m === 0, col("text"))
+      .when(m === 1, concat(col("text"), lit(" " + hashes)))
+      .when(m === 2, concat(lit("- one\n- two\n- three\n"), col("text").substr(1, 20)))
+      .when(m === 3, concat(col("text"), lit("\nread more...\ncontinued…")))
+      .when(m === 4, lit("12 34 56 78 90 11 22 33"))
+      .otherwise(lit("a b"))
+    TextAnalysis.heuristicFilter(
+      t(s, dir, "documents").select(col("doc_id"), txt.as("text")), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   private def embCentroids(s: SparkSession, dir: String): DataFrame =
     Similarity.centroids(t(s, dir, "embeddings"), "label", "embedding")
       .select(col("label"), posexplode(col("centroid")))
@@ -963,8 +1004,11 @@ object SparkEntry {
     "emb_near_dup" -> embNearDup,
     "emb_centroids" -> embCentroids,
     "emb_kmeans" -> embKmeans,
+    "emb_semdedup" -> embSemdedup,
     "ann_quantized" -> annQuantized,
     "doc_mixture" -> docMixture,
+    "url_dedup" -> urlDedupQ,
+    "doc_filter_rules" -> docFilterRules,
     "doc_chunks" -> docChunks,
     "frame_sample" -> frameSample,
     "multimodal_features" -> multimodalFeatures,
@@ -1568,6 +1612,88 @@ object SparkEntry {
         |    list_sum(list_transform(range(1,65), i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))) ASC,
         |    c.cid ASC) AS rn FROM e CROSS JOIN c3 c) WHERE rn = 1)
         |SELECT id, CAST(cl AS INT) AS cluster FROM a3 ORDER BY id""".stripMargin,
+    "emb_semdedup" ->
+      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c1 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cid, v AS cv
+        |       FROM e ORDER BY id LIMIT 8),
+        |a1 AS (SELECT id, v, cl FROM (
+        |  SELECT e.id, e.v, c.cid AS cl, row_number() OVER (PARTITION BY e.id ORDER BY
+        |    list_sum(list_transform(range(1,65), i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))) ASC,
+        |    c.cid ASC) AS rn FROM e CROSS JOIN c1 c) WHERE rn = 1),
+        |m2 AS (SELECT cl AS cid, i, round(avg(v[CAST(i AS INT)]), 9) AS m
+        |       FROM a1, range(1,65) t(i) GROUP BY 1, 2),
+        |n2 AS (SELECT cid, list(m ORDER BY i) AS cv FROM m2 GROUP BY cid),
+        |c2 AS (SELECT c1.cid, coalesce(n2.cv, c1.cv) AS cv FROM c1 LEFT JOIN n2 USING (cid)),
+        |a2 AS (SELECT id, v, cl FROM (
+        |  SELECT e.id, e.v, c.cid AS cl, row_number() OVER (PARTITION BY e.id ORDER BY
+        |    list_sum(list_transform(range(1,65), i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))) ASC,
+        |    c.cid ASC) AS rn FROM e CROSS JOIN c2 c) WHERE rn = 1),
+        |m3 AS (SELECT cl AS cid, i, round(avg(v[CAST(i AS INT)]), 9) AS m
+        |       FROM a2, range(1,65) t(i) GROUP BY 1, 2),
+        |n3 AS (SELECT cid, list(m ORDER BY i) AS cv FROM m3 GROUP BY cid),
+        |c3 AS (SELECT c2.cid, coalesce(n3.cv, c2.cv) AS cv FROM c2 LEFT JOIN n3 USING (cid)),
+        |a3 AS (SELECT id, v, cl FROM (
+        |  SELECT e.id, e.v, c.cid AS cl, row_number() OVER (PARTITION BY e.id ORDER BY
+        |    list_sum(list_transform(range(1,65), i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))) ASC,
+        |    c.cid ASC) AS rn FROM e CROSS JOIN c3 c) WHERE rn = 1),
+        |dr AS (SELECT DISTINCT b.id FROM a3 a JOIN a3 b ON a.cl = b.cl AND a.id < b.id
+        |       WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3)
+        |SELECT a3.id, CAST(cl AS INT) AS cluster,
+        |       a3.id NOT IN (SELECT id FROM dr) AS keep
+        |FROM a3 ORDER BY a3.id""".stripMargin,
+    "url_dedup" ->
+      """WITH d AS (SELECT doc_id AS id, CASE doc_id % 5
+        |    WHEN 0 THEN 'https://example' || (doc_id%7)::VARCHAR || '.org/item/' || (doc_id%13)::VARCHAR
+        |    WHEN 1 THEN 'HTTPS://www.example' || (doc_id%7)::VARCHAR || '.org/item/' || (doc_id%13)::VARCHAR || '/'
+        |    WHEN 2 THEN 'https://example' || (doc_id%7)::VARCHAR || '.org:443/item/' || (doc_id%13)::VARCHAR || '?utm_source=feed&utm_campaign=x'
+        |    WHEN 3 THEN 'https://example' || (doc_id%7)::VARCHAR || '.org/item/' || (doc_id%13)::VARCHAR || '?b=2&a=1#frag'
+        |    ELSE 'https://example' || (doc_id%7)::VARCHAR || '.org/item/' || (doc_id%13)::VARCHAR || '?a=1&b=2' END AS url
+        |  FROM documents),
+        |u AS (SELECT id, CASE WHEN contains(url, '://') THEN url ELSE 'http://' || url END AS u FROM d),
+        |c AS (SELECT id,
+        |   lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |   regexp_replace(lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\.', '') AS host0,
+        |   regexp_replace(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS path0,
+        |   regexp_extract(u, '\?([^#]*)', 1) AS q FROM u),
+        |c2 AS (SELECT id, scheme,
+        |   CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+        |        WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+        |        ELSE host0 END AS host,
+        |   CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+        |   array_to_string(list_sort(list_filter(string_split(q, '&'),
+        |     p -> len(p) > 0 AND NOT regexp_matches(p, '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)='))), '&') AS qs
+        |   FROM c),
+        |canon AS (SELECT id, scheme || '://' || host || path ||
+        |            CASE WHEN len(qs) > 0 THEN '?' || qs ELSE '' END AS canon_url FROM c2)
+        |SELECT id, canon_url,
+        |       row_number() OVER (PARTITION BY canon_url ORDER BY id) = 1 AS keep
+        |FROM canon ORDER BY id""".stripMargin,
+    "doc_filter_rules" ->
+      """WITH d AS (SELECT doc_id, CASE doc_id % 6
+        |    WHEN 0 THEN text
+        |    WHEN 1 THEN text || ' ' || trim(repeat('# ', 20))
+        |    WHEN 2 THEN '- one' || chr(10) || '- two' || chr(10) || '- three' || chr(10) || substr(text, 1, 20)
+        |    WHEN 3 THEN text || chr(10) || 'read more...' || chr(10) || 'continued' || chr(8230)
+        |    WHEN 4 THEN '12 34 56 78 90 11 22 33'
+        |    ELSE 'a b' END AS text FROM documents),
+        |w AS (SELECT doc_id, text,
+        |        list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ws,
+        |        list_filter(string_split(text, chr(10)), l -> len(l) > 0) AS ls FROM d),
+        |m AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |   round(list_sum(list_transform(ws, x -> len(x)))::DOUBLE / greatest(len(ws), 1), 6) AS mean_word_len,
+        |   round(len(regexp_extract_all(text, '#|\.\.\.|…'))::DOUBLE / greatest(len(ws), 1), 6) AS symbol_ratio,
+        |   round(len(list_filter(ls, l -> regexp_matches(l, '^[-*•] ')))::DOUBLE / greatest(len(ls), 1), 6) AS bullet_ratio,
+        |   round(len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)$')))::DOUBLE / greatest(len(ls), 1), 6) AS ellipsis_ratio,
+        |   round(len(list_filter(ws, x -> regexp_matches(x, '\p{L}')))::DOUBLE / greatest(len(ws), 1), 6) AS alpha_ratio,
+        |   CAST(len(list_filter(['the','a','an','of','to','and','in','is','it','that'],
+        |     s -> list_contains(list_transform(ws, x -> lower(x)), s))) AS INT) AS stop_hits
+        |   FROM w)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio, ellipsis_ratio,
+        |   alpha_ratio, stop_hits,
+        |   (n_words BETWEEN 5 AND 100000) AND (mean_word_len BETWEEN 2.0 AND 12.0)
+        |     AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.5 AND ellipsis_ratio <= 0.3
+        |     AND alpha_ratio >= 0.7 AND stop_hits >= 2 AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
     "ann_quantized" ->
       """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
         |r AS (SELECT i, min(v[CAST(i AS INT)]) AS lo, max(v[CAST(i AS INT)]) AS hi

@@ -481,7 +481,12 @@ object Similarity {
    *
    * At 100 TB: per iteration, one full corpus scan (narrow) + one k×dims
    * aggregate — the corpus is never shuffled, joined, or replicated; the
-   * broadcast payload is k·dims doubles.
+   * broadcast payload is k·dims doubles. Each centroid update is
+   * `localCheckpoint`ed (k tiny rows): iteration i's assignment otherwise
+   * re-derives every earlier centroid generation inside one logical plan,
+   * doubling plan size per round — with the checkpoint, plan size and
+   * optimizer time are constant in `iters` (the iterative-lineage pattern
+   * MLlib uses). Construction therefore runs `iters−1` small jobs eagerly.
    *
    * Returns (id, cluster) after `iters` assignment rounds.
    */
@@ -510,6 +515,7 @@ object Similarity {
           s => s.getField("m")).as("mv"))
       cents = cents.join(means, Seq("cid"), "left")
         .select(col("cid"), coalesce(col("mv"), col("cv")).as("cv"))
+        .localCheckpoint() // k rows; truncates the per-iteration lineage
       assigned = assign(cents)
     }
     assigned.select(col("id"), col("cluster"))
@@ -551,5 +557,40 @@ object Similarity {
       .select(col("id"), round(dot(col("dv"), col("qv")) / (norm(col("dv")) * col("qn")), 6).as("sim"))
       .orderBy(col("sim").desc, col("id").asc)
       .limit(k)
+  }
+
+  /**
+   * SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster the
+   * corpus with [[kmeansAssign]], then inside each cluster drop every vector
+   * whose cosine similarity to a LOWER-id cluster-mate reaches `minCosine`
+   * (a non-chained dominance rule — deterministic, order-free: j is dropped
+   * iff SOME i < j in its cluster is close enough, regardless of whether i
+   * itself survives).
+   *
+   * Distribution: the pair join is an equi-join on the cluster id, so the
+   * per-task work is bounded by the largest cluster (that is the SemDeDup
+   * bargain — k buys down the O(n²/k) pair space; pick k ∝ corpus size /
+   * target cluster size). Cosines round to 6 decimals BEFORE the threshold
+   * test so engine-specific float summation order cannot flip a keep
+   * decision. Returns (id, cluster, keep).
+   */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+               k: Int = 8, iters: Int = 3, minCosine: Double = 0.3): DataFrame = {
+    val e = emb.select(col(idCol).cast(LongType).as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("nr", norm(col("v")))
+    val assigned = kmeansAssign(emb, idCol, vecCol, k, iters)
+    val withV = assigned.join(e, Seq("id"))
+    val a = withV.select(col("cluster"), col("id").as("id_a"),
+      col("v").as("va"), col("nr").as("na"))
+    val b = withV.select(col("cluster"), col("id").as("id_b"),
+      col("v").as("vb"), col("nr").as("nb"))
+    val dropped = a.join(b, Seq("cluster"))
+      .where(col("id_a") < col("id_b"))
+      .where(round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6) >= minCosine)
+      .select(col("id_b").as("id")).distinct()
+      .withColumn("__drop", lit(true))
+    assigned.join(dropped, Seq("id"), "left")
+      .select(col("id"), col("cluster"),
+        (!coalesce(col("__drop"), lit(false))).as("keep"))
   }
 }

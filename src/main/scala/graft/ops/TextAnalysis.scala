@@ -205,6 +205,57 @@ object TextAnalysis {
       .select(col(idCol), col(strataCol), col("rate"))
   }
 
+  /**
+   * Gopher/C4-style heuristic quality rules — the cheap rule cascade every
+   * curation pipeline runs before any model-based scoring: word-count
+   * bounds, mean-word-length band, symbol-to-word ratio (`#`, `...`, `…`),
+   * bulleted-line and ellipsis-line ratios, alphabetic-word ratio, and a
+   * required minimum of DISTINCT stopwords (the Gopher "stop word" rule).
+   * All metrics are reported alongside the conjunction `keep`, so a
+   * pipeline can re-weigh rules without recomputing.
+   *
+   * Pure per-row column expressions (one scan, no shuffle, full codegen);
+   * every regex lives in the Java ∩ RE2 intersection so the DuckDB oracle
+   * runs the identical patterns.
+   */
+  def heuristicFilter(df: DataFrame, idCol: String, textCol: String,
+                      minWords: Int = 5, maxWords: Int = 100000,
+                      minMeanWordLen: Double = 2.0, maxMeanWordLen: Double = 12.0,
+                      maxSymbolRatio: Double = 0.1,
+                      maxBulletRatio: Double = 0.5, maxEllipsisRatio: Double = 0.3,
+                      minAlphaRatio: Double = 0.7, minStopwords: Int = 2): DataFrame = {
+    val t = col(textCol)
+    val w = toks(t)
+    val nW = size_(w).cast(LongType)
+    val nWd = greatest(nW, lit(1L)).cast(DoubleType)
+    val lines = filter(split(t, "\n"), l => length(l) > 0)
+    val nLd = greatest(size_(lines), lit(1)).cast(DoubleType)
+    val stops = array(Seq("the", "a", "an", "of", "to", "and", "in", "is", "it", "that")
+      .map(lit): _*)
+    val meanLen = round(aggregate(w, lit(0L), (acc, x) => acc + length(x)) / nWd, 6)
+    val symbolRatio = round(
+      size_(regexp_extract_all(t, lit("#|\\.\\.\\.|…"), lit(0))) / nWd, 6)
+    val bulletRatio = round(
+      size_(filter(lines, l => l.rlike("^[-*•] "))) / nLd, 6)
+    val ellipsisRatio = round(
+      size_(filter(lines, l => l.rlike("(\\.\\.\\.|…)$"))) / nLd, 6)
+    val alphaRatio = round(
+      size_(filter(w, x => x.rlike("\\p{L}"))) / nWd, 6)
+    val stopHits = size_(array_intersect(transform(w, x => lower(x)), stops))
+    df.select(col(idCol), nW.as("n_words"), meanLen.as("mean_word_len"),
+        symbolRatio.as("symbol_ratio"), bulletRatio.as("bullet_ratio"),
+        ellipsisRatio.as("ellipsis_ratio"), alphaRatio.as("alpha_ratio"),
+        stopHits.as("stop_hits"))
+      .withColumn("keep",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
+          col("symbol_ratio") <= maxSymbolRatio &&
+          col("bullet_ratio") <= maxBulletRatio &&
+          col("ellipsis_ratio") <= maxEllipsisRatio &&
+          col("alpha_ratio") >= minAlphaRatio &&
+          col("stop_hits") >= minStopwords)
+  }
+
   // --------------------------------------------------------------------- PII
 
   /** PII patterns, shared VERBATIM with the DuckDB oracle — every construct

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * URL canonicalization + URL-keyed deduplication — the provenance-dedup
+ * step of a web-scale curation pipeline (CommonCrawl-style corpora carry
+ * the same page under scheme/case/tracking-param/fragment variants; URL
+ * dedup runs BEFORE content dedup because it needs no text at all).
+ *
+ * Every canonicalization step is a pure column expression built from
+ * constructs in the Java-regex ∩ RE2 intersection, so a DuckDB oracle can
+ * run the IDENTICAL patterns (same discipline as [[TextAnalysis.piiScrub]]).
+ */
+object Urls {
+
+  /** Query params stripped as tracking noise (anchored key= match). */
+  val trackingPat = "^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)="
+
+  /**
+   * Canonical form of a URL string:
+   *   - scheme-less input is given `http://`;
+   *   - scheme and host lowercase; a leading `www.` and the scheme's
+   *     default port (`:80` http, `:443` https) are dropped;
+   *   - empty path becomes `/`, trailing slashes are stripped otherwise;
+   *   - the fragment is dropped; tracking params ([[trackingPat]]) are
+   *     removed and the surviving query params are sorted, so param order
+   *     never splits a dedup group.
+   *
+   * Userinfo (`user@host`) and percent-encoding normalisation are out of
+   * scope (kept verbatim). A narrow per-row expression — no shuffle.
+   */
+  def canonicalize(url: Column): Column = {
+    val u = when(url.contains("://"), url).otherwise(concat(lit("http://"), url))
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostNoWww = regexp_replace(
+      lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
+      "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(hostNoWww, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostNoWww, ":443$", ""))
+      .otherwise(hostNoWww)
+    val pathStripped = regexp_replace(
+      regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1), "/+$", "")
+    val path = when(pathStripped === "", lit("/")).otherwise(pathStripped)
+    val qs = array_join(array_sort(filter(
+      split(regexp_extract(u, "\\?([^#]*)", 1), "&"),
+      p => length(p) > 0 && !p.rlike(trackingPat))), "&")
+    concat(scheme, lit("://"), host, path,
+      when(length(qs) > 0, concat(lit("?"), qs)).otherwise(lit("")))
+  }
+
+  /**
+   * Deduplicate by canonical URL, keeping the lowest id per group — the
+   * standard "first fetch wins" policy. One shuffle, keyed by the canonical
+   * URL (the dedup key itself), so at 100 TB this scales exactly like exact
+   * content dedup; a hot canonical URL is ordinary input skew AQE splits.
+   * Returns (id, canon_url, keep).
+   */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("canon_url").orderBy(col("id").asc)
+    df.select(col(idCol).cast("long").as("id"), canonicalize(col(urlCol)).as("canon_url"))
+      .withColumn("keep", row_number().over(w) === 1)
+  }
+}
