@@ -769,6 +769,16 @@ object SparkEntry {
         col("duration_ms"), col("peak"), round(col("rms"), 4).as("rms"))
       .orderBy("media_id")
 
+  /** REAL Sun AU µ-law decode end-to-end: the square wave is built in the
+    * ENCODED domain so the decoded amplitude is closed-form in the id —
+    * ((man·8+132)·2^exp)−132 with man = 1+(id%14), exp = id%4. */
+  private def auFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractAuFeatures(
+        Multimodal.syntheticAu(t(s, dir, "documents"), "doc_id"))
+      .select(col("media_id"), col("sample_rate"), col("n_samples"),
+        col("duration_ms"), col("peak"), round(col("rms"), 4).as("rms"))
+      .orderBy("media_id")
+
   /** REAL multi-frame container decode end-to-end: animated GIFs (2–4
     * frames of constant gray, LZW + palette via javax.imageio) fan out to
     * one row per frame; frame means are closed-form in (id, frame). */
@@ -1014,6 +1024,7 @@ object SparkEntry {
     "multimodal_features" -> multimodalFeatures,
     "wav_features" -> wavFeatures,
     "aiff_features" -> aiffFeatures,
+    "au_features" -> auFeatures,
     "gif_frames" -> gifFrames,
     "bmp_features" -> bmpFeatures,
     "png_features" -> pngFeatures,
@@ -1410,6 +1421,14 @@ object SparkEntry {
         |       CAST((400 + (doc_id % 50) * 16) / 8 AS BIGINT) AS duration_ms,
         |       CAST(1000 + (doc_id % 20) * 500 AS BIGINT) AS peak,
         |       round(CAST(1000 + (doc_id % 20) * 500 AS DOUBLE), 4) AS rms
+        |FROM documents ORDER BY 1""".stripMargin,
+    "au_features" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(8000 AS BIGINT) AS sample_rate,
+        |       CAST(400 + (doc_id % 50) * 16 AS BIGINT) AS n_samples,
+        |       CAST((400 + (doc_id % 50) * 16) / 8 AS BIGINT) AS duration_ms,
+        |       CAST(((1 + doc_id % 14) * 8 + 132) * CAST(pow(2, doc_id % 4) AS BIGINT) - 132 AS BIGINT) AS peak,
+        |       round(CAST(((1 + doc_id % 14) * 8 + 132) * CAST(pow(2, doc_id % 4) AS BIGINT) - 132 AS DOUBLE), 4) AS rms
         |FROM documents ORDER BY 1""".stripMargin,
     "gif_frames" ->
       """SELECT d.doc_id AS media_id, f.range AS frame_index,

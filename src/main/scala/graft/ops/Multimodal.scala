@@ -568,6 +568,89 @@ object Multimodal {
       .toDF("media_id", "media")
   }
 
+  // -------------------------------------------------------- real codecs (AU)
+
+  /** REAL Sun AU decoder (big-endian header, `.snd` magic): the data offset
+    * may exceed 24 (annotation region skipped), data size 0xFFFFFFFF means
+    * "rest of file". Payloads: G.711 µ-law (encoding 1) expanded per the
+    * CCITT reference — complement, then sign/exponent/mantissa with
+    * magnitude ((man·8+132)·2^exp)−132 — or 16-bit linear big-endian PCM
+    * (encoding 3). Same feature contract and Long-space length hardening
+    * as [[decodeWav]]. */
+  private[graft] def decodeAu(id: Long, b: Array[Byte]): WavFeature = {
+    require(b.length >= 24 && b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd',
+      "not a Sun AU file")
+    val off = be32(b, 4); val dSize = be32(b, 8); val enc = be32(b, 12)
+    val rate = be32(b, 16); val channels = be32(b, 20)
+    require(off >= 24 && off <= b.length, "bad AU data offset")
+    val len = if (dSize == -1) b.length - off else dSize
+    require(len >= 0 && off.toLong + len <= b.length, "truncated AU data")
+    require(rate > 0 && channels == 1, "unsupported AU layout")
+    var peak = 0L; var sumSq = 0.0
+    val (n, bits) = enc match {
+      case 1 => // 8-bit µ-law
+        var i = 0
+        while (i < len) {
+          val u = (~b(off + i)) & 0xFF
+          val mag = ((((u & 0xF) << 3) + 0x84) << ((u >> 4) & 7)) - 0x84
+          val s = if ((u & 0x80) != 0) -mag.toLong else mag.toLong
+          if (math.abs(s) > peak) peak = math.abs(s)
+          sumSq += s.toDouble * s.toDouble
+          i += 1
+        }
+        (len, 8L)
+      case 3 => // 16-bit linear PCM, big-endian
+        val frames = len / 2
+        var i = 0
+        while (i < frames) {
+          val s = be16(b, off + 2 * i).toShort.toLong
+          if (math.abs(s) > peak) peak = math.abs(s)
+          sumSq += s.toDouble * s.toDouble
+          i += 1
+        }
+        (frames, 16L)
+      case _ => throw new IllegalArgumentException(s"unsupported AU encoding $enc")
+    }
+    val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+    WavFeature(id, rate.toLong, 1L, bits, n.toLong, n.toLong * 1000L / rate, peak, rms)
+  }
+
+  /** Decode an AU media column (partition-local, no shuffle). */
+  def extractAuFeatures(media: DataFrame): DataFrame = {
+    val enc = Encoders.product[WavFeature]
+    media.select(col("media_id"), col("media"))
+      .map(row => decodeAu(row.getLong(0), row.get(1).asInstanceOf[Array[Byte]]))(enc)
+      .toDF()
+  }
+
+  /** Deterministic VALID µ-law AU per id: the square wave is synthesized in
+    * the ENCODED domain — mantissa 1+(id mod 14), exponent id mod 4, sign
+    * flipping every 8 samples — so the decoded amplitude is the closed form
+    * ((man·8+132)·2^exp)−132 and RMS = peak = amplitude exactly. */
+  private[graft] def syntheticAuBytes(id: Long): Array[Byte] = {
+    val rate = 8000; val n = (400 + (id % 50) * 16).toInt
+    val man = (1 + id % 14).toInt; val exp = (id % 4).toInt
+    val out = new Array[Byte](24 + n)
+    def put32(o: Int, v: Int): Unit = { out(o) = (v >> 24).toByte; out(o + 1) = (v >> 16).toByte
+      out(o + 2) = (v >> 8).toByte; out(o + 3) = v.toByte }
+    out(0) = '.'; out(1) = 's'; out(2) = 'n'; out(3) = 'd'
+    put32(4, 24); put32(8, n); put32(12, 1); put32(16, rate); put32(20, 1)
+    var i = 0
+    while (i < n) {
+      val sign = if ((i / 8) % 2 == 0) 0 else 0x80
+      out(24 + i) = (~(sign | (exp << 4) | man) & 0xFF).toByte
+      i += 1
+    }
+    out
+  }
+
+  def syntheticAu(df: DataFrame, idCol: String): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    df.select(col(idCol).cast(LongType))
+      .map(r => (r.getLong(0), syntheticAuBytes(r.getLong(0))))(enc)
+      .toDF("media_id", "media")
+  }
+
   /** Build a small synthetic media table from any table's rows (for tests
     * and benches — deterministic bytes derived from an id column). */
   def syntheticMedia(df: DataFrame, idCol: String): DataFrame =

@@ -491,7 +491,15 @@ object Similarity {
    * Returns (id, cluster) after `iters` assignment rounds.
    */
   def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
-                   k: Int = 8, iters: Int = 3): DataFrame = {
+                   k: Int = 8, iters: Int = 3): DataFrame =
+    kmeansAssignWithV(emb, idCol, vecCol, k, iters).select(col("id"), col("cluster"))
+
+  /** [[kmeansAssign]] keeping the vector column: (id, v, cluster). Callers
+    * that need vectors per assignment ([[semDedup]]) read them here instead
+    * of re-joining the corpus by id — the assignment already carries v, so
+    * the join would be a pure extra corpus-wide shuffle. */
+  private[ops] def kmeansAssignWithV(emb: DataFrame, idCol: String, vecCol: String,
+                                     k: Int, iters: Int): DataFrame = {
     require(k > 0 && iters > 0, "need k > 0 and iters > 0")
     import org.apache.spark.sql.expressions.Window
     val e = emb.select(col(idCol).cast(LongType).as("id"), toDouble(col(vecCol)).as("v"))
@@ -518,7 +526,7 @@ object Similarity {
         .localCheckpoint() // k rows; truncates the per-iteration lineage
       assigned = assign(cents)
     }
-    assigned.select(col("id"), col("cluster"))
+    assigned
   }
 
   /**
@@ -576,10 +584,9 @@ object Similarity {
    */
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
                k: Int = 8, iters: Int = 3, minCosine: Double = 0.3): DataFrame = {
-    val e = emb.select(col(idCol).cast(LongType).as("id"), toDouble(col(vecCol)).as("v"))
+    // the assignment already carries each vector — no corpus re-join by id
+    val withV = kmeansAssignWithV(emb, idCol, vecCol, k, iters)
       .withColumn("nr", norm(col("v")))
-    val assigned = kmeansAssign(emb, idCol, vecCol, k, iters)
-    val withV = assigned.join(e, Seq("id"))
     val a = withV.select(col("cluster"), col("id").as("id_a"),
       col("v").as("va"), col("nr").as("na"))
     val b = withV.select(col("cluster"), col("id").as("id_b"),
@@ -589,7 +596,7 @@ object Similarity {
       .where(round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6) >= minCosine)
       .select(col("id_b").as("id")).distinct()
       .withColumn("__drop", lit(true))
-    assigned.join(dropped, Seq("id"), "left")
+    withV.select(col("id"), col("cluster")).join(dropped, Seq("id"), "left")
       .select(col("id"), col("cluster"),
         (!coalesce(col("__drop"), lit(false))).as("keep"))
   }

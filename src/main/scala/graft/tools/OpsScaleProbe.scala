@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Similarity, TextAnalysis, Urls}
 
 /**
  * Scale probe for the training-data pipeline ops: synthesises a document
@@ -74,6 +74,28 @@ object OpsScaleProbe {
       Similarity.ivfTopKAll(vecs, "vec_id", "embedding", queries, "vec_id",
         k = 10, nClusters = 32, nProbe = 4)
     }
+    // round-6 additions — each should stay linear-ish in corpus size:
+    // tf-idf/perplexity shuffles are keyed by term/bigram (vocab-bounded
+    // small sides), span-dedup by span content, packing is a per-shard
+    // cumsum, url dedup one shuffle on the canonical URL, kmeans/semdedup
+    // narrow assignment maps + cluster-keyed pair joins
+    time("tfidf(top5)")(TextAnalysis.tfIdf(docs, "doc_id", "text", topK = 5))
+    time("span_dedup(16)")(TextAnalysis.spanDedup(docs, "doc_id", "text", spanTokens = 16))
+    time("lm_perplexity")(TextAnalysis.lmPerplexity(docs, "doc_id", "text"))
+    time("pack(2048)")(TextAnalysis.packSequences(docs, "doc_id", "text",
+      capacity = 2048, nShards = 64))
+    time("heuristic_filter")(TextAnalysis.heuristicFilter(docs, "doc_id", "text"))
+    time("url_dedup") {
+      val urls = docs.select(col("doc_id"), concat(lit("https://h"),
+        (col("doc_id") % 5000).cast("string"), lit(".example.org/p/"),
+        (col("doc_id") % 97).cast("string"), lit("?utm_source=x&q="),
+        (col("doc_id") % 7).cast("string")).as("url"))
+      Urls.urlDedup(urls, "doc_id", "url")
+    }
+    time("kmeans(k=64,3 iters)")(Similarity.kmeansAssign(vecs, "vec_id", "embedding",
+      k = 64, iters = 3))
+    time("semdedup(k=64)")(Similarity.semDedup(vecs, "vec_id", "embedding",
+      k = 64, iters = 2, minCosine = 0.95))
     spark.stop()
   }
 }

@@ -138,6 +138,61 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Multimodal.decodeAiff(1L, evil) }
   }
 
+  test("AU µ-law square wave features are exact (encoded-domain synthesis)") {
+    for (id <- Seq(0L, 3L, 13L, 27L, 49L, 255L)) {
+      val f = Multimodal.decodeAu(id, Multimodal.syntheticAuBytes(id))
+      val n = 400 + (id % 50) * 16
+      val amp = ((1 + id % 14) * 8 + 132) * (1L << (id % 4)) - 132
+      assert(f.sample_rate == 8000 && f.channels == 1 && f.bits == 8, s"id=$id")
+      assert(f.n_samples == n && f.duration_ms == n * 1000 / 8000, s"id=$id")
+      assert(f.peak == amp && math.abs(f.rms - amp) < 1e-9,
+        s"id=$id peak=${f.peak} rms=${f.rms} expect $amp")
+    }
+  }
+
+  test("AU µ-law expansion matches the G.711 reference table at the extremes") {
+    // CCITT ulaw2linear: encoded 0xFF = u 0x00 → 0 (zero level); encoded
+    // 0xFE = u 0x01 → +8; encoded 0x7E = u 0x81 → −8 (peak 8);
+    // encoded 0x80 = u 0x7F → +32124 (max magnitude)
+    def decodeOne(enc: Int): Long = {
+      val b = Multimodal.syntheticAuBytes(0L).take(24) ++ Array(enc.toByte)
+      b(8) = 0; b(9) = 0; b(10) = 0; b(11) = 1 // data size 1
+      Multimodal.decodeAu(0L, b).peak
+    }
+    assert(decodeOne(0xFF) == 0L)
+    assert(decodeOne(0xFE) == 8L)
+    assert(decodeOne(0x7E) == 8L)
+    assert(decodeOne(0x80) == 32124L)
+  }
+
+  test("AU decoder honours the data offset, rest-of-file size, and 16-bit PCM; rejects hostile input") {
+    // annotation region: offset 32 (8 junk bytes after the 24-byte header)
+    val base = Multimodal.syntheticAuBytes(5L)
+    val withAnno = base.take(24) ++ Array.fill[Byte](8)(0x55) ++ base.drop(24)
+    withAnno(7) = 32 // data offset
+    val f = Multimodal.decodeAu(5L, withAnno)
+    assert(f.n_samples == 400 + (5 % 50) * 16)
+    // 0xFFFFFFFF data size = rest of file
+    val unknown = base.clone()
+    unknown(8) = 0xFF.toByte; unknown(9) = 0xFF.toByte
+    unknown(10) = 0xFF.toByte; unknown(11) = 0xFF.toByte
+    assert(Multimodal.decodeAu(5L, unknown).n_samples == f.n_samples)
+    // encoding 3: one 16-bit BE sample of -3000
+    val pcm = base.take(24) ++ Array(((-3000 >> 8) & 0xFF).toByte, (-3000 & 0xFF).toByte)
+    pcm(8) = 0; pcm(9) = 0; pcm(10) = 0; pcm(11) = 2 // data size 2
+    pcm(15) = 3 // encoding: 16-bit linear PCM
+    val g = Multimodal.decodeAu(5L, pcm)
+    assert(g.bits == 16 && g.n_samples == 1 && g.peak == 3000L)
+    // hostile: bad magic, offset past buffer, size past buffer
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeAu(1L, Array.fill[Byte](64)(0x41))
+    }
+    val evilOff = base.clone(); evilOff(4) = 0x7F.toByte
+    intercept[IllegalArgumentException] { Multimodal.decodeAu(1L, evilOff) }
+    val evilSize = base.clone(); evilSize(8) = 0x7F.toByte
+    intercept[IllegalArgumentException] { Multimodal.decodeAu(1L, evilSize) }
+  }
+
   test("animated GIF round trip is exact for all 256 gray values and frame counts") {
     for (id <- 0L until 256L) {
       val frames = Multimodal.decodeGifFrames(id, Multimodal.syntheticGifBytes(id))
