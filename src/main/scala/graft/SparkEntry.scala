@@ -620,6 +620,11 @@ object SparkEntry {
     TextAnalysis.mixtureSample(t(s, dir, "documents"), "doc_id", "source",
       targetRows = 120, temperature = 0.5, salt = "mix2").orderBy("doc_id")
 
+  /** Deterministic training shuffle: portable md5 permutation → (shard, pos). */
+  private def docShuffle(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.shuffleShards(t(s, dir, "documents"), "doc_id",
+      nShards = 16, salt = "shuf1").orderBy("id")
+
   /** SemDeDup: k-means clusters, then intra-cluster cosine dominance drop. */
   private def embSemdedup(s: SparkSession, dir: String): DataFrame =
     Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -1019,6 +1024,7 @@ object SparkEntry {
     "doc_mixture" -> docMixture,
     "url_dedup" -> urlDedupQ,
     "doc_filter_rules" -> docFilterRules,
+    "doc_shuffle" -> docShuffle,
     "doc_chunks" -> docChunks,
     "frame_sample" -> frameSample,
     "multimodal_features" -> multimodalFeatures,
@@ -1687,6 +1693,15 @@ object SparkEntry {
         |SELECT id, canon_url,
         |       row_number() OVER (PARTITION BY canon_url ORDER BY id) = 1 AS keep
         |FROM canon ORDER BY id""".stripMargin,
+    "doc_shuffle" ->
+      """WITH k AS (SELECT doc_id AS id, md5('shuf1|' || doc_id) AS k FROM documents),
+        |s AS (SELECT id, k,
+        |        ((strpos('0123456789abcdef', substr(k, 1, 1)) - 1) * 16 +
+        |         (strpos('0123456789abcdef', substr(k, 2, 1)) - 1)) % 16 AS shard
+        |      FROM k)
+        |SELECT id, CAST(shard AS INT) AS shard,
+        |       CAST(row_number() OVER (PARTITION BY shard ORDER BY k, id) - 1 AS BIGINT) AS pos
+        |FROM s ORDER BY id""".stripMargin,
     "doc_filter_rules" ->
       """WITH d AS (SELECT doc_id, CASE doc_id % 6
         |    WHEN 0 THEN text

@@ -206,6 +206,37 @@ object TextAnalysis {
   }
 
   /**
+   * Deterministic training shuffle — the global example-reordering step
+   * before shard writing (data-loading order must look random but be
+   * reproducible across runs/engines): each row gets the portable
+   * md5-derived key `md5(salt|id)`, its shard is a hash-balanced function
+   * of the key's leading byte, and its position within the shard is the
+   * key's rank there. Reading shards round-robin by position replays one
+   * fixed global pseudo-random permutation.
+   *
+   * Distribution: ONE shuffle keyed by shard (the window partition);
+   * per-task work is a sort of corpus/nShards rows — pick nShards so a
+   * shard fits a task (the same knob every shard-writer exposes). No
+   * global total-order pass: the permutation is defined per shard, which
+   * is what training data loaders consume anyway.
+   *
+   * Returns (id, shard, pos).
+   */
+  def shuffleShards(df: DataFrame, idCol: String,
+                    nShards: Int = 64, salt: String = "shuffle"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nShards > 0, "need nShards > 0")
+    val key = md5(concat(lit(salt + "|"), col(idCol).cast("string")))
+    val shard = (conv(substring(key, 1, 2), 16, 10).cast(IntegerType) % nShards)
+    // id tiebreak: md5 keys never collide in practice, but a deterministic
+    // contract must not depend on that
+    val w = Window.partitionBy("shard").orderBy(col("__k").asc, col("id").asc)
+    df.select(col(idCol).as("id"), key.as("__k"), shard.as("shard"))
+      .withColumn("pos", row_number().over(w).cast(LongType) - 1)
+      .select(col("id"), col("shard"), col("pos"))
+  }
+
+  /**
    * Gopher/C4-style heuristic quality rules — the cheap rule cascade every
    * curation pipeline runs before any model-based scoring: word-count
    * bounds, mean-word-length band, symbol-to-word ratio (`#`, `...`, `…`),

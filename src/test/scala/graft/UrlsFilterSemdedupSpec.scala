@@ -53,6 +53,25 @@ class UrlsFilterSemdedupSpec extends SparkSpec {
     assert(row5.getAs[Int]("stop_hits") == 0)
   }
 
+  test("shuffleShards: a permutation — every row exactly once, dense positions per shard, stable across runs") {
+    val df = (0L until 200L).toDF("doc_id")
+    val out = TextAnalysis.shuffleShards(df, "doc_id", nShards = 8, salt = "s1")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.map(_._1).sorted.toSeq == (0L until 200L))
+    // positions within each shard are 0..n-1 dense
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length))
+    }
+    // deterministic: a second evaluation gives the identical assignment
+    val again = TextAnalysis.shuffleShards(df, "doc_id", nShards = 8, salt = "s1")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // a different salt yields a different permutation
+    val other = TextAnalysis.shuffleShards(df, "doc_id", nShards = 8, salt = "s2")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.sortBy(_._1).toSeq != other.sortBy(_._1).toSeq)
+  }
+
   test("semDedup drops the higher id of a near-identical pair, keeps distant vectors") {
     // two tight pairs in well-separated regions; seeds (the 2 lowest ids)
     // are one per region so each pair converges into one cluster
