@@ -620,6 +620,16 @@ object SparkEntry {
     TextAnalysis.mixtureSample(t(s, dir, "documents"), "doc_id", "source",
       targetRows = 120, temperature = 0.5, salt = "mix2").orderBy("doc_id")
 
+  /** Per-source top-5 bigram statistics (corpus-drift dashboard feed). */
+  private def ngramStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.ngramStats(t(s, dir, "documents"), "source", "text", n = 2, topK = 5)
+      .orderBy("source", "ngram")
+
+  /** Per-(source, lang) dataset card: volumes + mean quality score. */
+  private def corpusReport(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.corpusReport(t(s, dir, "documents"), "source", "lang", "text")
+      .orderBy("source", "lang")
+
   /** Deterministic training shuffle: portable md5 permutation → (shard, pos). */
   private def docShuffle(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.shuffleShards(t(s, dir, "documents"), "doc_id",
@@ -1025,6 +1035,8 @@ object SparkEntry {
     "url_dedup" -> urlDedupQ,
     "doc_filter_rules" -> docFilterRules,
     "doc_shuffle" -> docShuffle,
+    "ngram_stats" -> ngramStats,
+    "corpus_report" -> corpusReport,
     "doc_chunks" -> docChunks,
     "frame_sample" -> frameSample,
     "multimodal_features" -> multimodalFeatures,
@@ -1693,6 +1705,34 @@ object SparkEntry {
         |SELECT id, canon_url,
         |       row_number() OVER (PARTITION BY canon_url ORDER BY id) = 1 AS keep
         |FROM canon ORDER BY id""".stripMargin,
+    "ngram_stats" ->
+      """WITH w AS (SELECT source, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+        |                                      x -> len(x) > 0) AS ws FROM documents),
+        |g AS (SELECT source, unnest(list_transform(range(1, len(ws)),
+        |        i -> ws[i] || ' ' || ws[i+1])) AS ngram
+        |      FROM w WHERE len(ws) >= 2),
+        |c AS (SELECT source, ngram, count(*) AS cnt FROM g GROUP BY 1, 2),
+        |r AS (SELECT source, ngram, cnt,
+        |        row_number() OVER (PARTITION BY source ORDER BY cnt DESC, ngram ASC) AS rn
+        |      FROM c)
+        |SELECT source, ngram, cnt FROM r WHERE rn <= 5 ORDER BY source, ngram""".stripMargin,
+    "corpus_report" ->
+      """WITH q AS (
+        |  SELECT source, lang, length(text) AS n_chars,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS INT) AS n_tokens,
+        |    round(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) / greatest(length(text), 1), 6) AS punct_ratio,
+        |    round(len(list_filter(string_split_regex(text, '\s+'),
+        |          x -> lower(x) IN ('the','a','an','of','to','and','in','is','it','that')))
+        |          / greatest(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)), 1), 6) AS stopword_ratio
+        |  FROM documents),
+        |s AS (SELECT source, lang, n_chars, n_tokens, round(least(1.0,
+        |        (least(n_tokens, 100) / 100.0) * 0.5
+        |        + (1.0 - least(punct_ratio * 5, 1.0)) * 0.25
+        |        + least(stopword_ratio * 4, 1.0) * 0.25), 6) AS score
+        |      FROM q)
+        |SELECT source, lang, count(*) AS docs, CAST(sum(n_tokens) AS BIGINT) AS tokens,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars, round(avg(score), 6) AS avg_quality
+        |FROM s GROUP BY 1, 2 ORDER BY source, lang""".stripMargin,
     "doc_shuffle" ->
       """WITH k AS (SELECT doc_id AS id, md5('shuf1|' || doc_id) AS k FROM documents),
         |s AS (SELECT id, k,

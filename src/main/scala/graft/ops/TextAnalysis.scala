@@ -36,17 +36,16 @@ object TextAnalysis {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("\\p{L}{1,4}|\\p{N}{1,3}|[^\\p{L}\\p{N}\\s]"), lit(0)))
 
-  /** Per-document quality metrics. */
-  def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
+  /** The quality metric columns over a text column (shared by [[quality]]
+    * and [[corpusReport]] so the report needs no per-doc re-join). */
+  private def qualityCols(t: Column): Seq[Column] = {
     val tokens = toks(t)
     val nTok = size(tokens)
     // ASCII punctuation spelled out (not \p{Punct}) so the DuckDB-RE2 oracle
     // can use the identical class
     val punct = size(regexp_extract_all(t, lit("[!-/:-@\\[-`{-~]"), lit(0)))
     val stop = size(filter(tokens, w => lower(w).isin("the", "a", "an", "of", "to", "and", "in", "is", "it", "that")))
-    df.select(col(idCol),
-      length(t).as("n_chars"),
+    Seq(length(t).as("n_chars"),
       nTok.as("n_tokens"),
       bpeishTokenCount(t).as("n_bpeish"),
       round(punct / greatest(length(t), lit(1)).cast(DoubleType), 6).as("punct_ratio"),
@@ -54,13 +53,20 @@ object TextAnalysis {
       round(length(t) / greatest(nTok, lit(1)).cast(DoubleType), 6).as("avg_token_len"))
   }
 
+  /** Per-document quality metrics. */
+  def quality(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol) +: qualityCols(col(textCol)): _*)
+
+  /** The [0,1] quality-score expression over the metric columns. */
+  private def scoreCol: Column =
+    round(least(lit(1.0),
+      (least(col("n_tokens"), lit(100)) / 100.0) * 0.5 +
+        (lit(1.0) - least(col("punct_ratio") * 5, lit(1.0))) * 0.25 +
+        least(col("stopword_ratio") * 4, lit(1.0)) * 0.25), 6)
+
   /** Quality score in [0,1] combining the metrics (weights are heuristic). */
   def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    quality(df, idCol, textCol).withColumn("score",
-      round(least(lit(1.0),
-        (least(col("n_tokens"), lit(100)) / 100.0) * 0.5 +
-          (lit(1.0) - least(col("punct_ratio") * 5, lit(1.0))) * 0.25 +
-          least(col("stopword_ratio") * 4, lit(1.0)) * 0.25), 6))
+    quality(df, idCol, textCol).withColumn("score", scoreCol)
 
   /** Language marker words (tiny per-language stopword seed sets). */
   val langMarkers: Map[String, Seq[String]] = Map(
@@ -286,6 +292,49 @@ object TextAnalysis {
           col("alpha_ratio") >= minAlphaRatio &&
           col("stop_hits") >= minStopwords)
   }
+
+  /**
+   * Per-group top-k n-gram statistics — the corpus-drift / contamination
+   * dashboard feed (which phrases dominate each source; which benchmark
+   * n-grams leak into training data). N-grams are windows over the
+   * canonical normalised token stream; counting is one (group, ngram)
+   * aggregation with map-side combine, the top-k a per-group window — both
+   * shuffles keyed by group/ngram, never by document, so the plan scales
+   * with corpus size and the result with |groups|·k. Ties break by ngram
+   * for determinism. Returns (group, ngram, cnt).
+   */
+  def ngramStats(df: DataFrame, groupCol: String, textCol: String,
+                 n: Int = 2, topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n > 0 && topK > 0, "need n > 0 and topK > 0")
+    val ws = normTokens(col(textCol))
+    val grams = when(size_(ws) >= n,
+      transform(sequence(lit(1), size_(ws) - (n - 1)),
+        i => array_join(slice(ws, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val counts = df.select(col(groupCol).as("grp"), explode(grams).as("ngram"))
+      .groupBy("grp", "ngram").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("grp").orderBy(col("cnt").desc, col("ngram").asc)
+    counts.withColumn("__rn", row_number().over(w)).where(col("__rn") <= topK)
+      .select(col("grp").as(groupCol), col("ngram"), col("cnt"))
+  }
+
+  /**
+   * Dataset report — the per-(source, language) card a curation pipeline
+   * publishes with every corpus snapshot: document/token/char volumes and
+   * the mean quality score. The metrics are narrow per-row expressions and
+   * the whole report is ONE map-side-combined aggregation keyed by the
+   * group — no per-doc join, no second pass; at 100 TB a single scan.
+   */
+  def corpusReport(df: DataFrame, sourceCol: String, langCol: String,
+                   textCol: String): DataFrame =
+    df.select(col(sourceCol) +: col(langCol) +: qualityCols(col(textCol)): _*)
+      .withColumn("score", scoreCol)
+      .groupBy(col(sourceCol), col(langCol))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("n_tokens")).as("tokens"),
+        sum(col("n_chars")).as("chars"),
+        round(avg(col("score")), 6).as("avg_quality"))
 
   // --------------------------------------------------------------------- PII
 

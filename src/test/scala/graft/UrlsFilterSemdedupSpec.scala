@@ -53,6 +53,32 @@ class UrlsFilterSemdedupSpec extends SparkSpec {
     assert(row5.getAs[Int]("stop_hits") == 0)
   }
 
+  test("ngramStats: top-k per group, count-desc then ngram-asc ties, short docs yield none") {
+    val docs = Seq(
+      (1L, "g1", "a b a b a b"), // "a b"×3, "b a"×2
+      (2L, "g1", "a b c"), // "a b", "b c"
+      (3L, "g1", "x"), // too short for a bigram
+      (4L, "g2", "p q")).toDF("id", "grp", "text")
+    val out = TextAnalysis.ngramStats(docs, "grp", "text", n = 2, topK = 2)
+      .orderBy("grp", "ngram").as[(String, String, Long)].collect().toSeq
+    assert(out == Seq(("g1", "a b", 4L), ("g1", "b a", 2L), ("g2", "p q", 1L)))
+  }
+
+  test("corpusReport aggregates volumes and mean quality per (source, lang)") {
+    val docs = Seq(
+      (1L, "s1", "en", "the cat sat on the mat"),
+      (2L, "s1", "en", "a dog ran"),
+      (3L, "s1", "de", "der hund"),
+      (4L, "s2", "en", "hello world")).toDF("id", "src", "lng", "text")
+    val out = TextAnalysis.corpusReport(docs, "src", "lng", "text")
+      .orderBy("src", "lng").collect()
+    assert(out.length == 3)
+    val s1en = out(1)
+    assert(s1en.getAs[Long]("docs") == 2 && s1en.getAs[Long]("tokens") == 9)
+    assert(s1en.getAs[Long]("chars") == 22 + 9)
+    assert(s1en.getAs[Double]("avg_quality") > 0.0 && s1en.getAs[Double]("avg_quality") <= 1.0)
+  }
+
   test("shuffleShards: a permutation — every row exactly once, dense positions per shard, stable across runs") {
     val df = (0L until 200L).toDF("doc_id")
     val out = TextAnalysis.shuffleShards(df, "doc_id", nShards = 8, salt = "s1")
