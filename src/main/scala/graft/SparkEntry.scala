@@ -1736,8 +1736,10 @@ object SparkEntry {
     "doc_shuffle" ->
       """WITH k AS (SELECT doc_id AS id, md5('shuf1|' || doc_id) AS k FROM documents),
         |s AS (SELECT id, k,
-        |        ((strpos('0123456789abcdef', substr(k, 1, 1)) - 1) * 16 +
-        |         (strpos('0123456789abcdef', substr(k, 2, 1)) - 1)) % 16 AS shard
+        |        ((((strpos('0123456789abcdef', substr(k, 1, 1)) - 1) * 16 +
+        |           (strpos('0123456789abcdef', substr(k, 2, 1)) - 1)) * 16 +
+        |           (strpos('0123456789abcdef', substr(k, 3, 1)) - 1)) * 16 +
+        |           (strpos('0123456789abcdef', substr(k, 4, 1)) - 1)) % 16 AS shard
         |      FROM k)
         |SELECT id, CAST(shard AS INT) AS shard,
         |       CAST(row_number() OVER (PARTITION BY shard ORDER BY k, id) - 1 AS BIGINT) AS pos

@@ -231,9 +231,11 @@ object TextAnalysis {
   def shuffleShards(df: DataFrame, idCol: String,
                     nShards: Int = 64, salt: String = "shuffle"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(nShards > 0, "need nShards > 0")
+    // 4 leading hex chars = 65536 shard slots: one byte would leave shards
+    // beyond 256 permanently empty, and 100 TB corpora want thousands
+    require(nShards > 0 && nShards <= 65536, "need 0 < nShards <= 65536")
     val key = md5(concat(lit(salt + "|"), col(idCol).cast("string")))
-    val shard = (conv(substring(key, 1, 2), 16, 10).cast(IntegerType) % nShards)
+    val shard = (conv(substring(key, 1, 4), 16, 10).cast(IntegerType) % nShards)
     // id tiebreak: md5 keys never collide in practice, but a deterministic
     // contract must not depend on that
     val w = Window.partitionBy("shard").orderBy(col("__k").asc, col("id").asc)

@@ -46,8 +46,12 @@ object Urls {
     val qs = array_join(array_sort(filter(
       split(regexp_extract(u, "\\?([^#]*)", 1), "&"),
       p => length(p) > 0 && !p.rlike(trackingPat))), "&")
-    concat(scheme, lit("://"), host, path,
-      when(length(qs) > 0, concat(lit("?"), qs)).otherwise(lit("")))
+    // unparseable scheme (e.g. "1http://x"): fall back to the lowercased
+    // input — otherwise every malformed URL would collapse into one "://"
+    // canonical group and wrongly dedup together
+    when(scheme === "", lower(url)).otherwise(
+      concat(scheme, lit("://"), host, path,
+        when(length(qs) > 0, concat(lit("?"), qs)).otherwise(lit(""))))
   }
 
   /**

@@ -22,6 +22,18 @@ class UrlsFilterSemdedupSpec extends SparkSpec {
     assert(canon("ftp://Example.com:80/f") == "ftp://example.com:80/f")
   }
 
+  test("canonicalize: unparseable scheme falls back to the lowercased input, no cross-collapse") {
+    assert(canon("1http://Broken.example/A") == "1http://broken.example/a")
+    assert(canon("2ftp://Other.example/B") == "2ftp://other.example/b")
+  }
+
+  test("shuffleShards spreads across more than 256 shards") {
+    val df = (0L until 4000L).toDF("doc_id")
+    val shards = TextAnalysis.shuffleShards(df, "doc_id", nShards = 1024, salt = "wide")
+      .select("shard").distinct().count()
+    assert(shards > 900, s"expected near-1024 distinct shards, got $shards")
+  }
+
   test("urlDedup keeps the lowest id per canonical group") {
     val df = Seq(
       (3L, "https://example.com/a?x=1&y=2"),
