@@ -794,6 +794,16 @@ object SparkEntry {
         col("duration_ms"), col("peak"), round(col("rms"), 4).as("rms"))
       .orderBy("media_id")
 
+  /** REAL G.711 A-law decode end-to-end (AU encoding 27): amplitude is the
+    * closed form (man·16)+8 for segment 0, ((man·16)+264)·2^(seg−1)
+    * otherwise, with man = id%16, seg = id%4. */
+  private def alawFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractAuFeatures(
+        Multimodal.syntheticAuAlaw(t(s, dir, "documents"), "doc_id"))
+      .select(col("media_id"), col("sample_rate"), col("n_samples"),
+        col("duration_ms"), col("peak"), round(col("rms"), 4).as("rms"))
+      .orderBy("media_id")
+
   /** REAL multi-frame container decode end-to-end: animated GIFs (2–4
     * frames of constant gray, LZW + palette via javax.imageio) fan out to
     * one row per frame; frame means are closed-form in (id, frame). */
@@ -1043,6 +1053,7 @@ object SparkEntry {
     "wav_features" -> wavFeatures,
     "aiff_features" -> aiffFeatures,
     "au_features" -> auFeatures,
+    "alaw_features" -> alawFeatures,
     "gif_frames" -> gifFrames,
     "bmp_features" -> bmpFeatures,
     "png_features" -> pngFeatures,
@@ -1448,6 +1459,18 @@ object SparkEntry {
         |       CAST(((1 + doc_id % 14) * 8 + 132) * CAST(pow(2, doc_id % 4) AS BIGINT) - 132 AS BIGINT) AS peak,
         |       round(CAST(((1 + doc_id % 14) * 8 + 132) * CAST(pow(2, doc_id % 4) AS BIGINT) - 132 AS DOUBLE), 4) AS rms
         |FROM documents ORDER BY 1""".stripMargin,
+    "alaw_features" ->
+      """WITH a AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN (doc_id % 16) * 16 + 8
+        |       ELSE ((doc_id % 16) * 16 + 264) * CAST(pow(2, doc_id % 4 - 1) AS BIGINT)
+        |  END AS amp FROM documents)
+        |SELECT doc_id AS media_id,
+        |       CAST(8000 AS BIGINT) AS sample_rate,
+        |       CAST(400 + (doc_id % 50) * 16 AS BIGINT) AS n_samples,
+        |       CAST((400 + (doc_id % 50) * 16) / 8 AS BIGINT) AS duration_ms,
+        |       CAST(amp AS BIGINT) AS peak,
+        |       round(CAST(amp AS DOUBLE), 4) AS rms
+        |FROM a ORDER BY 1""".stripMargin,
     "gif_frames" ->
       """SELECT d.doc_id AS media_id, f.range AS frame_index,
         |       CAST(2 + d.doc_id % 3 AS BIGINT) AS n_frames,

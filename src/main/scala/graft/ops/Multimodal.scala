@@ -574,9 +574,10 @@ object Multimodal {
     * may exceed 24 (annotation region skipped), data size 0xFFFFFFFF means
     * "rest of file". Payloads: G.711 µ-law (encoding 1) expanded per the
     * CCITT reference — complement, then sign/exponent/mantissa with
-    * magnitude ((man·8+132)·2^exp)−132 — or 16-bit linear big-endian PCM
-    * (encoding 3). Same feature contract and Long-space length hardening
-    * as [[decodeWav]]. */
+    * magnitude ((man·8+132)·2^exp)−132; 16-bit linear big-endian PCM
+    * (encoding 3); G.711 A-law (encoding 27) — XOR 0x55, then segment 0
+    * gives (man·16)+8 and segment s≥1 gives ((man·16)+264)·2^(s−1). Same
+    * feature contract and Long-space length hardening as [[decodeWav]]. */
   private[graft] def decodeAu(id: Long, b: Array[Byte]): WavFeature = {
     require(b.length >= 24 && b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd',
       "not a Sun AU file")
@@ -609,6 +610,19 @@ object Multimodal {
           i += 1
         }
         (frames, 16L)
+      case 27 => // 8-bit A-law
+        var i = 0
+        while (i < len) {
+          val x = (b(off + i) ^ 0x55) & 0xFF
+          val seg = (x & 0x70) >> 4
+          val man = x & 0xF
+          val mag = if (seg == 0) (man << 4) + 8 else ((man << 4) + 0x108) << (seg - 1)
+          val s = if ((x & 0x80) != 0) mag.toLong else -mag.toLong
+          if (math.abs(s) > peak) peak = math.abs(s)
+          sumSq += s.toDouble * s.toDouble
+          i += 1
+        }
+        (len, 8L)
       case _ => throw new IllegalArgumentException(s"unsupported AU encoding $enc")
     }
     val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
@@ -648,6 +662,34 @@ object Multimodal {
     val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
     df.select(col(idCol).cast(LongType))
       .map(r => (r.getLong(0), syntheticAuBytes(r.getLong(0))))(enc)
+      .toDF("media_id", "media")
+  }
+
+  /** Deterministic VALID A-law AU per id (encoding 27): mantissa id mod 16,
+    * segment id mod 4, sign flipping every 8 samples — decoded amplitude is
+    * the closed form (man·16)+8 for segment 0, ((man·16)+264)·2^(seg−1)
+    * otherwise; RMS = peak = amplitude exactly. */
+  private[graft] def syntheticAuAlawBytes(id: Long): Array[Byte] = {
+    val rate = 8000; val n = (400 + (id % 50) * 16).toInt
+    val man = (id % 16).toInt; val seg = (id % 4).toInt
+    val out = new Array[Byte](24 + n)
+    def put32(o: Int, v: Int): Unit = { out(o) = (v >> 24).toByte; out(o + 1) = (v >> 16).toByte
+      out(o + 2) = (v >> 8).toByte; out(o + 3) = v.toByte }
+    out(0) = '.'; out(1) = 's'; out(2) = 'n'; out(3) = 'd'
+    put32(4, 24); put32(8, n); put32(12, 27); put32(16, rate); put32(20, 1)
+    var i = 0
+    while (i < n) {
+      val x = (if ((i / 8) % 2 == 0) 0x80 else 0x00) | (seg << 4) | man
+      out(24 + i) = ((x ^ 0x55) & 0xFF).toByte
+      i += 1
+    }
+    out
+  }
+
+  def syntheticAuAlaw(df: DataFrame, idCol: String): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    df.select(col(idCol).cast(LongType))
+      .map(r => (r.getLong(0), syntheticAuAlawBytes(r.getLong(0))))(enc)
       .toDF("media_id", "media")
   }
 

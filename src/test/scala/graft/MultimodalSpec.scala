@@ -165,6 +165,26 @@ class MultimodalSpec extends SparkSpec {
     assert(decodeOne(0x80) == 32124L)
   }
 
+  test("AU A-law square wave features are exact; G.711 A-law extremes match the reference") {
+    for (id <- Seq(0L, 3L, 13L, 27L, 49L, 255L)) {
+      val f = Multimodal.decodeAu(id, Multimodal.syntheticAuAlawBytes(id))
+      val man = id % 16; val seg = id % 4
+      val amp = if (seg == 0) man * 16 + 8 else ((man * 16) + 264) << (seg - 1).toInt
+      assert(f.sample_rate == 8000 && f.bits == 8 && f.n_samples == 400 + (id % 50) * 16)
+      assert(f.peak == amp && math.abs(f.rms - amp) < 1e-9,
+        s"id=$id peak=${f.peak} rms=${f.rms} expect $amp")
+    }
+    // reference extremes: stored 0xD5 → x 0x80 (seg 0, man 0, +) → 8;
+    // stored 0xAA → x 0xFF (seg 7, man 15, +) → 32256
+    def one(stored: Int): Long = {
+      val b = Multimodal.syntheticAuAlawBytes(0L).take(24) ++ Array(stored.toByte)
+      b(8) = 0; b(9) = 0; b(10) = 0; b(11) = 1
+      Multimodal.decodeAu(0L, b).peak
+    }
+    assert(one(0xD5) == 8L)
+    assert(one(0xAA) == 32256L)
+  }
+
   test("AU decoder honours the data offset, rest-of-file size, and 16-bit PCM; rejects hostile input") {
     // annotation region: offset 32 (8 junk bytes after the 24-byte header)
     val base = Multimodal.syntheticAuBytes(5L)
