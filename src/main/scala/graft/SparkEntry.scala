@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
 import graft.engine.Graft
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis, Urls}
-import graft.sources.RdbToRdf
+import graft.ops.{Dedup, Html, Multimodal, Similarity, TextAnalysis, Urls}
+import graft.sources.{RdbToRdf, Warc}
 
 /**
  * Driver contract: one entry per implemented operator (SURVEY.md §2 + the
@@ -763,6 +763,33 @@ object SparkEntry {
       Multimodal.syntheticMedia(t(s, dir, "documents"), "doc_id"), n = 4)
       .orderBy("media_id", "frame_index")
 
+  /** REAL WARC (ISO 28500) container walk end-to-end: two records per doc
+    * (warcinfo + an HTTP response whose body is the document's own text),
+    * every other doc's blob gzipped one-member-per-record; the oracle
+    * reconstructs both rows closed-form from the documents table, so
+    * framing, gzip, header fields, and HTTP payload parsing are all
+    * verified against real payload bytes. */
+  private def warcExtract(s: SparkSession, dir: String): DataFrame =
+    Warc.records(
+        Warc.syntheticWarc(t(s, dir, "documents"), "doc_id", "text"),
+        "doc_id", "warc")
+      .select(col("source"), col("record_ord"), col("warc_type"),
+        col("record_id"), col("target_uri"), col("http_status"),
+        col("http_content_type"), col("body"))
+      .orderBy("source", "record_ord")
+
+  /** HTML → text extraction over deterministic tag soup wrapped around each
+    * document's text (script/style blocks with hostile markup inside,
+    * comments, entities, nav/footer boilerplate). The oracle builds the
+    * IDENTICAL page in SQL and runs the IDENTICAL regex cascade through
+    * DuckDB's RE2 — a differential test of the extraction, not a
+    * self-confirmation. */
+  private def htmlExtract(s: SparkSession, dir: String): DataFrame =
+    Html.extract(
+        Html.syntheticPage(t(s, dir, "documents"), "doc_id", "text"),
+        "doc_id", "html")
+      .orderBy("doc_id")
+
   /** REAL WAV decode end-to-end: synthesize valid RIFF/PCM square waves from
     * doc ids, parse them back with the zero-dependency decoder; a square
     * wave's RMS equals its amplitude, so every feature is a closed-form
@@ -1048,6 +1075,8 @@ object SparkEntry {
     "ngram_stats" -> ngramStats,
     "corpus_report" -> corpusReport,
     "doc_chunks" -> docChunks,
+    "warc_extract" -> warcExtract,
+    "html_extract" -> htmlExtract,
     "frame_sample" -> frameSample,
     "multimodal_features" -> multimodalFeatures,
     "wav_features" -> wavFeatures,
@@ -1831,6 +1860,55 @@ object SparkEntry {
         |SELECT doc_id, CAST(ch.ci AS BIGINT) AS chunk_index, ch.t AS chunk_text,
         |       CAST(ch.nt AS BIGINT) AS n_tokens
         |FROM c WHERE ch.nt > 0 ORDER BY 1, 2""".stripMargin,
+    "warc_extract" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS source, CAST(0 AS INT) AS record_ord,
+        |       'warcinfo' AS warc_type,
+        |       '<urn:uuid:00000000-0000-0000-0000-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') || '>' AS record_id,
+        |       CAST(NULL AS VARCHAR) AS target_uri, CAST(NULL AS INT) AS http_status,
+        |       CAST(NULL AS VARCHAR) AS http_content_type,
+        |       'software: graft/0.6' || chr(13) || chr(10) ||
+        |         'hostname: crawler-' || CAST(doc_id % 7 AS VARCHAR) || chr(13) || chr(10) AS body
+        |FROM documents
+        |UNION ALL
+        |SELECT CAST(doc_id AS VARCHAR), CAST(1 AS INT), 'response',
+        |       '<urn:uuid:00000000-0000-0000-0001-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') || '>',
+        |       'http://example.org/doc/' || CAST(doc_id AS VARCHAR), CAST(200 AS INT),
+        |       'text/html; charset=utf-8', text
+        |FROM documents
+        |ORDER BY 1, 2""".stripMargin,
+    "html_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<!DOCTYPE html>' || chr(10) || '<html>' || chr(10) || '<head>' || chr(10) ||
+        |    '<title>Doc ' || CAST(doc_id AS VARCHAR) || ' &amp; friends</title>' || chr(10) ||
+        |    '<style>body { color: #333; }</style>' || chr(10) ||
+        |    '<script type="text/javascript">var x = "<p>not text</p>"; if (1 < 2) { x = x + "&amp;"; }</script>' || chr(10) ||
+        |    '</head>' || chr(10) || '<body>' || chr(10) ||
+        |    '<nav><a href="/home">Home</a> <a href="/about">About</a></nav>' || chr(10) ||
+        |    '<!-- rendered by crawler ' || CAST(doc_id % 7 AS VARCHAR) || ' -->' || chr(10) ||
+        |    '<h1>Document ' || CAST(doc_id AS VARCHAR) || '</h1>' || chr(10) ||
+        |    '<p>' || text || '</p>' || chr(10) ||
+        |    '<p>Tags: &lt;b&gt;bold&lt;/b&gt; &quot;quoted&quot; &#39;s &nbsp;end</p>' || chr(10) ||
+        |    '<footer><a href="/tos">Terms</a></footer>' || chr(10) || '</body>' || chr(10) || '</html>' AS html
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id, html,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |          '(?s)<!--.*?-->', ' ', 'g'),
+        |          '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |          '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |          '(?s)<[^>]*>', ' ', 'g'),
+        |        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+        |      '[ \t\r\n]+', ' ', 'g')) AS txt
+        |  FROM h)
+        |SELECT doc_id,
+        |  regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1) AS title,
+        |  txt AS text,
+        |  CAST(len(regexp_extract_all(html, '(?i)<a[ \t\r\n>]')) AS INT) AS n_links,
+        |  round(CAST(length(txt) AS DOUBLE) / CAST(length(html) AS DOUBLE), 6) AS text_ratio
+        |FROM x ORDER BY 1""".stripMargin,
     "dedup_keep" ->
       s"""WITH RECURSIVE $MhPairCtes,
         |prs AS (SELECT id_a, id_b FROM cand
