@@ -161,6 +161,26 @@ object Warc {
       .toDF()
   }
 
+  /** Streaming variant of [[read]]: new `.warc`/`.warc.gz` files landing
+    * under `dir` are parsed per micro-batch — continuous crawl ingestion
+    * (a fetcher fleet drops segment files; this side never backs up because
+    * the per-file parse is a narrow transform). Standard file-source
+    * options (`maxFilesPerTrigger`, globs, archiving) apply downstream of
+    * here, and the quality/dedup streaming ops compose on the result. */
+  def readStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.readStream.format("binaryFile")
+      .option("pathGlobFilter", "*.warc*")
+      .schema(new org.apache.spark.sql.types.StructType()
+        .add("path", "string").add("modificationTime", "timestamp")
+        .add("length", "long").add("content", "binary"))
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) => parseRecords(p, bytes) }(rowEnc)
+      .toDF()
+  }
+
   /** Parse a binary column of WARC blobs already in a DataFrame (e.g. out
     * of a message queue or a parquet staging table): one row per record,
     * narrow transform. `idCol` labels the `source` column. */

@@ -96,6 +96,10 @@ object OpsScaleProbe {
       k = 64, iters = 3))
     time("semdedup(k=64)")(Similarity.semDedup(vecs, "vec_id", "embedding",
       k = 64, iters = 2, minCosine = 0.95))
+    time("html_extract")(graft.ops.Html.extract(
+      graft.ops.Html.syntheticPage(docs, "doc_id", "text"), "doc_id", "html"))
+    time("warc_parse")(graft.sources.Warc.records(
+      graft.sources.Warc.syntheticWarc(docs, "doc_id", "text"), "doc_id", "warc"))
     spark.stop()
   }
 }

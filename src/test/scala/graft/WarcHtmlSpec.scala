@@ -85,6 +85,26 @@ class WarcHtmlSpec extends SparkSpec {
     }
   }
 
+  test("streaming read: records from files landing across micro-batches") {
+    val dir = Files.createTempDirectory("warcstream").toFile
+    try {
+      Files.write(new java.io.File(dir, "seg0.warc").toPath, Warc.syntheticWarcBytes(2L, "first batch"))
+      val q = Warc.readStream(spark, dir.getAbsolutePath)
+        .where(col("warc_type") === "response").select("target_uri", "body")
+        .writeStream.format("memory").queryName("warc_stream").outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        Files.write(new java.io.File(dir, "seg1.warc.gz").toPath, Warc.syntheticWarcBytes(3L, "second batch"))
+        q.processAllAvailable()
+        val got = spark.table("warc_stream").as[(String, String)].collect().toSet
+        assert(got == Set(("http://example.org/doc/2", "first batch"),
+                          ("http://example.org/doc/3", "second batch")))
+      } finally q.stop()
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   // ------------------------------------------------------------------ HTML
 
   private def text(html: String): String = {
