@@ -1738,7 +1738,9 @@ object SparkEntry {
         |    WHEN 3 THEN 'https://example' || (doc_id%7)::VARCHAR || '.org/item/' || (doc_id%13)::VARCHAR || '?b=2&a=1#frag'
         |    ELSE 'https://example' || (doc_id%7)::VARCHAR || '.org/item/' || (doc_id%13)::VARCHAR || '?a=1&b=2' END AS url
         |  FROM documents),
-        |u AS (SELECT id, CASE WHEN contains(url, '://') THEN url ELSE 'http://' || url END AS u FROM d),
+        |u AS (SELECT id, CASE WHEN starts_with(url, '//') THEN 'http:' || url
+        |                      WHEN contains(url, '://') THEN url
+        |                      ELSE 'http://' || url END AS u FROM d),
         |c AS (SELECT id,
         |   lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
         |   regexp_replace(lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\.', '') AS host0,

@@ -584,9 +584,14 @@ object Similarity {
    */
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
                k: Int = 8, iters: Int = 3, minCosine: Double = 0.3): DataFrame = {
-    // the assignment already carries each vector — no corpus re-join by id
+    // the assignment already carries each vector — no corpus re-join by id.
+    // localCheckpoint: the plan below consumes withV THREE times (both
+    // pair-join sides + the final keep join); without it the final join
+    // re-runs the whole k-means assignment scan (exchange reuse covers at
+    // most the two identically-shaped join sides). One O(corpus)
+    // materialisation replaces a duplicated corpus-wide recompute.
     val withV = kmeansAssignWithV(emb, idCol, vecCol, k, iters)
-      .withColumn("nr", norm(col("v")))
+      .withColumn("nr", norm(col("v"))).localCheckpoint()
     val a = withV.select(col("cluster"), col("id").as("id_a"),
       col("v").as("va"), col("nr").as("na"))
     val b = withV.select(col("cluster"), col("id").as("id_b"),

@@ -210,7 +210,11 @@ object TextAnalysis {
           .as("rate")))
     val u = (conv(substring(md5(concat(lit(salt + "|"), col(idCol).cast("string"))), 1, 10), 16, 10)
       .cast("double") + 0.5) / 1099511627776.0d
-    df.join(rates, df(strataCol) === rates("__s"))
+    // null-SAFE stratum match: groupBy keeps a null stratum in the
+    // histogram (its weight counts toward the total), so a plain === join
+    // would silently drop every null-stratum row while still deflating all
+    // real strata's keep rates — null is a stratum like any other here
+    df.join(rates, df(strataCol) <=> rates("__s"))
       .where(u < col("rate"))
       .select(col(idCol), col(strataCol), col("rate"))
   }
@@ -220,8 +224,9 @@ object TextAnalysis {
    * before shard writing (data-loading order must look random but be
    * reproducible across runs/engines): each row gets the portable
    * md5-derived key `md5(salt|id)`, its shard is a hash-balanced function
-   * of the key's leading byte, and its position within the shard is the
-   * key's rank there. Reading shards round-robin by position replays one
+   * of the key's leading 16 bits (4 hex chars, 65536 slots — see the
+   * require below), and its position within the shard is the key's rank
+   * there. Reading shards round-robin by position replays one
    * fixed global pseudo-random permutation.
    *
    * Distribution: ONE shuffle keyed by shard (the window partition);

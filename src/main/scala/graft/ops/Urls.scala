@@ -32,7 +32,13 @@ object Urls {
    * scope (kept verbatim). A narrow per-row expression — no shuffle.
    */
   def canonicalize(url: Column): Column = {
-    val u = when(url.contains("://"), url).otherwise(concat(lit("http://"), url))
+    // protocol-relative "//host/path" gets a bare scheme — prepending
+    // "http://" would yield "http:////host/path" with an EMPTY authority,
+    // so host lowering/www-stripping would never apply and the URL could
+    // never dedup with its absolute form
+    val u = when(url.startsWith("//"), concat(lit("http:"), url))
+      .when(url.contains("://"), url)
+      .otherwise(concat(lit("http://"), url))
     val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val hostNoWww = regexp_replace(
       lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
@@ -46,10 +52,12 @@ object Urls {
     val qs = array_join(array_sort(filter(
       split(regexp_extract(u, "\\?([^#]*)", 1), "&"),
       p => length(p) > 0 && !p.rlike(trackingPat))), "&")
-    // unparseable scheme (e.g. "1http://x"): fall back to the lowercased
-    // input — otherwise every malformed URL would collapse into one "://"
-    // canonical group and wrongly dedup together
-    when(scheme === "", lower(url)).otherwise(
+    // unparseable scheme (e.g. "1http://x"): fall back to the input
+    // VERBATIM — otherwise every malformed URL would collapse into one
+    // "://" canonical group and wrongly dedup together. Not lowercased:
+    // the valid branch keeps path/query case, and case-distinct malformed
+    // URLs are distinct documents
+    when(scheme === "", url).otherwise(
       concat(scheme, lit("://"), host, path,
         when(length(qs) > 0, concat(lit("?"), qs)).otherwise(lit(""))))
   }

@@ -82,4 +82,16 @@ class CurationOpsSpec extends SparkSpec {
       targetRows = 1000, temperature = 0.5, salt = "t")
     assert(all.count() == 10 && all.select("rate").distinct().collect().map(_.getDouble(0)).toSeq == Seq(1.0))
   }
+
+  test("mixtureSample: a null stratum is a stratum — sampled, not silently dropped") {
+    val d = ((1L to 4L).map(i => (i, null: String)) ++ (5L to 8L).map(i => (i, "en")))
+      .toDF("doc_id", "src")
+    // target >= corpus: every rate caps at 1.0, so ALL 8 rows must come
+    // back — with a non-null-safe join the 4 null rows vanish while the
+    // null group's weight still deflated the real strata
+    val all = TextAnalysis.mixtureSample(d, "doc_id", "src",
+      targetRows = 100, temperature = 1.0, salt = "n")
+    assert(all.count() == 8)
+    assert(all.where(all("src").isNull).count() == 4)
+  }
 }

@@ -22,9 +22,18 @@ class UrlsFilterSemdedupSpec extends SparkSpec {
     assert(canon("ftp://Example.com:80/f") == "ftp://example.com:80/f")
   }
 
-  test("canonicalize: unparseable scheme falls back to the lowercased input, no cross-collapse") {
-    assert(canon("1http://Broken.example/A") == "1http://broken.example/a")
-    assert(canon("2ftp://Other.example/B") == "2ftp://other.example/b")
+  test("canonicalize: unparseable scheme falls back to the input verbatim, no cross-collapse") {
+    assert(canon("1http://Broken.example/A") == "1http://Broken.example/A")
+    assert(canon("2ftp://Other.example/B") == "2ftp://Other.example/B")
+    // case-distinct malformed URLs stay distinct (the valid branch keeps
+    // path case too; lowercasing everything here would wrongly dedup them)
+    assert(canon("1http://x/A") != canon("1http://x/a"))
+  }
+
+  test("canonicalize: protocol-relative //host gets a scheme and a real authority") {
+    assert(canon("//WWW.Example.com/a/") == "http://example.com/a")
+    // must dedup with the absolute form
+    assert(canon("//www.example.com/a") == canon("http://example.com/a"))
   }
 
   test("shuffleShards spreads across more than 256 shards") {
