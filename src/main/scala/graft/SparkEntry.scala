@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
 import graft.engine.Graft
-import graft.ops.{Dedup, Html, Multimodal, Similarity, TextAnalysis, Urls}
+import graft.ops.{Dedup, Html, Multimodal, Similarity, TemporalJoins, TextAnalysis, Urls}
 import graft.sources.{RdbToRdf, Warc}
 
 /**
@@ -489,6 +489,41 @@ object SparkEntry {
       .groupBy("user_id")
       .agg(sum("new_session").cast(LongType).as("sessions"), count(lit(1)).as("events"))
       .orderBy("user_id")
+  }
+
+  /** Backward as-of join: each click picks up the user's most recent prior
+    * view (inclusive at equal ts). Tagged-union + running-window carry — one
+    * shuffle on user_id, no BNLJ; oracled against DuckDB's native ASOF JOIN. */
+  private def eventsAsof(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("value"))
+    TemporalJoins.asofJoin(clicks, views, Seq("user_id"), "ts", "ts",
+        Seq("value"), outPrefix = "view_")
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts").cast(TimestampType)).as("click_ts_ms"),
+        col("view_matched_ts_ms"), col("view_value"))
+      .orderBy("event_id")
+  }
+
+  /** Interval (range) join via time bucketization: every event falling in an
+    * error-incident window [ts, ts+10min), aggregated per incident. The
+    * range predicate becomes an equi-join on 10-minute bins + residual
+    * filter; DuckDB runs the plain inequality join as the oracle. */
+  private def eventsIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val incidents = ev.where(col("event_type") === "error")
+      .select(col("event_id").as("incident_id"), col("ts").as("inc_start"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("inc_end"))
+    val evs = ev.select(col("ts"), col("value"))
+    TemporalJoins.intervalJoin(evs, "ts", incidents, "inc_start", "inc_end",
+        binSeconds = 600L)
+      .groupBy("incident_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast(LongType)).as("value_cents"))
+      .orderBy("incident_id")
   }
 
   // ------------------------------------------------------------ pipeline ops
@@ -1035,6 +1070,8 @@ object SparkEntry {
     "q5_region_revenue" -> q5RegionRevenue,
     "events_top_per_user" -> eventsTopPerUser,
     "events_sessionize" -> eventsSessionize,
+    "events_asof" -> eventsAsof,
+    "events_interval_join" -> eventsIntervalJoin,
     "dedup_exact" -> dedupExact,
     "dedup_jaccard" -> dedupJaccard,
     "dedup_jaccard_prefix" -> dedupJaccardPrefix,
@@ -1341,6 +1378,20 @@ object SparkEntry {
         |      FROM (SELECT user_id, ts,
         |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
         |            FROM events))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_asof" ->
+      """SELECT l.event_id, l.user_id, epoch_ms(l.ts) AS click_ts_ms,
+        |       epoch_ms(r.ts) AS view_matched_ts_ms, r.value AS view_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+    "events_interval_join" ->
+      """SELECT i.incident_id, count(*) AS n_events,
+        |       CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM (SELECT event_id AS incident_id, ts AS s, ts + INTERVAL 10 MINUTE AS t
+        |      FROM events WHERE event_type = 'error') i
+        |JOIN events e ON e.ts >= i.s AND e.ts < i.t
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
