@@ -90,4 +90,57 @@ object EventStreams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__h")
       .drop("__h")
+
+  final case class Enriched(event_id: Long, user_id: Long, ts: Timestamp, value: Double,
+                            matched_ts: Option[Timestamp], matched_value: Option[Double])
+  final case class AsofState(rights: List[(Long, Double)])
+
+  /**
+   * Streaming backward as-of enrichment — the streaming face of
+   * [[graft.ops.TemporalJoins.asofJoin]]: each `leftType` event is enriched
+   * with the most recent `rightType` event (by event time, inclusive) for
+   * the same user.
+   *
+   * State per key is a buffer of right events within `bufferMs` of the
+   * newest right seen (the Flink-style interval-join state shape): a left
+   * event that arrives out of order still binds to the right row that
+   * preceded IT, not merely the newest. Rows within one micro-batch are
+   * processed in event-time order; a right arriving in a later batch than a
+   * left it should have matched cannot retract the emission (append mode) —
+   * the batch operator is the backfill-exact counterpart, state stays
+   * O(rights within bufferMs) per active key.
+   */
+  def asofEnrichStream(events: Dataset[Event], leftType: String, rightType: String,
+                       bufferMs: Long = 60 * 60 * 1000L): Dataset[Enriched] = {
+    import events.sparkSession.implicits._
+    events.filter(e => e.event_type == leftType || e.event_type == rightType)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, Enriched](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[AsofState]) =>
+          // Right events sort before left at equal ts: inclusive match.
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, if (e.event_type == rightType) 0 else 1, e.event_id))
+          var rights = state.getOption.map(_.rights).getOrElse(Nil) // descending ts
+          val out = Seq.newBuilder[Enriched]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            if (e.event_type == rightType) {
+              // Keep descending order under out-of-order arrivals; equal-ts
+              // duplicates collapse to the largest value (the batch
+              // operator's deterministic tie-break); trim to the horizon.
+              val (newer, rest) = rights.partition(_._1 > t)
+              val (eq, older) = rest.partition(_._1 == t)
+              val v = (e.value :: eq.map(_._2)).max
+              val horizon = math.max(t, rights.headOption.map(_._1).getOrElse(Long.MinValue)) - bufferMs
+              rights = (newer ::: (t, v) :: older).takeWhile(_._1 >= horizon)
+            } else {
+              val m = rights.find(_._1 <= t)
+              out += Enriched(e.event_id, e.user_id, e.ts, e.value,
+                m.map(r => new Timestamp(r._1)), m.map(_._2))
+            }
+          }
+          state.update(AsofState(rights))
+          out.result().iterator
+      }
+  }
 }

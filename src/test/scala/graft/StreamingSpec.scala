@@ -130,4 +130,49 @@ class StreamingSpec extends SparkSpec {
       assert(byPred == Map("urn:name" -> 2L, "urn:age" -> 1L))
     } finally q.stop()
   }
+
+  test("streaming as-of enrichment binds each click to the latest prior view, across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventStreams.asofEnrichStream(input.toDS(), "click", "view")
+      .writeStream.format("memory").queryName("asof_enrich").outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "view", 10.0),
+        Event(2, ts(5), 1, "click", 1.0), // → view@0
+        Event(3, ts(5), 2, "click", 2.0), // no view for user 2 → null
+        Event(4, ts(6), 1, "view", 20.0))
+      q.processAllAvailable()
+      // Batch 2: a late click (ts 3) must bind to the OLD view@0, not view@6;
+      // a fresh click binds to view@6. State carries across batches.
+      input.addData(
+        Event(5, ts(3), 1, "click", 3.0), // late → view@0
+        Event(6, ts(9), 1, "click", 4.0)) // → view@6
+      q.processAllAvailable()
+      val out = spark.table("asof_enrich").as[EventStreams.Enriched]
+        .collect().map(e => e.event_id -> ((e.matched_ts.map(_.getTime), e.matched_value))).toMap
+      assert(out(2L) === ((Some(ts(0).getTime), Some(10.0))))
+      assert(out(3L) === ((None, None)))
+      assert(out(5L) === ((Some(ts(0).getTime), Some(10.0))))
+      assert(out(6L) === ((Some(ts(6).getTime), Some(20.0))))
+    } finally q.stop()
+  }
+
+  test("streaming as-of trims right-event state to the buffer horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    // 10-minute buffer: a view 30 minutes older than the newest view is evicted.
+    val q = EventStreams.asofEnrichStream(input.toDS(), "click", "view", bufferMs = 10 * 60000L)
+      .writeStream.format("memory").queryName("asof_trim").outputMode("append").start()
+    try {
+      input.addData(Event(1, ts(0), 1, "view", 1.0), Event(2, ts(30), 1, "view", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(3, ts(4), 1, "click", 0.0)) // view@0 evicted → no match ≤ ts(4)
+      q.processAllAvailable()
+      val out = spark.table("asof_trim").as[EventStreams.Enriched].collect()
+      assert(out.length == 1 && out.head.matched_value.isEmpty)
+    } finally q.stop()
+  }
 }
