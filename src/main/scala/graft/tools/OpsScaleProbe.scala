@@ -100,6 +100,26 @@ object OpsScaleProbe {
       graft.ops.Html.syntheticPage(docs, "doc_id", "text"), "doc_id", "html"))
     time("warc_parse")(graft.sources.Warc.records(
       graft.sources.Warc.syntheticWarc(docs, "doc_id", "text"), "doc_id", "warc"))
+    // temporal joins: one event per doc spread over ~nDocs seconds across
+    // 1000 keys; as-of = one shuffle + window, interval = bin equi-join.
+    val events = spark.range(nDocs).select(
+      col("id").as("event_id"), (col("id") % 1000).as("key"),
+      timestamp_seconds(lit(1700000000L) + col("id") * 7 % (nDocs / 2)).as("ts"),
+      (col("id") % 100).cast("double").as("value"),
+      when(col("id") % 3 === 0, "left").otherwise("right").as("side")).localCheckpoint()
+    time("asof_join") {
+      graft.ops.TemporalJoins.asofJoin(
+        events.where(col("side") === "left").drop("side"),
+        events.where(col("side") === "right").drop("side"),
+        Seq("key"), "ts", "ts", Seq("value"))
+    }
+    time("interval_join(10min bins)") {
+      val iv = events.where(col("side") === "left" && col("event_id") % 50 === 0)
+        .select(col("event_id").as("iv_id"), col("ts").as("s"),
+          timestamp_seconds(unix_timestamp(col("ts")) + 600).as("e"))
+      graft.ops.TemporalJoins.intervalJoin(
+        events.select(col("event_id"), col("ts")), "ts", iv, "s", "e", binSeconds = 600L)
+    }
     spark.stop()
   }
 }

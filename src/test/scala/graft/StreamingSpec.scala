@@ -175,4 +175,35 @@ class StreamingSpec extends SparkSpec {
       assert(out.length == 1 && out.head.matched_value.isEmpty)
     } finally q.stop()
   }
+
+  test("stream-stream interval join: watermarked event-time range condition, Spark-native") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // The streaming face of TemporalJoins.intervalJoin: Spark's built-in
+    // stream-stream join already supports event-time range conditions with
+    // watermark-bounded state, so no custom operator is needed — declare the
+    // range predicate and let the engine manage state eviction.
+    val lefts = MemoryStream[Event]
+    val rights = MemoryStream[Event]
+    val l = lefts.toDF().withWatermark("ts", "1 hour")
+      .select(col("event_id").as("l_id"), col("user_id").as("l_user"), col("ts").as("l_ts"))
+    val r = rights.toDF().withWatermark("ts", "1 hour")
+      .select(col("event_id").as("r_id"), col("user_id").as("r_user"), col("ts").as("r_ts"))
+    val joined = l.join(r,
+      col("l_user") === col("r_user") &&
+        col("r_ts") >= col("l_ts") && col("r_ts") < col("l_ts") + expr("INTERVAL 10 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("ss_interval")
+      .outputMode("append").start()
+    try {
+      lefts.addData(Event(1, ts(0), 1, "incident", 0.0))
+      rights.addData(
+        Event(10, ts(5), 1, "obs", 1.0), // in window
+        Event(11, ts(12), 1, "obs", 2.0), // outside window
+        Event(12, ts(5), 2, "obs", 3.0)) // other user
+      q.processAllAvailable()
+      val got = spark.table("ss_interval").select("l_id", "r_id")
+        .as[(Long, Long)].collect().toSet
+      assert(got === Set((1L, 10L)))
+    } finally q.stop()
+  }
 }
