@@ -55,14 +55,29 @@ object ExprCompiler {
       * expressions are total (errors → NULL), so eager evaluation of a
       * bound operand is safe. */
     def bind(c: Column): Column = c
+    /** Per-solution nonce for labeled BNODE scoping (spec §17.4.2.9): the
+      * rewriter materialises one uuid column per BIND-chain / select-
+      * expression run so BNODE("l") is stable within a solution and fresh
+      * across solutions. Absent in contexts without a solution relation
+      * (join conditions, aggregates) — there the label hashes alone. */
+    def sol: Option[Column] = None
   }
 
   def envOf(inScope: Set[String], kinds: Map[String, Int] = Map.empty,
-            binder: Column => Column = identity): Env =
+            binder: Column => Column = identity,
+            solCol: Option[Column] = None): Env =
     new Env {
       def apply(name: String): Column = if (inScope(name)) col(name) else nullTerm
       override def kind(name: String): Option[Int] = kinds.get(name)
       override def bind(c: Column): Column = binder(c)
+      override def sol: Option[Column] = solCol
+    }
+
+  /** Does the expression call the labeled BNODE form anywhere? */
+  def usesLabeledBnode(e: Expr): Boolean =
+    exprContains(e) {
+      case ECall("BNODE", args) => args.nonEmpty
+      case _ => false
     }
 
   /** Bind the compiled form of `e` unless it is trivially small. */
@@ -657,7 +672,15 @@ object ExprCompiler {
         when(isIri(a0), a0).when(isSimpleString(a0), TermCols.iri(resolved)).otherwise(nullTerm)
       case "BNODE" =>
         if (args.isEmpty) TermCols.bnode(expr("uuid()"))
-        else when(isSimpleString(a0), TermCols.bnode(concat(lit("b"), md5(value(a0))))).otherwise(nullTerm)
+        else {
+          // Labeled form (spec §17.4.2.9): same label → same bnode WITHIN a
+          // solution, distinct ACROSS solutions. env.sol is the per-solution
+          // nonce the rewriter materialises for BIND chains / select-
+          // expression runs; both are hashed so two labels never collide.
+          val seed = env.sol.fold(value(a0))(s => concat(value(a0), lit("|"), s))
+          when(isSimpleString(a0), TermCols.bnode(concat(lit("b"), md5(seed))))
+            .otherwise(nullTerm)
+        }
       case "STRDT" =>
         when(isSimpleString(a0) && isIri(a1),
           when(value(a1) === Xsd.string, str(value(a0)))

@@ -42,15 +42,25 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     * them again. Returns the extended frame and the expression's static
     * kind, if derivable. */
   private def withTermColumn(df0: DataFrame, vars: Set[String], kinds: Map[String, Int],
-                             name: String, e: Expr): (DataFrame, Option[Int]) = {
+                             name: String, e: Expr,
+                             sol: Option[Column] = None): (DataFrame, Option[Int]) = {
     var bdf = df0
     var tmps = List.empty[String]
     val env = ExprCompiler.envOf(vars, kinds, { c =>
       val t = fresh("sub"); bdf = bdf.withColumn(t, c); tmps ::= t; col(t)
-    })
+    }, sol)
     val compiled = ExprCompiler.term(e, env)
     (bdf.withColumn(name, compiled).drop(tmps: _*), ExprCompiler.bindKind(e, env))
   }
+
+  /** One per-solution uuid column shared by a run of sequential BINDs /
+    * select expressions, so labeled BNODEs agree within a solution (spec
+    * §17.4.2.9). Returns (df-with-column, Some(ref)) only when some
+    * expression in the run uses the labeled form. */
+  private def solNonce(df: DataFrame, exprs: Seq[Expr]): (DataFrame, Option[String]) =
+    if (exprs.exists(ExprCompiler.usesLabeledBnode)) {
+      val n = fresh("sol"); (df.withColumn(n, expr("uuid()")), Some(n))
+    } else (df, None)
 
   // ================================================================ patterns
 
@@ -77,12 +87,30 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
       case None => filterPlan(pattern(i, scope), e, scope)
     }
     case Union(l, r) => union(pattern(l, scope), pattern(r, scope))
-    case Extend(i, v, e) =>
-      val in = pattern(i, scope)
-      val (expr2, plan2) = rewriteExists(e, in, scope)
-      val (df, kind) = withTermColumn(plan2.df, plan2.vars.toSet, plan2.kinds, v.name, expr2)
-      SPlan(df, in.vars :+ v.name, in.maybeUnbound + v.name,
-        plan2.kinds ++ kind.map(v.name -> _), in.tiny)
+    case ext: Extend =>
+      // Fold the maximal run of nested BINDs at once: they extend ONE
+      // solution mapping sequentially, so labeled BNODEs across the run
+      // must share the per-solution nonce.
+      @annotation.tailrec
+      def peel(p: GraphPattern, acc: List[(Var, Expr)]): (GraphPattern, List[(Var, Expr)]) =
+        p match {
+          case Extend(i, v, e) => peel(i, (v, e) :: acc)
+          case other => (other, acc)
+        }
+      val (base, binds) = peel(ext, Nil)
+      var cur = pattern(base, scope)
+      val (df0, solName) = solNonce(cur.df, binds.map(_._2))
+      cur = cur.copy(df = df0)
+      binds.foreach { case (v, e) =>
+        val in = cur
+        val (expr2, plan2) = rewriteExists(e, in, scope)
+        val (df, kind) = withTermColumn(plan2.df, plan2.vars.toSet, plan2.kinds,
+          v.name, expr2, solName.map(col))
+        cur = SPlan(df, in.vars :+ v.name, in.maybeUnbound + v.name,
+          plan2.kinds ++ kind.map(v.name -> _), in.tiny)
+      }
+      solName.foreach(n => cur = cur.copy(df = cur.df.drop(n)))
+      cur
     case Minus(l, r) => minus(pattern(l, scope), pattern(r, scope))
     case ValuesPattern(vars, rows) => values(vars, rows)
     case GraphGraph(name, inner) => name match {
@@ -1708,11 +1736,13 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     // earlier aliases — SELECT (1 AS ?a) (?a + 1 AS ?b) binds ?b = 2.
     // Tracked as an SPlan so EXISTS subexpressions rewrite to marker
     // columns here too (SELECT (EXISTS {…} AS ?b) is legal SPARQL).
-    var cur = SPlan(df, plan.vars, plan.maybeUnbound, plan.kinds)
+    val (dfSol, selSol) = solNonce(df, projItems.collect { case ProjItem(_, Some(e)) => e })
+    var cur = SPlan(dfSol, plan.vars, plan.maybeUnbound, plan.kinds)
     projItems.foreach {
       case ProjItem(v, Some(e)) =>
         val (e2, p2) = rewriteExists(e, cur, scope)
-        val (d2, kind) = withTermColumn(p2.df, p2.vars.toSet, p2.kinds, v.name, e2)
+        val (d2, kind) = withTermColumn(p2.df, p2.vars.toSet, p2.kinds, v.name, e2,
+          selSol.map(col))
         cur = SPlan(d2, p2.vars :+ v.name, p2.maybeUnbound + v.name,
           p2.kinds ++ kind.map(v.name -> _))
       case ProjItem(v, None) if !cur.vars.contains(v.name) =>
@@ -1722,7 +1752,7 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
           cur.vars :+ v.name, cur.maybeUnbound + v.name, cur.kinds)
       case _ =>
     }
-    df = cur.df
+    df = selSol.fold(cur.df)(cur.df.drop(_))
     val ksAcc = cur.kinds
     val projNames = projItems.map(_.v.name)
     val allVars = (plan.vars ++ projNames).distinct

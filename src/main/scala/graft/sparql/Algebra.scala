@@ -222,4 +222,25 @@ object Algebra {
     walk(p)
     buf.toSeq
   }
+
+  /** Direct subexpressions of an expression node (EXISTS bodies excluded —
+    * they are patterns, not expressions). */
+  def exprChildren(e: Expr): Seq[Expr] = e match {
+    case EOr(l, r) => Seq(l, r)
+    case EAnd(l, r) => Seq(l, r)
+    case ENot(x) => Seq(x)
+    case ECmp(_, l, r) => Seq(l, r)
+    case EIn(x, list, _) => x +: list
+    case EArith(_, l, r) => Seq(l, r)
+    case ENeg(x) => Seq(x)
+    case EIf(c, t, f) => Seq(c, t, f)
+    case ECoalesce(as) => as
+    case ECall(_, as) => as
+    case EAgg(a) => a.arg.toSeq
+    case _ => Seq.empty
+  }
+
+  /** Does `pred` hold anywhere in the expression tree? */
+  def exprContains(e: Expr)(pred: Expr => Boolean): Boolean =
+    pred(e) || exprChildren(e).exists(exprContains(_)(pred))
 }

@@ -297,9 +297,18 @@ class SparqlParser extends RegexParsers {
     kw("LATERAL") ~> groupGraphPattern ^^ (GLateral(_)) |
     kw("GRAPH") ~> (variable ^^ (VarPat(_)) | iri ^^ (TermPat(_))) ~ groupGraphPattern ^^ {
       case n ~ p => GGraph(n, p) } |
-    kw("FILTER") ~> constraint ^^ (GFilter(_)) |
+    kw("FILTER") ~> constraint ^^ { e =>
+      // Aggregates are only legal in SELECT expressions, HAVING and ORDER BY
+      // (spec §18.2.4); the reference parser rejects them here too.
+      if (Algebra.exprContains(e) { case Algebra.EAgg(_) => true; case _ => false })
+        throw new IllegalArgumentException("aggregates are not allowed in FILTER")
+      GFilter(e)
+    } |
     kw("BIND") ~> ("(" ~> expression ~ (kw("AS") ~> variable) <~ ")") ^^ {
-      case e ~ v => GBind(v, e) } |
+      case e ~ v =>
+        if (Algebra.exprContains(e) { case Algebra.EAgg(_) => true; case _ => false })
+          throw new IllegalArgumentException("aggregates are not allowed in BIND")
+        GBind(v, e) } |
     kw("VALUES") ~> dataBlock ^^ (GValues(_)) |
     unionPattern ^^ (GSub(_)) |
     triplesBlockElem
