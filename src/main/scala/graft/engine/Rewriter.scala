@@ -54,9 +54,15 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
   }
 
   /** One per-solution uuid column shared by a run of sequential BINDs /
-    * select expressions, so labeled BNODEs agree within a solution (spec
-    * §17.4.2.9). Returns (df-with-column, Some(ref)) only when some
-    * expression in the run uses the labeled form. */
+    * select expressions / group-key+aggregate-arg sets, so labeled BNODEs
+    * agree within a solution (spec §17.4.2.9). Scope is the RUN, not the
+    * whole query: two BIND runs separated by a triple pattern (or a BIND vs
+    * a select expression) get distinct nonces, so a labeled bnode is fresh
+    * across solutions everywhere, but same-solution identity holds only
+    * within one run — a documented approximation (tracking one nonce across
+    * joins would force it through every operator's column bookkeeping).
+    * Returns (df-with-column, Some(ref)) only when some expression in the
+    * run uses the labeled form. */
   private def solNonce(df: DataFrame, exprs: Seq[Expr]): (DataFrame, Option[String]) =
     if (exprs.exists(ExprCompiler.usesLabeledBnode)) {
       val n = fresh("sol"); (df.withColumn(n, expr("uuid()")), Some(n))
@@ -865,12 +871,29 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     case Filter(e, i) => filterPlan(lateralPattern(i, ctx, lid, scope), e, scope)
     case Union(a, b) =>
       union(lateralPattern(a, ctx, lid, scope), lateralPattern(b, ctx, lid, scope))
-    case Extend(i, v, e) =>
-      val in = lateralPattern(i, ctx, lid, scope)
-      val (expr2, plan2) = rewriteExists(e, in, scope)
-      val (df, kind) = withTermColumn(plan2.df, plan2.vars.toSet, plan2.kinds, v.name, expr2)
-      SPlan(df, in.vars :+ v.name, in.maybeUnbound + v.name,
-        plan2.kinds ++ kind.map(v.name -> _))
+    case ext: Extend =>
+      // Same BIND-run folding as the non-lateral case: one shared
+      // per-solution nonce for labeled BNODEs across the run.
+      @annotation.tailrec
+      def peel(p: GraphPattern, acc: List[(Var, Expr)]): (GraphPattern, List[(Var, Expr)]) =
+        p match {
+          case Extend(i, v, e) => peel(i, (v, e) :: acc)
+          case other => (other, acc)
+        }
+      val (base, binds) = peel(ext, Nil)
+      var cur = lateralPattern(base, ctx, lid, scope)
+      val (df0, solName) = solNonce(cur.df, binds.map(_._2))
+      cur = cur.copy(df = df0)
+      binds.foreach { case (v, e) =>
+        val in = cur
+        val (expr2, plan2) = rewriteExists(e, in, scope)
+        val (df, kind) = withTermColumn(plan2.df, plan2.vars.toSet, plan2.kinds,
+          v.name, expr2, solName.map(col))
+        cur = SPlan(df, in.vars :+ v.name, in.maybeUnbound + v.name,
+          plan2.kinds ++ kind.map(v.name -> _))
+      }
+      solName.foreach(n => cur = cur.copy(df = cur.df.drop(n)))
+      cur
     case Minus(a, b) =>
       val A = lateralPattern(a, ctx, lid, scope)
       val B = lateralPattern(b, ctx, lid, scope)
@@ -902,9 +925,12 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
                            aggs: Seq[(Var, Aggregate)], ctx: SPlan, lid: String): SPlan = {
     var df = in.df
     val env = ExprCompiler.envOf(in.vars.toSet, in.kinds)
+    val (dfG, solG) = solNonce(df,
+      keys.flatMap(_._2) ++ aggs.collect { case (_, Aggregate(_, _, Some(a), _)) => a })
+    df = dfG
     keys.foreach {
       case (v, Some(e)) =>
-        df = withTermColumn(df, in.vars.toSet, in.kinds, v.name, e)._1
+        df = withTermColumn(df, in.vars.toSet, in.kinds, v.name, e, solG.map(col))._1
       case (v, None) if !in.vars.contains(v.name) =>
         df = df.withColumn(v.name, TermCols.nullTerm)
       case _ =>
@@ -920,9 +946,10 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     val argCols: Map[String, String] = aggs.collect {
       case (v, Aggregate(_, _, Some(arg), _)) =>
         val c = fresh("aggin")
-        df = withTermColumn(df, in.vars.toSet, in.kinds, c, arg)._1
+        df = withTermColumn(df, in.vars.toSet, in.kinds, c, arg, solG.map(col))._1
         v.name -> c
     }.toMap
+    solG.foreach(n => df = df.drop(n))
     val keyNames = lid +: keys.map(_._1.name)
     val grouped =
       if (aggs.isEmpty) df.select(keyNames.map(col): _*).dropDuplicates()
@@ -963,11 +990,14 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     val env = ExprCompiler.envOf(plan.vars.toSet, plan.kinds)
     val projItems = if (q.projection.nonEmpty) q.projection
                     else inScopeVars(q.where).map(v => ProjItem(v, None))
+    val (dfL, solL) = solNonce(df, projItems.collect { case ProjItem(_, Some(e)) => e })
+    df = dfL
     projItems.foreach {
       case ProjItem(v, Some(e)) =>
-        df = withTermColumn(df, plan.vars.toSet, plan.kinds, v.name, e)._1
+        df = withTermColumn(df, plan.vars.toSet, plan.kinds, v.name, e, solL.map(col))._1
       case _ =>
     }
+    solL.foreach(n => df = df.drop(n))
     val projNames = projItems.map(_.v.name)
     val keep = (lid +: (ctx.vars.filterNot(_ == lid) ++ projNames).distinct)
     // kinds flow into the per-outer-row window sort (ctx kinds for restored
@@ -1193,11 +1223,16 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
                     aggs: Seq[(Var, Aggregate)], scope: GraphScope): SPlan = {
     var df = in.df
     val env = ExprCompiler.envOf(in.vars.toSet, in.kinds)
+    // per-solution nonce shared by computed keys + aggregate args (labeled
+    // BNODEs evaluate pre-grouping, once per input solution)
+    val (dfG, solG) = solNonce(df,
+      keys.flatMap(_._2) ++ aggs.collect { case (_, Aggregate(_, _, Some(a), _)) => a })
+    df = dfG
     // computed keys; a plain key not bound by the pattern is legal SPARQL
     // (GROUP BY over an unbound var — one NULL-keyed group)
     keys.foreach {
       case (v, Some(e)) =>
-        df = withTermColumn(df, in.vars.toSet, in.kinds, v.name, e)._1
+        df = withTermColumn(df, in.vars.toSet, in.kinds, v.name, e, solG.map(col))._1
       case (v, None) if !in.vars.contains(v.name) =>
         df = df.withColumn(v.name, TermCols.nullTerm)
       case _ =>
@@ -1218,9 +1253,10 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     val argCols: Map[String, String] = aggs.collect {
       case (v, Aggregate(_, _, Some(arg), _)) =>
         val c = fresh("aggin")
-        df = withTermColumn(df, in.vars.toSet, in.kinds, c, arg)._1
+        df = withTermColumn(df, in.vars.toSet, in.kinds, c, arg, solG.map(col))._1
         v.name -> c
     }.toMap
+    solG.foreach(n => df = df.drop(n))
 
     val keyNames = keys.map(_._1.name)
     val mu = keys.collect {

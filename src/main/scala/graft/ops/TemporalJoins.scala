@@ -47,14 +47,19 @@ object TemporalJoins {
                leftTs: String, rightTs: String, rightVals: Seq[String],
                outPrefix: String = "", toleranceMs: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty, "asofJoin requires at least one key column")
+    val reserved = Seq("_t", "_tag", "_lrow", "_rpay", "_m")
+    require(!left.columns.exists(reserved.contains) && !right.columns.exists(reserved.contains),
+      s"asofJoin inputs must not use the reserved columns ${reserved.mkString(", ")}")
     val leftCols = left.columns.toSeq
     val keyCols = keys.map(col)
+    // Ordering compares at full microsecond precision — a right row even 1µs
+    // after the left must not match (the ms-truncated form would admit it).
     val lTagged = left.select(
-      keyCols :+ epochMs(col(leftTs)).as("_t") :+ lit(1).as("_tag") :+
+      keyCols :+ epochUs(col(leftTs)).as("_t") :+ lit(1).as("_tag") :+
         struct(leftCols.map(col): _*).as("_lrow"): _*)
     val rTagged = right.select(
-      keyCols :+ epochMs(col(rightTs)).as("_t") :+ lit(0).as("_tag") :+
-        struct(epochMs(col(rightTs)).as("_ts_ms") +: rightVals.map(col): _*)
+      keyCols :+ epochUs(col(rightTs)).as("_t") :+ lit(0).as("_tag") :+
+        struct(epochUs(col(rightTs)).as("_ts_us") +: rightVals.map(col): _*)
           .as("_rpay"): _*)
     // Right rows sort before left rows at equal ts (tag 0 < 1) so an exact-ts
     // right row is visible to its left row; _rpay breaks right-right ties.
@@ -65,13 +70,13 @@ object TemporalJoins {
       .withColumn("_m", last(col("_rpay"), ignoreNulls = true).over(w))
       .where(col("_tag") === 1)
     val inWindow = toleranceMs match {
-      case Some(tol) => col("_m").isNotNull && col("_m._ts_ms") >= col("_t") - lit(tol)
+      case Some(tol) => col("_m").isNotNull && col("_m._ts_us") >= col("_t") - lit(tol * 1000L)
       case None      => col("_m").isNotNull
     }
     val gated = carried.withColumn("_m", when(inWindow, col("_m")))
     gated.select(
       leftCols.map(c => col(s"_lrow.`$c`").as(c)) ++
-        (col("_m._ts_ms").as(s"${outPrefix}matched_ts_ms") +:
+        (floor(col("_m._ts_us") / 1000L).cast(LongType).as(s"${outPrefix}matched_ts_ms") +:
           rightVals.map(v => col(s"_m.`$v`").as(s"$outPrefix$v"))): _*)
   }
 
@@ -87,6 +92,10 @@ object TemporalJoins {
                    intervals: DataFrame, startCol: String, endCol: String,
                    binSeconds: Long = 3600L): DataFrame = {
     require(binSeconds > 0, "binSeconds must be positive")
+    require(!events.columns.contains("_bin") && !intervals.columns.contains("_bin"),
+      "intervalJoin inputs must not already have a _bin column")
+    require(events.columns.toSet.intersect(intervals.columns.toSet).isEmpty,
+      "event and interval column names must be disjoint")
     val binUs = lit(binSeconds * 1000000L)
     val sUs = epochUs(col(startCol))
     val eUs = epochUs(col(endCol))

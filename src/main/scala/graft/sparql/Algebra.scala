@@ -243,4 +243,9 @@ object Algebra {
   /** Does `pred` hold anywhere in the expression tree? */
   def exprContains(e: Expr)(pred: Expr => Boolean): Boolean =
     pred(e) || exprChildren(e).exists(exprContains(_)(pred))
+
+  /** Aggregate call anywhere in the tree (illegal outside SELECT
+    * expressions, HAVING and ORDER BY — spec §18.2.4). */
+  def containsAggregate(e: Expr): Boolean =
+    exprContains(e) { case EAgg(_) => true; case _ => false }
 }

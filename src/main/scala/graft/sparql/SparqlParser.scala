@@ -300,13 +300,13 @@ class SparqlParser extends RegexParsers {
     kw("FILTER") ~> constraint ^^ { e =>
       // Aggregates are only legal in SELECT expressions, HAVING and ORDER BY
       // (spec §18.2.4); the reference parser rejects them here too.
-      if (Algebra.exprContains(e) { case Algebra.EAgg(_) => true; case _ => false })
+      if (Algebra.containsAggregate(e))
         throw new IllegalArgumentException("aggregates are not allowed in FILTER")
       GFilter(e)
     } |
     kw("BIND") ~> ("(" ~> expression ~ (kw("AS") ~> variable) <~ ")") ^^ {
       case e ~ v =>
-        if (Algebra.exprContains(e) { case Algebra.EAgg(_) => true; case _ => false })
+        if (Algebra.containsAggregate(e))
           throw new IllegalArgumentException("aggregates are not allowed in BIND")
         GBind(v, e) } |
     kw("VALUES") ~> dataBlock ^^ (GValues(_)) |

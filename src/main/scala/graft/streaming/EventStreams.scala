@@ -107,16 +107,29 @@ object EventStreams {
    * preceded IT, not merely the newest. Rows within one micro-batch are
    * processed in event-time order; a right arriving in a later batch than a
    * left it should have matched cannot retract the emission (append mode) —
-   * the batch operator is the backfill-exact counterpart, state stays
-   * O(rights within bufferMs) per active key.
+   * the batch operator is the backfill-exact counterpart. State stays
+   * O(rights within bufferMs) per key; pass `idleTimeout` (e.g. "2 hours")
+   * to ALSO evict keys idle longer than that in processing time, bounding
+   * total state by ACTIVE key cardinality instead of every key ever seen.
+   * Eviction is opt-in because registering processing-time timeouts makes
+   * the micro-batch engine re-trigger continuously under the default
+   * trigger(0) (measured: `processAllAvailable` never returns — an
+   * infinite empty-batch loop); production deployments enabling it should
+   * set a real trigger interval.
    */
   def asofEnrichStream(events: Dataset[Event], leftType: String, rightType: String,
-                       bufferMs: Long = 60 * 60 * 1000L): Dataset[Enriched] = {
+                       bufferMs: Long = 60 * 60 * 1000L,
+                       idleTimeout: Option[String] = None): Dataset[Enriched] = {
     import events.sparkSession.implicits._
+    val timeoutConf = if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+                      else GroupStateTimeout.NoTimeout()
     events.filter(e => e.event_type == leftType || e.event_type == rightType)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[AsofState, Enriched](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
+        case (_, _, state: GroupState[AsofState]) if state.hasTimedOut =>
+          state.remove()
+          Iterator.empty
         case (_, rows, state: GroupState[AsofState]) =>
           // Right events sort before left at equal ts: inclusive match.
           val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, if (e.event_type == rightType) 0 else 1, e.event_id))
@@ -140,6 +153,7 @@ object EventStreams {
             }
           }
           state.update(AsofState(rights))
+          idleTimeout.foreach(state.setTimeoutDuration)
           out.result().iterator
       }
   }
