@@ -850,10 +850,23 @@ object ExprCompiler {
       .when(isDecimalTyped(c), fromDecimal(e(numDecimal(c))))
       .otherwise(fromLong(e(numDecimal(c)).try_cast(LongType)))
 
-  /** XPath/XQuery regex flags s,m,i,x → Java embedded flags. */
-  private def regexWithFlags(pat: Column, flags: Column): Column =
-    when(flags.isNull || length(flags) === 0, pat)
-      .otherwise(concat(lit("(?"), flags, lit(")"), pat))
+  /** XPath/XQuery regex flags (17.4.3.14): s,m,i,x map to the same-letter
+    * Java embedded flags; `q` treats the PATTERN as a literal string
+    * (quoted via \Q…\E with the embedded-\E split, Pattern.quote's
+    * algorithm — the reference escapes with regex::escape,
+    * lib/functions/src/scalar/strings/regex.rs:117); any other flag char
+    * is an evaluation error (null pattern → fromBoolean/likeStringOf
+    * propagate the error term), matching the reference's ThinError. */
+  private def regexWithFlags(pat: Column, flags: Column): Column = {
+    val f = coalesce(flags, lit(""))
+    val quoted = concat(lit("\\Q"),
+      regexp_replace(pat, "\\\\E", "\\\\E\\\\\\\\E\\\\Q"), lit("\\E"))
+    val rest = translate(f, "q", "")
+    val base = when(f.contains("q"), quoted).otherwise(pat)
+    val withInline = when(length(rest) > 0,
+      concat(lit("(?"), rest, lit(")"), base)).otherwise(base)
+    when(f.rlike("^[smixq]*$"), withInline).otherwise(lit(null).cast(StringType))
+  }
 
   /** XPath casting rules (reference lib/functions/src/scalar/conversion/cast_*.rs):
     * invalid lexical form → error (NULL), unlike Spark cast's silent coercions.
