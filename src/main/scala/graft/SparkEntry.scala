@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
 import graft.engine.Graft
-import graft.ops.{Dedup, Html, Multimodal, Similarity, TemporalJoins, TextAnalysis, Urls}
+import graft.ops.{Bpe, Dedup, Html, LinkGraph, Multimodal, Similarity, TemporalJoins, TextAnalysis, Urls}
 import graft.sources.{RdbToRdf, Warc}
 
 /**
@@ -670,6 +670,70 @@ object SparkEntry {
     TextAnalysis.shuffleShards(t(s, dir, "documents"), "doc_id",
       nShards = 16, salt = "shuf1").orderBy("id")
 
+  /** PageRank over a deterministic link graph derived from doc ids (docs
+    * with id%5==0 publish no links → dangling); 5 iterations, d=0.85,
+    * dangling-mass redistribution. The oracle unrolls the identical
+    * iterations in SQL (per-iteration 12-decimal rounding keeps both
+    * engines in numeric lockstep — the k-means recipe). */
+  private def linkPagerank(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val edges = d.select(col("doc_id").as("src"),
+        explode(array(lit(1L), lit(2L), lit(3L))).as("j"))
+      .where(col("src") % 5 =!= 0)
+      .select(col("src"), ((col("src") * 7 + col("j") * 31) % 500).as("dst"))
+      .where(col("dst") =!= col("src"))
+    LinkGraph.pageRank(edges, "src", "dst", iters = 5, damping = 0.85,
+      nodes = Some(d.select(col("doc_id").as("id")))).orderBy("id")
+  }
+
+  /** C4-style line dedup over synthesized multi-line docs: a newsletter
+    * header (id%2==0), the doc's own text, a 7-way shared footer, and a
+    * padded copyright line (id%3==0) — boilerplate survives once
+    * globally, content survives per its own first occurrence. */
+  private def docLineDedup(s: SparkSession, dir: String): DataFrame = {
+    val lined = t(s, dir, "documents").select(col("doc_id"),
+      concat_ws("\n",
+        when(col("doc_id") % 2 === 0, lit("Subscribe to our newsletter today")),
+        col("text"),
+        concat(lit("shared footer "), (col("doc_id") % 7).cast("string")),
+        when(col("doc_id") % 3 === 0, lit("  (c) example corp 2026  "))).as("text"))
+    TextAnalysis.lineDedup(lined, "doc_id", "text").orderBy("id")
+  }
+
+  /** BPE: learn 4 merges from the corpus word histogram, encode every doc.
+    * The oracle unrolls the identical 4 iterations in SQL (space-joined
+    * symbol strings; `replace` has the same non-overlapping left-to-right
+    * semantics in both engines). */
+  private def bpeEncode(s: SparkSession, dir: String): DataFrame =
+    Bpe.learnAndEncode(t(s, dir, "documents"), "doc_id", "text", nMerges = 4)
+      .orderBy("id")
+
+  /** fastText-style hashed linear classifier with the deterministic
+    * pseudo-weight table (the oracle recomputes bucket + weight closed-form
+    * in SQL). */
+  private def docClassifier(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.linearScore(t(s, dir, "documents"), "doc_id", "text",
+      weights = TextAnalysis.pseudoWeights(s, 512), nBuckets = 512,
+      bias = 0.1, threshold = 0.5, salt = "lincls").orderBy("id")
+
+  /** Unicode NFC + accent stripping over synthesized accented text (the
+    * corpus is plain ASCII): decomposed, precomposed, mixed-diacritic and
+    * untouched strata, built identically in the oracle. */
+  private def textNormalize(s: SparkSession, dir: String): DataFrame = {
+    val acc = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 4 === 0, // decomposed: 'e' + combining acute U+0301
+          concat(lit("cafe\u0301 creme "), substring(col("text"), 1, 20)))
+        .when(col("doc_id") % 4 === 1, lit("caf\u00e9 d\u00e9j\u00e0 vu"))
+        .when(col("doc_id") % 4 === 2,
+          lit("ni\u00f1o \u00fcber fa\u00e7ade voil\u00e0 se\u00f1or"))
+        .otherwise(substring(col("text"), 1, 30)).as("text"))
+    val nfc = TextAnalysis.normalizeText(acc, "doc_id", "text", "NFC", stripAccents = false)
+      .select(col("id"), col("norm_text").as("nfc_text"), col("changed"))
+    val stripped = TextAnalysis.normalizeText(acc, "doc_id", "text", "NFC", stripAccents = true)
+      .select(col("id"), col("norm_text").as("stripped"))
+    nfc.join(stripped, Seq("id")).orderBy("id")
+  }
+
   /** SemDeDup: k-means clusters, then intra-cluster cosine dominance drop. */
   private def embSemdedup(s: SparkSession, dir: String): DataFrame =
     Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -1109,6 +1173,11 @@ object SparkEntry {
     "url_dedup" -> urlDedupQ,
     "doc_filter_rules" -> docFilterRules,
     "doc_shuffle" -> docShuffle,
+    "link_pagerank" -> linkPagerank,
+    "bpe_encode" -> bpeEncode,
+    "doc_line_dedup" -> docLineDedup,
+    "doc_classifier" -> docClassifier,
+    "text_normalize" -> textNormalize,
     "ngram_stats" -> ngramStats,
     "corpus_report" -> corpusReport,
     "doc_chunks" -> docChunks,
@@ -1169,7 +1238,117 @@ object SparkEntry {
     * (md5-derived) hashes the oracle recomputes in SQL, so even the LSH
     * bucketing machinery is verified end-to-end; ann_ivf/ann_lsh achieve
     * full recall on the gate corpus, so the exact result is their oracle. */
+  /** Unrolled 5-iteration PageRank oracle — the k-means recipe: every
+    * iteration re-derived in SQL, 12-decimal per-iteration rounding keeps
+    * both engines in numeric lockstep, dangling mass re-summed per round. */
+  private val PageRankOracleSql: String = {
+    val head =
+      """WITH n AS (SELECT doc_id AS id FROM documents),
+        |e AS (SELECT DISTINCT doc_id AS src, (doc_id*7 + j*31) % 500 AS dst
+        |      FROM documents, unnest([1,2,3]) t(j)
+        |      WHERE doc_id % 5 <> 0 AND (doc_id*7 + j*31) % 500 <> doc_id),
+        |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY src),
+        |nc AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM n),
+        |r0 AS (SELECT id, 1.0/nc.n AS r FROM n CROSS JOIN nc)""".stripMargin
+    val its = (1 to 5).map { k =>
+      val p = s"r${k - 1}"
+      s"""d$k AS (SELECT coalesce(sum(r), 0) AS m FROM $p LEFT JOIN deg ON $p.id = deg.src WHERE deg.src IS NULL),
+         |s$k AS (SELECT e.dst AS id, sum($p.r / deg.deg) AS c FROM e JOIN $p ON e.src = $p.id JOIN deg ON deg.src = e.src GROUP BY e.dst),
+         |r$k AS (SELECT n.id, round((1-0.85)/nc.n + 0.85*(coalesce(s$k.c, 0) + d$k.m/nc.n), 12) AS r
+         |        FROM n LEFT JOIN s$k ON n.id = s$k.id CROSS JOIN nc CROSS JOIN d$k)""".stripMargin
+    }
+    head + ",\n" + its.mkString(",\n") +
+      "\nSELECT id, round(r, 9) AS rank FROM r5 ORDER BY id"
+  }
+
+  /** Unrolled 4-merge BPE oracle: pair counting over the vocabulary,
+    * (count desc, pair asc) best-pair choice, replace-based merge apply —
+    * the exact semantics `ops/Bpe` pins. */
+  private val BpeOracleSql: String = {
+    val head =
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |v AS (SELECT w, count(*) AS c FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+        |s0 AS (SELECT w, c, ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS seq FROM v)""".stripMargin
+    val its = (1 to 4).map { k =>
+      val p = s"s${k - 1}"
+      s"""p$k AS (SELECT syms[i+1] AS l, syms[i+2] AS r, sum(c) AS cnt
+         |  FROM (SELECT c, list_filter(string_split(trim(seq), ' '), x -> len(x) > 0) AS syms FROM $p),
+         |       LATERAL (SELECT unnest(range(0, len(syms) - 1)) AS i)
+         |  GROUP BY 1, 2),
+         |m$k AS (SELECT l, r FROM p$k ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+         |s$k AS (SELECT w, c, replace(seq, ' ' || m.l || ' ' || m.r || ' ', ' ' || m.l || m.r || ' ') AS seq
+         |        FROM $p CROSS JOIN m$k m)""".stripMargin
+    }
+    val tail =
+      """f AS (SELECT w, list_filter(string_split(trim(seq), ' '), x -> len(x) > 0) AS syms FROM s4),
+        |wp AS (SELECT t.doc_id, i AS wpos, t.toks[CAST(i+1 AS INT)] AS w
+        |       FROM t, LATERAL (SELECT unnest(range(0, len(toks))) AS i)),
+        |j AS (SELECT wp.doc_id, wp.wpos, f.syms FROM wp JOIN f USING (w)),
+        |agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_words,
+        |         CAST(sum(len(syms)) AS INT) AS n_tokens,
+        |         string_agg(array_to_string(syms, ' '), ' ' ORDER BY wpos) AS bpe_text
+        |        FROM j GROUP BY doc_id)
+        |SELECT t.doc_id AS id, coalesce(agg.n_words, 0) AS n_words,
+        |  coalesce(agg.n_tokens, 0) AS n_tokens, coalesce(agg.bpe_text, '') AS bpe_text
+        |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id ORDER BY id""".stripMargin
+    head + ",\n" + its.mkString(",\n") + ",\n" + tail
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "link_pagerank" -> PageRankOracleSql,
+    "bpe_encode" -> BpeOracleSql,
+    "doc_line_dedup" ->
+      """WITH d AS (SELECT doc_id, concat_ws(chr(10),
+        |    CASE WHEN doc_id % 2 = 0 THEN 'Subscribe to our newsletter today' END,
+        |    text,
+        |    'shared footer ' || (doc_id % 7)::VARCHAR,
+        |    CASE WHEN doc_id % 3 = 0 THEN '  (c) example corp 2026  ' END) AS text
+        |  FROM documents),
+        |l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+        |l AS (SELECT doc_id, i AS idx, trim(ls[CAST(i+1 AS INT)]) AS line
+        |      FROM l0, LATERAL (SELECT unnest(range(0, len(ls))) AS i)),
+        |nz AS (SELECT * FROM l WHERE len(line) > 0),
+        |k AS (SELECT doc_id, idx, line,
+        |        row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn FROM nz),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS INT) AS n_lines FROM nz GROUP BY doc_id),
+        |kept AS (SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+        |         string_agg(line, chr(10) ORDER BY idx) AS clean_text
+        |         FROM k WHERE rn = 1 GROUP BY doc_id)
+        |SELECT d.doc_id AS id, coalesce(cnt.n_lines, 0) AS n_lines,
+        |  coalesce(kept.n_kept, 0) AS n_kept, coalesce(kept.clean_text, '') AS clean_text
+        |FROM d LEFT JOIN cnt ON d.doc_id = cnt.doc_id LEFT JOIN kept ON d.doc_id = kept.doc_id
+        |ORDER BY id""".stripMargin,
+    "doc_classifier" ->
+      """WITH t AS (SELECT doc_id AS id,
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |w AS (SELECT id, unnest(toks) AS tok FROM t),
+        |b AS (SELECT id, md5('lincls|' || tok) AS k FROM w),
+        |bb AS (SELECT id,
+        |   ((((strpos('0123456789abcdef', substr(k,1,1)) - 1) * 16 +
+        |      (strpos('0123456789abcdef', substr(k,2,1)) - 1)) * 16 +
+        |      (strpos('0123456789abcdef', substr(k,3,1)) - 1)) * 16 +
+        |      (strpos('0123456789abcdef', substr(k,4,1)) - 1)) % 512 AS bkt
+        |   FROM b),
+        |sc AS (SELECT id, CAST(count(*) AS INT) AS n_tokens,
+        |        avg((((bkt*2654435761) % 4001) - 2000) / 2000.0) AS m
+        |       FROM bb GROUP BY id)
+        |SELECT t.id AS id, coalesce(sc.n_tokens, 0) AS n_tokens,
+        |  round(1.0/(1.0 + exp(-(0.1 + coalesce(sc.m, 0.0)))), 6) AS score,
+        |  round(1.0/(1.0 + exp(-(0.1 + coalesce(sc.m, 0.0)))), 6) >= 0.5 AS keep
+        |FROM t LEFT JOIN sc ON t.id = sc.id ORDER BY t.id""".stripMargin,
+    "text_normalize" ->
+      """WITH d AS (SELECT doc_id AS id, CASE doc_id % 4
+        |    WHEN 0 THEN 'cafe' || chr(769) || ' creme ' || substr(text, 1, 20)
+        |    WHEN 1 THEN 'caf' || chr(233) || ' d' || chr(233) || 'j' || chr(224) || ' vu'
+        |    WHEN 2 THEN 'ni' || chr(241) || 'o ' || chr(252) || 'ber fa' || chr(231) || 'ade voil' || chr(224) || ' se' || chr(241) || 'or'
+        |    ELSE substr(text, 1, 30) END AS t
+        |  FROM documents)
+        |SELECT id, nfc_normalize(t) AS nfc_text, nfc_normalize(t) <> t AS changed,
+        |  strip_accents(t) AS stripped
+        |FROM d ORDER BY id""".stripMargin,
     "sparql_region_nations" ->
       """SELECT r_name AS rname, count(*) AS nations
         |FROM nation JOIN region ON n_regionkey = r_regionkey

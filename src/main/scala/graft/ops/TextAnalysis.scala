@@ -615,4 +615,125 @@ object TextAnalysis {
       .groupBy("id").agg(round(sum(col("contrib")), 6).as("score"))
     scored.orderBy(col("score").desc, col("id").asc).limit(topK)
   }
+
+  /**
+   * C4-style line-level corpus dedup — the boilerplate killer: split each
+   * document on newlines, trim, drop empty lines, and keep only the
+   * globally-FIRST occurrence (by (doc id, line index)) of every exact
+   * line; nav bars, cookie banners and footers repeated across a crawl
+   * survive exactly once. Documents are reassembled from their surviving
+   * lines in order.
+   *
+   * Distribution: first-occurrence-wins is `min(struct(id, idx))` grouped
+   * by line content, NOT a row_number window — a hot boilerplate line
+   * ("click here to subscribe" × 10M) is plain input skew under the
+   * aggregate (map-side partial min per task, AQE-splittable), whereas a
+   * window sort funnels every instance of the hot line through one task.
+   *
+   * Returns (id, n_lines, n_kept, clean_text).
+   */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = df.select(col(idCol).as("id"), posexplode(split(col(textCol), "\n")))
+      .select(col("id"), col("pos").as("idx"), trim(col("col")).as("line"))
+      .where(length(col("line")) > 0)
+    val winners = lines.groupBy("line")
+      .agg(min(struct(col("id"), col("idx"))).as("w"))
+    val kept = lines.join(winners, Seq("line"))
+      .where(col("id") === col("w.id") && col("idx") === col("w.idx"))
+      .groupBy("id").agg(
+        count(lit(1)).cast(IntegerType).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("idx"), col("line")))),
+          s => s.getField("line")), "\n").as("clean_text"))
+    val counts = lines.groupBy("id").agg(count(lit(1)).cast(IntegerType).as("n_lines"))
+    df.select(col(idCol).as("id")).join(counts, Seq("id"), "left")
+      .join(kept, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_lines"), lit(0)).as("n_lines"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /**
+   * Hashed-bag-of-words linear classifier scoring — the distributed shape
+   * of a fastText-style quality/domain filter (FineWeb-Edu, DCLM): each
+   * token hashes into one of `nBuckets` weight slots, the document score
+   * is `sigmoid(bias + mean(weight[bucket(tok)]))`, and documents at or
+   * above `threshold` are kept. The weight TABLE is the model input; here
+   * it arrives as a (bucket, weight) DataFrame that broadcast-joins
+   * against the exploded token stream — swapping in real trained weights
+   * is a data change, not a code change. The bucket hash is the portable
+   * md5-derived one every cross-engine op here uses, so an oracle (or a
+   * Python trainer exporting weights) reproduces the bucketing exactly.
+   *
+   * Distribution: explode → broadcast join (model is nBuckets rows) →
+   * one document-keyed aggregation. The corpus never shuffles except
+   * keyed by document id.
+   *
+   * Returns (id, n_tokens, score, keep).
+   */
+  def linearScore(df: DataFrame, idCol: String, textCol: String,
+                  weights: DataFrame, nBuckets: Int,
+                  bias: Double = 0.0, threshold: Double = 0.5,
+                  salt: String = "lincls"): DataFrame = {
+    // 4 leading hex chars = 65536 bucket slots (same envelope as
+    // shuffleShards — a fastText-style model rarely wants more than 2M
+    // buckets, and a wider slot space is a one-line change here + oracle)
+    require(nBuckets > 0 && nBuckets <= 65536, "need 0 < nBuckets <= 65536")
+    val toksDf = df.select(col(idCol).as("id"),
+      explode(normTokens(col(textCol))).as("tok"))
+    val bucket = conv(substring(md5(concat(lit(salt + "|"), col("tok"))), 1, 4), 16, 10)
+      .cast(LongType) % nBuckets
+    val w = broadcast(weights.select(col(weights.columns.head).cast(LongType).as("__b"),
+      col(weights.columns(1)).cast(DoubleType).as("__wt")))
+    val scored = toksDf.withColumn("__b", bucket)
+      .join(w, Seq("__b"), "left")
+      .groupBy("id").agg(count(lit(1)).cast(IntegerType).as("n_tokens"),
+        avg(coalesce(col("__wt"), lit(0.0))).as("m"))
+      .select(col("id"), col("n_tokens"),
+        round(lit(1.0) / (lit(1.0) + exp(-(lit(bias) + col("m")))), 6).as("score"))
+    df.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_tokens"), lit(0)).as("n_tokens"),
+        coalesce(col("score"), round(lit(1.0) / (lit(1.0) + exp(lit(-bias))), 6)).as("score"))
+      .withColumn("keep", col("score") >= threshold)
+  }
+
+  /** The deterministic pseudo-weight table used by specs/gates when no
+    * trained model is at hand: weight(b) = (((b*2654435761) mod 4001) -
+    * 2000) / 2000.0 — integer arithmetic, portable to any SQL engine. */
+  def pseudoWeights(spark: org.apache.spark.sql.SparkSession, nBuckets: Int): DataFrame =
+    spark.range(nBuckets).select(col("id").as("bucket"),
+      (((col("id") * 2654435761L) % 4001L) - 2000L).cast(DoubleType)./(2000.0).as("weight"))
+
+  /**
+   * Unicode normalization — the tokenizer-prep pass every multilingual
+   * pipeline runs (NFC for storage canonicalization, NFKC for tokenizer
+   * input, accent stripping for matching): `java.text.Normalizer` applied
+   * as a partition-local typed map (no Spark built-in exposes ICU/JDK
+   * normalization; same per-row JVM pattern as the media decoders —
+   * narrow, no shuffle, full input parallelism).
+   *
+   * `stripAccents` decomposes (NFD), removes combining marks (Mn), then
+   * applies `form` — the portable "remove diacritics" recipe.
+   *
+   * Returns (id, norm_text, changed).
+   */
+  def normalizeText(df: DataFrame, idCol: String, textCol: String,
+                    form: String = "NFC", stripAccents: Boolean = false): DataFrame = {
+    import java.text.Normalizer
+    val nf = Normalizer.Form.valueOf(form)
+    // tuple encoder: janino cannot codegen the serializer of a nested
+    // private case class (interpreted-mode fallback per query)
+    val enc = org.apache.spark.sql.Encoders.product[(Long, String, Boolean)]
+    df.select(col(idCol).cast(LongType), col(textCol).cast(StringType))
+      .map { row =>
+        val id = row.getLong(0)
+        val t = if (row.isNullAt(1)) "" else row.getString(1)
+        val out =
+          if (stripAccents)
+            Normalizer.normalize(
+              Normalizer.normalize(t, Normalizer.Form.NFD).replaceAll("\\p{Mn}+", ""), nf)
+          else Normalizer.normalize(t, nf)
+        (id, out, out != t)
+      }(enc)
+      .toDF("id", "norm_text", "changed")
+  }
 }
