@@ -120,6 +120,35 @@ object OpsScaleProbe {
       graft.ops.TemporalJoins.intervalJoin(
         events.select(col("event_id"), col("ts")), "ts", iv, "s", "e", binSeconds = 600L)
     }
+    // round-6 late additions: pagerank iterations are edges⋈ranks
+    // equi-joins (edges ~3x nodes here, hubs get ~0.1% of in-links);
+    // line dedup shuffles once by line content (boilerplate = hot keys,
+    // map-side combinable); BPE corpus work is the word histogram + one
+    // distinct-word segmentation + word-keyed join back; classifier is an
+    // explode + broadcast join + doc-keyed agg
+    time("pagerank(5 iters)") {
+      val edges = spark.range(nDocs).select(col("id").as("src"),
+          explode(sequence(lit(1), lit(3))).as("j"))
+        .select(col("src"),
+          when(col("j") === 1, (col("src") * 31 + 7) % nDocs)
+            .when(col("j") === 2, (col("src") * 17 + 3) % nDocs)
+            .otherwise(col("src") % 1000) // 1000 hub pages soak most links
+            .as("dst"))
+        .where(col("dst") =!= col("src"))
+      graft.ops.LinkGraph.pageRank(edges, "src", "dst", iters = 5)
+    }
+    time("line_dedup") {
+      val lined = docs.select(col("doc_id"),
+        regexp_replace(col("text"), " (t\\d+ t\\d+ t\\d+) ", " $1\n").as("text"))
+      TextAnalysis.lineDedup(lined, "doc_id", "text")
+    }
+    time("bpe(learn 50 + encode)")(
+      graft.ops.Bpe.learnAndEncode(docs, "doc_id", "text", nMerges = 50))
+    time("linear_classifier") {
+      val w = TextAnalysis.pseudoWeights(spark, 4096)
+      TextAnalysis.linearScore(docs, "doc_id", "text", w, 4096)
+    }
+    time("normalize_nfkc")(TextAnalysis.normalizeText(docs, "doc_id", "text", "NFKC"))
     spark.stop()
   }
 }
