@@ -716,6 +716,39 @@ object SparkEntry {
       weights = TextAnalysis.pseudoWeights(s, 512), nBuckets = 512,
       bias = 0.1, threshold = 0.5, salt = "lincls").orderBy("id")
 
+  /** Per-host cap over synthesized messy URLs (9 hosts in www/scheme-less/
+    * explicit-port spellings; cap 30 exercises both the under-cap bypass
+    * and the over-cap ranked path). */
+  private def urlHostCap(s: SparkSession, dir: String): DataFrame = {
+    val k = (col("doc_id") % 9).cast("string")
+    val url = when(col("doc_id") % 3 === 0,
+        concat(lit("https://www.h"), k, lit(".example.org/a/"), col("doc_id").cast("string")))
+      .when(col("doc_id") % 3 === 1,
+        concat(lit("h"), k, lit(".example.org/b?x="), col("doc_id").cast("string")))
+      .otherwise(concat(lit("HTTP://h"), k, lit(".example.org:80/c")))
+    Urls.hostCap(t(s, dir, "documents").select(col("doc_id"), url.as("url")),
+      "doc_id", "url", maxPerHost = 30).orderBy("id")
+  }
+
+  // Multi-script sample strings shared VERBATIM by the doc_scripts gate and
+  // its oracle SQL (interpolated below), so both engines see identical
+  // code points.
+  private val CyrText = "привет мир and friends"
+  private val CjkText = "你好世界 こんにちは 한국"
+  private val ArText = "مرحبا بالعالم"
+
+  /** Unicode-script ratios + dominant script over synthesized multi-script
+    * strata (the raw corpus is pure ASCII). */
+  private def docScripts(s: SparkSession, dir: String): DataFrame = {
+    val acc = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 5 === 0, substring(col("text"), 1, 40))
+        .when(col("doc_id") % 5 === 1, lit(CyrText))
+        .when(col("doc_id") % 5 === 2, lit(CjkText))
+        .when(col("doc_id") % 5 === 3, lit(ArText))
+        .otherwise(lit("123 456 7890")).as("text"))
+    TextAnalysis.scriptProfile(acc, "doc_id", "text").orderBy("id")
+  }
+
   /** Unicode NFC + accent stripping over synthesized accented text (the
     * corpus is plain ASCII): decomposed, precomposed, mixed-diacritic and
     * untouched strata, built identically in the oracle. */
@@ -1178,6 +1211,8 @@ object SparkEntry {
     "doc_line_dedup" -> docLineDedup,
     "doc_classifier" -> docClassifier,
     "text_normalize" -> textNormalize,
+    "url_host_cap" -> urlHostCap,
+    "doc_scripts" -> docScripts,
     "ngram_stats" -> ngramStats,
     "corpus_report" -> corpusReport,
     "doc_chunks" -> docChunks,
@@ -1296,9 +1331,47 @@ object SparkEntry {
     head + ",\n" + its.mkString(",\n") + ",\n" + tail
   }
 
+  /** Script-profile oracle: the regex classes are interpolated from the
+    * SAME `TextAnalysis.scriptRanges` constants the operator compiles, and
+    * the sample strings from the same vals as the gate query. */
+  private val DocScriptsOracleSql: String = {
+    val cls = TextAnalysis.scriptRanges.toMap
+    val sel = TextAnalysis.scriptRanges.map { case (n, c) =>
+      s"len(regexp_extract_all(t, '$c')) AS ${n}_c" }.mkString(",\n   ")
+    val names = TextAnalysis.scriptRanges.map(_._1)
+    val ladder = names.zipWithIndex.map { case (n, i) =>
+      val rest = names.drop(i + 1).map(m => s"AND ${n}_c >= ${m}_c ").mkString
+      s"WHEN ${n}_c > 0 $rest THEN '$n'"
+    }.mkString("\n    ")
+    s"""WITH d AS (SELECT doc_id AS id, CASE doc_id % 5
+       |    WHEN 0 THEN substr(text, 1, 40)
+       |    WHEN 1 THEN '$CyrText'
+       |    WHEN 2 THEN '$CjkText'
+       |    WHEN 3 THEN '$ArText'
+       |    ELSE '123 456 7890' END AS t
+       |  FROM documents),
+       |c AS (SELECT id, len(regexp_extract_all(t, '\\S')) AS nw,
+       |   $sel
+       |  FROM d)
+       |SELECT id, CAST(nw AS INT) AS n_chars,
+       |  ${names.map(n => s"round(${n}_c / greatest(nw, 1)::DOUBLE, 6) AS ${n}_ratio").mkString(",\n  ")},
+       |  CASE
+       |    $ladder
+       |    ELSE 'other' END AS main_script
+       |FROM c ORDER BY id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "link_pagerank" -> PageRankOracleSql,
     "bpe_encode" -> BpeOracleSql,
+    "url_host_cap" ->
+      """WITH d AS (SELECT doc_id AS id,
+        |    'h' || (doc_id % 9)::VARCHAR || '.example.org' AS host
+        |  FROM documents),
+        |r AS (SELECT id, host,
+        |        row_number() OVER (PARTITION BY host ORDER BY id) AS rn FROM d)
+        |SELECT id, host, rn <= 30 AS keep FROM r ORDER BY id""".stripMargin,
+    "doc_scripts" -> DocScriptsOracleSql,
     "doc_line_dedup" ->
       """WITH d AS (SELECT doc_id, concat_ws(chr(10),
         |    CASE WHEN doc_id % 2 = 0 THEN 'Subscribe to our newsletter today' END,

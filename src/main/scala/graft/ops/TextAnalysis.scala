@@ -703,6 +703,45 @@ object TextAnalysis {
     spark.range(nBuckets).select(col("id").as("bucket"),
       (((col("id") * 2654435761L) % 4001L) - 2000L).cast(DoubleType)./(2000.0).as("weight"))
 
+  /** Code-point-range classes shared VERBATIM with the DuckDB oracle
+    * (RE2 and Java both accept literal chars in classes — script names
+    * differ between the engines, \\p{IsLatin} vs \\p{Latin}, so ranges are
+    * the portable spelling). */
+  private[graft] val scriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z\u00C0-\u024F]",
+    "cyrillic" -> "[\u0400-\u04FF]",
+    "cjk" -> "[\u4E00-\u9FFF\u3040-\u30FF\uAC00-\uD7AF]",
+    "arabic" -> "[\u0600-\u06FF]",
+    "digit" -> "[0-9]")
+
+  /**
+   * Unicode-script profile — the script/charset filter every multilingual
+   * curation pipeline runs before language ID (a "French" doc that is 80%
+   * CJK is mislabeled; mixed-script spam is its own failure class):
+   * per-document ratios of Latin / Cyrillic / CJK (incl. kana+hangul) /
+   * Arabic / digit code points over non-whitespace chars, plus the
+   * dominant script by a deterministic ladder (ties resolve in the order
+   * above; no hits → 'other'). Pure codegen column expressions, one scan.
+   *
+   * Returns (id, n_chars, <script>_ratio..., main_script).
+   */
+  def scriptProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nonWs = size(regexp_extract_all(t, lit("\\S"), lit(0)))
+    val counts = scriptRanges.map { case (n, cls) =>
+      n -> size(regexp_extract_all(t, lit(cls), lit(0))) }
+    val denom = greatest(nonWs, lit(1)).cast(DoubleType)
+    val ratioCols = counts.map { case (n, c) => round(c / denom, 6).as(s"${n}_ratio") }
+    // deterministic argmax ladder: first script with a strictly-positive
+    // count that is >= every later script's count
+    val main = counts.zipWithIndex.foldRight(lit("other")) { case (((n, c), i), acc) =>
+      val beatsRest = counts.drop(i + 1).map(_._2).foldLeft(lit(true))((a, o) => a && c >= o)
+      when(c > 0 && beatsRest, lit(n)).otherwise(acc)
+    }
+    df.select(col(idCol).as("id") +: nonWs.cast(IntegerType).as("n_chars") +:
+      ratioCols :+ main.as("main_script"): _*)
+  }
+
   /**
    * Unicode normalization — the tokenizer-prep pass every multilingual
    * pipeline runs (NFC for storage canonicalization, NFKC for tokenizer

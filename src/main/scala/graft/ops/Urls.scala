@@ -75,4 +75,49 @@ object Urls {
     df.select(col(idCol).cast("long").as("id"), canonicalize(col(urlCol)).as("canon_url"))
       .withColumn("keep", row_number().over(w) === 1)
   }
+
+  /** The canonical host of a URL (lowercased, www/default-port stripped) —
+    * the grouping key for domain-level policies. */
+  def hostOf(url: Column): Column = {
+    val u = when(url.startsWith("//"), concat(lit("http:"), url))
+      .when(url.contains("://"), url)
+      .otherwise(concat(lit("http://"), url))
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostNoWww = regexp_replace(
+      lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
+      "^www\\.", "")
+    when(scheme === "", lit("")).otherwise(
+      when(scheme === "http", regexp_replace(hostNoWww, ":80$", ""))
+        .when(scheme === "https", regexp_replace(hostNoWww, ":443$", ""))
+        .otherwise(hostNoWww))
+  }
+
+  /**
+   * Per-host document cap — the FineWeb/C4-style anti-domination policy:
+   * keep at most `maxPerHost` documents per canonical host, lowest id
+   * first (deterministic; feed a quality-ranked id if ranking matters).
+   *
+   * Scale shape: hosts UNDER the cap bypass ranking entirely — one
+   * count aggregation splits the corpus, and only over-cap hosts' rows
+   * (usually a tiny fraction with a crawl's Zipf host distribution) pay
+   * the per-host row_number sort. A mega-host is therefore the only
+   * window partition, and its rows are the only ones a straggler task
+   * ever holds. Returns (id, host, keep).
+   */
+  def hostCap(df: DataFrame, idCol: String, urlCol: String,
+              maxPerHost: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxPerHost > 0, "need maxPerHost > 0")
+    val base = df.select(col(idCol).cast("long").as("id"),
+      hostOf(col(urlCol)).as("host"))
+    val counts = base.groupBy("host").agg(count(lit(1)).as("__n"))
+    val joined = base.join(counts, Seq("host"))
+    val under = joined.where(col("__n") <= maxPerHost)
+      .select(col("id"), col("host"), lit(true).as("keep"))
+    val w = Window.partitionBy("host").orderBy(col("id").asc)
+    val over = joined.where(col("__n") > maxPerHost)
+      .select(col("id"), col("host"),
+        (row_number().over(w) <= maxPerHost).as("keep"))
+    under.unionByName(over)
+  }
 }

@@ -107,6 +107,33 @@ class LinkGraphCurationSpec extends SparkSpec {
     assert(got(2L) == ((0, biasOnly, biasOnly >= 0.5)))
   }
 
+  test("hostCap: spelling variants group to one host, cap keeps lowest ids, under-cap bypasses") {
+    val urls = Seq(
+      (1L, "https://www.a.org/x"), (2L, "a.org/y"), (3L, "HTTP://a.org:80/z"),
+      (4L, "https://b.org/1"), (5L, "https://b.org/2"),
+      (6L, ":::garbage")).toDF("doc_id", "url")
+    val got = graft.ops.Urls.hostCap(urls, "doc_id", "url", maxPerHost = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+    assert(got == Set(
+      (1L, "a.org", true), (2L, "a.org", true), (3L, "a.org", false), // one host, cap 2
+      (4L, "b.org", true), (5L, "b.org", true),          // under-cap path
+      (6L, ":::garbage", true)))   // scheme-less garbage: literal self-group
+                                   // (canonicalize's verbatim fallback)
+  }
+
+  test("scriptProfile: ratios per script, deterministic dominant ladder, whitespace-only is other") {
+    val docs = Seq(
+      (1L, "abc \u0433\u0434\u0435 123"), // 3 latin, 3 cyrillic, 3 digit over 9 chars → latin wins tie
+      (2L, "   "),
+      (3L, "!!! ???")).toDF("doc_id", "text")
+    val got = TextAnalysis.scriptProfile(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(6), r.getString(7)))).toMap
+    assert(got(1L) == ((9, 0.333333, 0.333333, 0.333333, "latin")))
+    assert(got(2L) == ((0, 0.0, 0.0, 0.0, "other")))
+    assert(got(3L)._5 == "other") // punctuation counts in n_chars, no script hits
+  }
+
   test("normalizeText NFC composes, NFKC folds compatibility chars, stripAccents removes marks") {
     val docs = Seq(
       (1L, "cafe\u0301"),     // decomposed
