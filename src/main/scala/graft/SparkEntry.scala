@@ -963,6 +963,28 @@ object SparkEntry {
         col("duration_ms"), col("peak"), round(col("rms"), 4).as("rms"))
       .orderBy("media_id")
 
+  /** REAL compressed-audio decode end-to-end (WAV format tag 0x11, IMA
+    * ADPCM): codes are synthesized in the ENCODED domain as sign-only
+    * nibbles {0,8}, so the decoded stream is p0 + a signed window-cumsum of
+    * stepTable[max(i0−j,0)] >> 3 — the oracle re-runs the published IMA
+    * step table independently in SQL. */
+  private def adpcmFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractWavFeatures(
+        Multimodal.syntheticAdpcmWav(t(s, dir, "documents"), "doc_id"))
+      .select(col("media_id"), col("sample_rate"), col("n_samples"),
+        col("duration_ms"), col("peak"), round(col("rms"), 4).as("rms"))
+      .orderBy("media_id")
+
+  /** REAL video-container decode end-to-end: uncompressed AVI (RIFF LIST
+    * tree, 24-bit DIB frames) fans out to one row per frame; frame means
+    * are closed-form in (id, frame). */
+  private def aviFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractAviFrames(
+        Multimodal.syntheticAvi(t(s, dir, "documents"), "doc_id"))
+      .select(col("media_id"), col("frame_index"), col("n_frames"),
+        col("width"), col("height"), round(col("mean_lum"), 4).as("mean_lum"))
+      .orderBy("media_id", "frame_index")
+
   /** REAL multi-frame container decode end-to-end: animated GIFs (2–4
     * frames of constant gray, LZW + palette via javax.imageio) fan out to
     * one row per frame; frame means are closed-form in (id, frame). */
@@ -1224,6 +1246,8 @@ object SparkEntry {
     "aiff_features" -> aiffFeatures,
     "au_features" -> auFeatures,
     "alaw_features" -> alawFeatures,
+    "adpcm_features" -> adpcmFeatures,
+    "avi_frames" -> aviFrames,
     "gif_frames" -> gifFrames,
     "bmp_features" -> bmpFeatures,
     "png_features" -> pngFeatures,
@@ -1803,6 +1827,51 @@ object SparkEntry {
         |       CAST(amp AS BIGINT) AS peak,
         |       round(CAST(amp AS DOUBLE), 4) AS rms
         |FROM a ORDER BY 1""".stripMargin,
+    // IMA ADPCM: the oracle re-runs the published IMA step table in SQL —
+    // sign-only nibbles step the index by −1 each sample, so sample j is
+    // p0 + a signed running sum of stepTable[max(i0−j,0)] >> 3 (plus the
+    // header-predictor sample 0). Integer-valued squares keep the RMS sum
+    // exact under any addition order.
+    "adpcm_features" ->
+      """WITH st AS (
+        |  SELECT gs AS i,
+        |         ([7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,
+        |           50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,
+        |           230,253,279,307,337,371,408,449,494,544,598,658,724,796,
+        |           876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,
+        |           2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,
+        |           7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,
+        |           20350,22385,24623,27086,29794,32767])[gs+1] AS s
+        |  FROM generate_series(0, 88) t(gs)),
+        |d AS (SELECT doc_id, 2 * (100 + (doc_id % 50) * 4) AS m,
+        |             doc_id % 800 AS p0, doc_id % 64 AS i0 FROM documents),
+        |delta AS (
+        |  SELECT d.doc_id, j.gs AS j, d.p0,
+        |         CASE WHEN (d.doc_id + j.gs) % 3 = 0 THEN -(st.s >> 3)
+        |              ELSE st.s >> 3 END AS dv
+        |  FROM d, generate_series(0, 591) j(gs), st
+        |  WHERE j.gs < d.m AND st.i = greatest(d.i0 - j.gs, 0)),
+        |samp AS (
+        |  SELECT doc_id, 0 AS k, CAST(p0 AS BIGINT) AS v FROM d
+        |  UNION ALL
+        |  SELECT doc_id, j + 1 AS k,
+        |         p0 + SUM(dv) OVER (PARTITION BY doc_id ORDER BY j) AS v
+        |  FROM delta)
+        |SELECT s2.doc_id AS media_id, CAST(8000 AS BIGINT) AS sample_rate,
+        |       CAST(d.m + 1 AS BIGINT) AS n_samples,
+        |       CAST((d.m + 1) * 1000 // 8000 AS BIGINT) AS duration_ms,
+        |       CAST(max(abs(s2.v)) AS BIGINT) AS peak,
+        |       round(sqrt(avg(CAST(s2.v AS DOUBLE) * s2.v)), 4) AS rms
+        |FROM samp s2 JOIN d ON s2.doc_id = d.doc_id
+        |GROUP BY s2.doc_id, d.m ORDER BY 1""".stripMargin,
+    "avi_frames" ->
+      """SELECT d.doc_id AS media_id, f.range AS frame_index,
+        |       CAST(2 + d.doc_id % 3 AS BIGINT) AS n_frames,
+        |       CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+        |       round(CAST((11 * d.doc_id + 17 * f.range) % 256 AS DOUBLE), 4) AS mean_lum
+        |FROM documents d, range(4) f
+        |WHERE f.range < 2 + d.doc_id % 3
+        |ORDER BY 1, 2""".stripMargin,
     "gif_frames" ->
       """SELECT d.doc_id AS media_id, f.range AS frame_index,
         |       CAST(2 + d.doc_id % 3 AS BIGINT) AS n_frames,

@@ -9,15 +9,17 @@ import org.apache.spark.sql.types._
  * with typed metadata, decode/feature-extract as partition-local batch
  * transforms.
  *
- * Image and PCM-audio formats decode for REAL with zero dependencies:
- * [[decodeWav]] walks RIFF chunks and computes PCM sample statistics;
+ * Image, audio, and video containers decode for REAL with zero dependencies:
+ * [[decodeWav]] walks RIFF chunks and decodes 16-bit PCM AND compressed IMA
+ * ADPCM (format tag 0x11 — the table-driven 4-bit predictor state machine);
  * [[decodeBmp]] parses the BITMAPINFOHEADER and pixel array (bottom-up rows,
  * 4-byte row padding) into channel means and a 64-bit average-hash;
  * [[decodeImage]] decodes COMPRESSED images (PNG inflate, JPEG IDCT) through
- * the JDK's built-in `javax.imageio` readers. Only compressed AUDIO/VIDEO
- * codecs (mp3/h264…) remain stubbed (`fakeDecode` — no codec libraries in
- * this container, and none in the JDK); the distributed shape — partition-
- * local batch map, no shuffle — is identical either way.
+ * the JDK's built-in `javax.imageio` readers; [[decodeAviFrames]] walks an
+ * AVI RIFF LIST tree into per-frame features. Only PERCEPTUAL codecs
+ * (mp3/h264…) remain stubbed (`fakeDecode` — no codec libraries in this
+ * container, and none in the JDK); the distributed shape — partition-local
+ * batch map, no shuffle — is identical either way.
  */
 object Multimodal {
 
@@ -98,14 +100,29 @@ object Multimodal {
   private def le32(b: Array[Byte], o: Int): Int =
     (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) | ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
 
-  /** REAL RIFF/WAVE PCM decoder (chunk walk, 16-bit little-endian samples):
-    * sample statistics straight from the byte payload. Throws on non-WAV
+  // IMA ADPCM spec constants (IMA "Recommended Practices for Enhancing
+  // Digital Audio Compatibility", rev 3.00 — the step-size and index tables
+  // every interoperable decoder ships verbatim).
+  private val imaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41,
+    45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190,
+    209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724,
+    796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272,
+    2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132,
+    7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500,
+    20350, 22385, 24623, 27086, 29794, 32767)
+  private val imaIndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** REAL RIFF/WAVE decoder (chunk walk): 16-bit little-endian PCM (format
+    * tag 1) and COMPRESSED IMA ADPCM (format tag 0x11 — 4-bit nibbles, the
+    * table-driven IMA predictor state machine, per-block header reset).
+    * Sample statistics straight from the byte payload. Throws on non-WAV
     * input — callers dispatch on magic. */
   private[graft] def decodeWav(id: Long, b: Array[Byte]): WavFeature = {
     require(b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E', "not a RIFF/WAVE file")
     var o = 12
-    var rate = 0; var channels = 0; var bits = 0
+    var tag = 0; var rate = 0; var channels = 0; var bits = 0; var blockAlign = 0
     var dataOff = -1; var dataLen = 0
     while (o + 8 <= b.length) {
       val cid = new String(b, o, 4, "US-ASCII")
@@ -116,28 +133,76 @@ object Multimodal {
       cid match {
         case "fmt " =>
           require(len >= 16, "fmt chunk too short")
-          require(le16(b, o + 8) == 1, "only PCM wav supported")
-          channels = le16(b, o + 10); rate = le32(b, o + 12); bits = le16(b, o + 22)
+          tag = le16(b, o + 8)
+          require(tag == 1 || tag == 0x11, "only PCM / IMA ADPCM wav supported")
+          channels = le16(b, o + 10); rate = le32(b, o + 12)
+          blockAlign = le16(b, o + 20); bits = le16(b, o + 22)
         case "data" => dataOff = o + 8; dataLen = len
         case _ =>
       }
       o += 8 + len + (len & 1) // chunks are word-aligned
     }
-    require(dataOff >= 0 && rate > 0 && bits == 16, "missing fmt/data chunk or non-16-bit")
+    require(dataOff >= 0 && rate > 0, "missing fmt/data chunk")
     require(channels > 0 && dataLen >= 0 && dataOff + dataLen <= b.length,
       "truncated WAV data chunk")
-    val n = dataLen / (2 * channels)
-    var peak = 0L; var sumSq = 0.0
-    var i = 0
-    while (i < n * channels) {
-      val s = le16(b, dataOff + 2 * i).toShort.toLong
-      if (math.abs(s) > peak) peak = math.abs(s)
+    var peak = 0L; var sumSq = 0.0; var n = 0L
+    def stat(s: Int): Unit = {
+      val a = math.abs(s.toLong)
+      if (a > peak) peak = a
       sumSq += s.toDouble * s.toDouble
-      i += 1
+      n += 1
     }
-    val rms = if (n == 0) 0.0 else math.sqrt(sumSq / (n * channels))
-    WavFeature(id, rate.toLong, channels.toLong, bits.toLong, n.toLong,
-      n.toLong * 1000L / rate, peak, rms)
+    if (tag == 1) {
+      require(bits == 16, "only 16-bit PCM supported")
+      var i = 0
+      val total = (dataLen / 2) / channels * channels
+      while (i < total) { stat(le16(b, dataOff + 2 * i).toShort.toInt); i += 1 }
+      n = total / channels // frames, matching the original contract
+      val rms = if (n == 0) 0.0 else math.sqrt(sumSq / total)
+      return WavFeature(id, rate.toLong, channels.toLong, 16L, n,
+        n * 1000L / rate, peak, rms)
+    }
+    // IMA ADPCM: data is whole blocks; each block restarts the predictor
+    // state from a 4-byte header (int16 predictor, uint8 step index, pad)
+    // whose predictor IS the block's first output sample, followed by 4-bit
+    // codes packed low-nibble-first.
+    require(channels == 1, "only mono IMA ADPCM supported")
+    require(bits == 4, "IMA ADPCM must be 4 bits per sample")
+    require(blockAlign > 4 && dataLen % blockAlign == 0,
+      "IMA ADPCM data must be whole blocks")
+    var blk = 0
+    while (blk.toLong * blockAlign < dataLen) {
+      val base = dataOff + blk * blockAlign
+      var pred = le16(b, base).toShort.toInt
+      var idx = b(base + 2) & 0xFF
+      require(idx <= 88, "bad ADPCM step index")
+      stat(pred)
+      var k = 0
+      while (k < blockAlign - 4) {
+        val byte = b(base + 4 + k) & 0xFF
+        var half = 0
+        while (half < 2) {
+          val nib = if (half == 0) byte & 0xF else (byte >> 4) & 0xF
+          val step = imaStepTable(idx)
+          // diff uses the PRE-update index; magnitude bits add step>>2,
+          // step>>1, step on top of the always-present step>>3
+          var diff = step >> 3
+          if ((nib & 1) != 0) diff += step >> 2
+          if ((nib & 2) != 0) diff += step >> 1
+          if ((nib & 4) != 0) diff += step
+          pred = if ((nib & 8) != 0) pred - diff else pred + diff
+          if (pred > 32767) pred = 32767 else if (pred < -32768) pred = -32768
+          idx += imaIndexTable(nib & 7)
+          if (idx < 0) idx = 0 else if (idx > 88) idx = 88
+          stat(pred)
+          half += 1
+        }
+        k += 1
+      }
+      blk += 1
+    }
+    val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+    WavFeature(id, rate.toLong, 1L, 4L, n, n * 1000L / rate, peak, rms)
   }
 
   /** Decode a WAV media column (partition-local, no shuffle). */
@@ -179,6 +244,51 @@ object Multimodal {
     val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
     df.select(col(idCol).cast(LongType))
       .map(r => (r.getLong(0), syntheticWavBytes(r.getLong(0))))(enc)
+      .toDF("media_id", "media")
+  }
+
+  /** Deterministic VALID single-block IMA-ADPCM WAV per id, synthesized in
+    * the ENCODED domain so the decode is SQL-reproducible: header predictor
+    * `id mod 800`, step index `id mod 64`, and every 4-bit code is 0 or 8
+    * (sign bit only — both step the index by −1). The decoded stream is then
+    * `p0 + Σ_j ±(stepTable[max(i0−j,0)] >> 3)` — a window cumsum over the
+    * published IMA step table that a DuckDB oracle recomputes independently.
+    * With i0 ≤ 63 the cumulative gain is ≤ 4120 and |p0| < 800, so the
+    * ±32767 clamp never engages and the closed form is exact. */
+  private[graft] def syntheticAdpcmWavBytes(id: Long): Array[Byte] = {
+    val rate = 8000
+    val nibbleBytes = (100 + (id % 50) * 4).toInt
+    val blockAlign = 4 + nibbleBytes
+    val p0 = (id % 800).toInt
+    val i0 = (id % 64).toInt
+    // RIFF(12) + fmt(8+20, cbSize=2 extension carries samples/block) +
+    // data(8 + one block)
+    val out = new Array[Byte](12 + 28 + 8 + blockAlign)
+    def putAscii(o: Int, s: String): Unit = s.getBytes("US-ASCII").copyToArray(out, o)
+    def put32(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o+1) = (v>>8).toByte
+      out(o+2) = (v>>16).toByte; out(o+3) = (v>>24).toByte }
+    def put16(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o+1) = (v>>8).toByte }
+    putAscii(0, "RIFF"); put32(4, out.length - 8); putAscii(8, "WAVE")
+    putAscii(12, "fmt "); put32(16, 20); put16(20, 0x11); put16(22, 1)
+    put32(24, rate); put32(28, rate * blockAlign / (1 + 2 * nibbleBytes))
+    put16(32, blockAlign); put16(34, 4)
+    put16(36, 2); put16(38, 1 + 2 * nibbleBytes) // cbSize, wSamplesPerBlock
+    putAscii(40, "data"); put32(44, blockAlign)
+    put16(48, p0); out(50) = i0.toByte; out(51) = 0
+    var j = 0
+    while (j < 2 * nibbleBytes) {
+      val nib = if ((id + j) % 3 == 0) 8 else 0 // 8 = subtract, 0 = add
+      val o = 52 + j / 2
+      out(o) = (if (j % 2 == 0) (out(o) | nib) else (out(o) | (nib << 4))).toByte
+      j += 1
+    }
+    out
+  }
+
+  def syntheticAdpcmWav(df: DataFrame, idCol: String): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    df.select(col(idCol).cast(LongType))
+      .map(r => (r.getLong(0), syntheticAdpcmWavBytes(r.getLong(0))))(enc)
       .toDF("media_id", "media")
   }
 
@@ -458,6 +568,144 @@ object Multimodal {
     val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
     df.select(col(idCol).cast(LongType))
       .map(r => (r.getLong(0), syntheticGifBytes(r.getLong(0))))(enc)
+      .toDF("media_id", "media")
+  }
+
+  // --------------------------------------- real codecs (AVI video container)
+
+  /** REAL VIDEO container decode: uncompressed AVI — a RIFF('AVI ') LIST
+    * tree walked recursively: 'hdrl' carries the `avih` main header and the
+    * video stream's `strh`/`strf` (BITMAPINFOHEADER, must be BI_RGB 24-bit),
+    * 'movi' carries one 'NNdb'/'NNdc' DIB chunk per frame (bottom-up BGR
+    * rows padded to 4 bytes — the same raster as [[decodeBmp]]). One output
+    * row per frame, shared [[GifFrame]] feature contract. DoS posture as the
+    * audio chunk walks: unsigned-Long length validation, dimension / frame /
+    * nesting-depth caps, exact per-frame payload size. */
+  private[graft] def decodeAviFrames(id: Long, b: Array[Byte]): Seq[GifFrame] = {
+    require(b != null && b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ',
+      "not a RIFF/AVI file")
+    var aw = -1; var ah = -1            // avih dims (cross-checked when present)
+    var w = -1; var h = -1; var bitCount = -1; var compression = -1
+    var lastStrh = ""                   // fccType of the preceding strh chunk
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    def walk(start: Long, end: Long, inHdrl: Boolean, inMovi: Boolean, depth: Int): Unit = {
+      require(depth <= 8, "AVI LIST nesting too deep")
+      var o = start
+      while (o + 8 <= end) {
+        val cid = new String(b, o.toInt, 4, "US-ASCII")
+        val len = le32(b, o.toInt + 4).toLong & 0xFFFFFFFFL
+        require(o + 8 + len <= end, "truncated/invalid AVI chunk")
+        if (cid == "LIST" || cid == "RIFF") {
+          require(len >= 4, "LIST chunk too short")
+          val ltype = new String(b, o.toInt + 8, 4, "US-ASCII")
+          walk(o + 12, o + 8 + len, inHdrl || ltype == "hdrl",
+            inMovi || ltype == "movi", depth + 1)
+        } else if (inHdrl && cid == "avih") {
+          require(len >= 40, "avih header too short")
+          aw = le32(b, o.toInt + 8 + 32); ah = le32(b, o.toInt + 8 + 36)
+        } else if (inHdrl && cid == "strh") {
+          require(len >= 4, "strh too short")
+          lastStrh = new String(b, o.toInt + 8, 4, "US-ASCII")
+        } else if (inHdrl && cid == "strf" && lastStrh == "vids") {
+          require(len >= 20, "video strf too short")
+          w = le32(b, o.toInt + 8 + 4); h = le32(b, o.toInt + 8 + 8)
+          bitCount = le16(b, o.toInt + 8 + 14); compression = le32(b, o.toInt + 8 + 16)
+        } else if (inMovi && cid.length == 4 && cid(0).isDigit && cid(1).isDigit &&
+          (cid.substring(2) == "db" || cid.substring(2) == "dc")) {
+          frames += ((o.toInt + 8, len.toInt))
+        }
+        o += 8 + len + (len & 1L) // chunks are word-aligned
+      }
+    }
+    walk(12L, b.length.toLong, inHdrl = false, inMovi = false, depth = 0)
+    require(bitCount == 24 && compression == 0, "only uncompressed 24-bit AVI supported")
+    require(w > 0 && h > 0 && w <= (1 << 14) && h <= (1 << 14), "unsupported AVI dimensions")
+    require(aw == -1 || (aw == w && ah == h), "avih/strf dimension mismatch")
+    require(frames.nonEmpty && frames.size <= 4096, s"unsupported frame count ${frames.size}")
+    val rowLen = ((w * 3 + 3) / 4) * 4
+    require(frames.forall { case (off, len) =>
+      len == rowLen * h && off.toLong + len <= b.length }, "bad AVI frame payload size")
+    val n = frames.size
+    frames.toSeq.zipWithIndex.map { case ((off, _), f) =>
+      var s = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = off + (h - 1 - y) * rowLen + x * 3 // bottom-up rows
+          s += 0.299 * (b(p + 2) & 0xFF) + 0.587 * (b(p + 1) & 0xFF) +
+            0.114 * (b(p) & 0xFF)
+          x += 1
+        }
+        y += 1
+      }
+      GifFrame(id, f.toLong, n.toLong, w.toLong, h.toLong, s / (w.toLong * h))
+    }
+  }
+
+  /** Decode an uncompressed-AVI media column into per-frame feature rows
+    * (partition-local flatMap, no shuffle — fan-out = frame count). */
+  def extractAviFrames(media: DataFrame): DataFrame = {
+    val enc = Encoders.product[GifFrame]
+    media.select(col("media_id"), col("media"))
+      .flatMap(row => decodeAviFrames(row.getLong(0), row.get(1).asInstanceOf[Array[Byte]]))(enc)
+      .toDF()
+  }
+
+  /** Deterministic VALID uncompressed AVI per id: 2 + (id mod 3) frames of
+    * 8×8 constant gray (11·id + 17·f) mod 256 for frame f, 24-bit BGR DIB
+    * payloads ('00db') under a real hdrl/strl/movi LIST tree. Raw DIB frames
+    * are lossless, so every frame mean is closed-form in (id, f). */
+  private[graft] def syntheticAviBytes(id: Long): Array[Byte] = {
+    val nFrames = (2 + id % 3).toInt
+    val w = 8; val h = 8; val rowLen = w * 3 // already 4-byte aligned
+    val frameLen = rowLen * h
+    val hdrlLen = 192                        // 'hdrl' + avih(8+56) + LIST strl(8+116)
+    val moviLen = 4 + nFrames * (8 + frameLen)
+    val out = new Array[Byte](12 + 8 + hdrlLen + 8 + moviLen)
+    def putAscii(o: Int, s: String): Unit = s.getBytes("US-ASCII").copyToArray(out, o)
+    def put32(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o+1) = (v>>8).toByte
+      out(o+2) = (v>>16).toByte; out(o+3) = (v>>24).toByte }
+    def put16(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o+1) = (v>>8).toByte }
+    putAscii(0, "RIFF"); put32(4, out.length - 8); putAscii(8, "AVI ")
+    putAscii(12, "LIST"); put32(16, hdrlLen); putAscii(20, "hdrl")
+    putAscii(24, "avih"); put32(28, 56)
+    val avih = 32
+    put32(avih, 40000)                       // µs per frame (25 fps)
+    put32(avih + 16, nFrames); put32(avih + 24, 1) // dwTotalFrames, dwStreams
+    put32(avih + 32, w); put32(avih + 36, h)
+    val strl = avih + 56
+    putAscii(strl, "LIST"); put32(strl + 4, 116); putAscii(strl + 8, "strl")
+    putAscii(strl + 12, "strh"); put32(strl + 16, 56)
+    val strh = strl + 20
+    putAscii(strh, "vids"); putAscii(strh + 4, "DIB ")
+    put32(strh + 20, 1); put32(strh + 24, 25) // dwScale, dwRate (25 fps)
+    put32(strh + 32, nFrames)                 // dwLength
+    val strf = strh + 56
+    putAscii(strf, "strf"); put32(strf + 4, 40)
+    val bih = strf + 8
+    put32(bih, 40); put32(bih + 4, w); put32(bih + 8, h)
+    put16(bih + 12, 1); put16(bih + 14, 24)   // planes, 24-bit
+    put32(bih + 16, 0); put32(bih + 20, frameLen) // BI_RGB, image size
+    val movi = bih + 40
+    putAscii(movi, "LIST"); put32(movi + 4, moviLen); putAscii(movi + 8, "movi")
+    var fo = movi + 12
+    var f = 0
+    while (f < nFrames) {
+      putAscii(fo, "00db"); put32(fo + 4, frameLen)
+      val v = ((11 * id + 17 * f) % 256).toByte
+      java.util.Arrays.fill(out, fo + 8, fo + 8 + frameLen, v)
+      fo += 8 + frameLen
+      f += 1
+    }
+    out
+  }
+
+  def syntheticAvi(df: DataFrame, idCol: String): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    df.select(col(idCol).cast(LongType))
+      .map(r => (r.getLong(0), syntheticAviBytes(r.getLong(0))))(enc)
       .toDF("media_id", "media")
   }
 

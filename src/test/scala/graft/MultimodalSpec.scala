@@ -235,6 +235,136 @@ class MultimodalSpec extends SparkSpec {
     intercept[Exception] { Multimodal.decodeGifFrames(9L, gif.take(16)) }
   }
 
+  // IMA spec constants, duplicated here on purpose (published tables — the
+  // spec re-states them rather than importing the implementation's copy)
+  private val imaSteps = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41,
+    45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190,
+    209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724,
+    796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272,
+    2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132,
+    7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500,
+    20350, 22385, 24623, 27086, 29794, 32767)
+  private val imaIndexDelta = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  test("IMA ADPCM decode matches a reference state machine on random multi-block streams") {
+    val rnd = new scala.util.Random(421L)
+    for (trial <- 0 until 20) {
+      val nBlocks = 1 + rnd.nextInt(3)
+      val nibbleBytes = 2 + 2 * rnd.nextInt(40) // even so blockAlign is even
+      val blockAlign = 4 + nibbleBytes
+      // extreme predictors/indices exercise the ±32767 clamp and index caps
+      val blocks = Seq.fill(nBlocks)((
+        rnd.nextInt(65536) - 32768,
+        rnd.nextInt(89),
+        Array.fill[Byte](nibbleBytes)(rnd.nextInt(256).toByte)))
+      val dataLen = nBlocks * blockAlign
+      val out = new Array[Byte](12 + 28 + 8 + dataLen)
+      def putAscii(o: Int, s: String): Unit = s.getBytes("US-ASCII").copyToArray(out, o)
+      def put32(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o+1) = (v>>8).toByte
+        out(o+2) = (v>>16).toByte; out(o+3) = (v>>24).toByte }
+      def put16(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o+1) = (v>>8).toByte }
+      putAscii(0, "RIFF"); put32(4, out.length - 8); putAscii(8, "WAVE")
+      putAscii(12, "fmt "); put32(16, 20); put16(20, 0x11); put16(22, 1)
+      put32(24, 8000); put32(28, 4000); put16(32, blockAlign); put16(34, 4)
+      put16(36, 2); put16(38, 1 + 2 * nibbleBytes)
+      putAscii(40, "data"); put32(44, dataLen)
+      blocks.zipWithIndex.foreach { case ((p0, i0, nibs), bi) =>
+        val base = 48 + bi * blockAlign
+        put16(base, p0); out(base + 2) = i0.toByte; out(base + 3) = 0
+        nibs.copyToArray(out, base + 4)
+      }
+      // reference decode: flat per-nibble state machine per block
+      var peak = 0L; var sumSq = 0.0; var n = 0L
+      blocks.foreach { case (p0, i0, nibs) =>
+        var p = p0; var ix = i0
+        def stat(): Unit = { peak = math.max(peak, math.abs(p.toLong))
+          sumSq += p.toDouble * p; n += 1 }
+        stat()
+        nibs.foreach { byte =>
+          Seq(byte & 0xF, (byte >> 4) & 0xF).foreach { nib =>
+            val st = imaSteps(ix)
+            var d = st >> 3
+            if ((nib & 1) != 0) d += st >> 2
+            if ((nib & 2) != 0) d += st >> 1
+            if ((nib & 4) != 0) d += st
+            p = if ((nib & 8) != 0) p - d else p + d
+            p = math.max(-32768, math.min(32767, p))
+            ix = math.max(0, math.min(88, ix + imaIndexDelta(nib & 7)))
+            stat()
+          }
+        }
+      }
+      val f = Multimodal.decodeWav(trial.toLong, out)
+      assert(f.bits == 4 && f.sample_rate == 8000 && f.n_samples == n, s"trial=$trial")
+      assert(f.peak == peak, s"trial=$trial peak=${f.peak} expect $peak")
+      assert(math.abs(f.rms - math.sqrt(sumSq / n)) < 1e-9, s"trial=$trial")
+    }
+  }
+
+  test("synthetic ADPCM gate stream is the closed-form cumsum and never clamps") {
+    for (id <- Seq(0L, 7L, 49L, 63L, 255L, 799L)) {
+      val f = Multimodal.decodeWav(id, Multimodal.syntheticAdpcmWavBytes(id))
+      val m = (2 * (100 + (id % 50) * 4)).toInt
+      val p0 = (id % 800).toInt; val i0 = (id % 64).toInt
+      var run = p0.toLong; var peak = math.abs(p0).toLong
+      var sumSq = p0.toDouble * p0
+      for (j <- 0 until m) {
+        val s = imaSteps(math.max(i0 - j, 0)) >> 3
+        run += (if ((id + j) % 3 == 0) -s else s)
+        assert(run.abs <= 32767, s"id=$id clamped at j=$j") // oracle precondition
+        peak = math.max(peak, math.abs(run)); sumSq += run.toDouble * run
+      }
+      assert(f.bits == 4 && f.n_samples == m + 1 && f.duration_ms == (m + 1) * 1000L / 8000)
+      assert(f.peak == peak, s"id=$id peak=${f.peak} expect $peak")
+      assert(math.abs(f.rms - math.sqrt(sumSq / (m + 1))) < 1e-9, s"id=$id")
+    }
+  }
+
+  test("ADPCM decoder rejects hostile input: partial block, bad index, stereo") {
+    val base = Multimodal.syntheticAdpcmWavBytes(5L)
+    val partial = base.clone()
+    // shrink the data chunk length by one byte: no longer whole blocks
+    val dl = (partial(44) & 0xFF) | ((partial(45) & 0xFF) << 8)
+    partial(44) = (dl - 1).toByte; partial(45) = ((dl - 1) >> 8).toByte
+    intercept[IllegalArgumentException] { Multimodal.decodeWav(5L, partial) }
+    val badIdx = base.clone(); badIdx(50) = 90.toByte
+    intercept[IllegalArgumentException] { Multimodal.decodeWav(5L, badIdx) }
+    val stereo = base.clone(); stereo(22) = 2
+    intercept[IllegalArgumentException] { Multimodal.decodeWav(5L, stereo) }
+  }
+
+  test("uncompressed AVI round trip is exact for all 256 values and frame counts") {
+    for (id <- 0L until 256L) {
+      val frames = Multimodal.decodeAviFrames(id, Multimodal.syntheticAviBytes(id))
+      val expectN = 2 + (id % 3)
+      assert(frames.length == expectN, s"id=$id got ${frames.length} frames")
+      frames.zipWithIndex.foreach { case (f, i) =>
+        val v = ((11 * id + 17 * i) % 256).toDouble
+        assert(f.frame_index == i && f.n_frames == expectN && f.width == 8 && f.height == 8)
+        assert(math.abs(f.mean_lum - v) < 1e-9,
+          s"id=$id frame=$i mean=${f.mean_lum} expect $v")
+      }
+    }
+  }
+
+  test("AVI decoder rejects hostile input: garbage, truncation, tampered headers") {
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeAviFrames(1L, Array.fill[Byte](64)(0x41))
+    }
+    val avi = Multimodal.syntheticAviBytes(9L)
+    intercept[Exception] { Multimodal.decodeAviFrames(9L, avi.take(40)) }
+    // 32-bit DIB claimed: not the supported 24-bit BI_RGB layout
+    val bitTamper = avi.clone(); bitTamper(186) = 32
+    intercept[IllegalArgumentException] { Multimodal.decodeAviFrames(9L, bitTamper) }
+    // avih says 16 wide, strf says 8: cross-check must fire
+    val dimTamper = avi.clone(); dimTamper(64) = 16
+    intercept[IllegalArgumentException] { Multimodal.decodeAviFrames(9L, dimTamper) }
+    // frame chunk length beyond its LIST: Long-space bound check must fire
+    val lenTamper = avi.clone(); lenTamper(229) = 0x7F.toByte
+    intercept[IllegalArgumentException] { Multimodal.decodeAviFrames(9L, lenTamper) }
+  }
+
   test("distributed extract over a corpus matches per-row decode") {
     import spark.implicits._
     val ids = Seq(1L, 19L, 42L, 63L).toDF("doc_id")
