@@ -985,6 +985,17 @@ object SparkEntry {
         col("width"), col("height"), round(col("mean_lum"), 4).as("mean_lum"))
       .orderBy("media_id", "frame_index")
 
+  /** REAL ISO-BMFF container metadata probe end-to-end: minimal valid MP4s
+    * (ftyp + moov/mvhd + video & audio traks) probed for brand, timescale,
+    * duration, track census, and 16.16 fixed video dims — all closed-form. */
+  private def mp4Meta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractMp4Meta(
+        Multimodal.syntheticMp4(t(s, dir, "documents"), "doc_id"))
+      .select(col("media_id"), col("major_brand"), col("timescale"),
+        col("duration_ms"), col("n_tracks"), col("video_tracks"),
+        col("audio_tracks"), col("width"), col("height"))
+      .orderBy("media_id")
+
   /** REAL multi-frame container decode end-to-end: animated GIFs (2–4
     * frames of constant gray, LZW + palette via javax.imageio) fan out to
     * one row per frame; frame means are closed-form in (id, frame). */
@@ -1248,6 +1259,7 @@ object SparkEntry {
     "alaw_features" -> alawFeatures,
     "adpcm_features" -> adpcmFeatures,
     "avi_frames" -> aviFrames,
+    "mp4_meta" -> mp4Meta,
     "gif_frames" -> gifFrames,
     "bmp_features" -> bmpFeatures,
     "png_features" -> pngFeatures,
@@ -1872,6 +1884,15 @@ object SparkEntry {
         |FROM documents d, range(4) f
         |WHERE f.range < 2 + d.doc_id % 3
         |ORDER BY 1, 2""".stripMargin,
+    "mp4_meta" ->
+      """SELECT doc_id AS media_id, 'isom' AS major_brand,
+        |       CAST(600 AS BIGINT) AS timescale,
+        |       CAST((3000 + (doc_id % 100) * 150) * 1000 // 600 AS BIGINT) AS duration_ms,
+        |       CAST(2 AS BIGINT) AS n_tracks, CAST(1 AS BIGINT) AS video_tracks,
+        |       CAST(1 AS BIGINT) AS audio_tracks,
+        |       CAST(64 + (doc_id % 32) * 16 AS BIGINT) AS width,
+        |       CAST(48 + (doc_id % 24) * 16 AS BIGINT) AS height
+        |FROM documents ORDER BY 1""".stripMargin,
     "gif_frames" ->
       """SELECT d.doc_id AS media_id, f.range AS frame_index,
         |       CAST(2 + d.doc_id % 3 AS BIGINT) AS n_frames,

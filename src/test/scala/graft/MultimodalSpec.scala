@@ -365,6 +365,56 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Multimodal.decodeAviFrames(9L, lenTamper) }
   }
 
+  test("MP4 metadata probe reads ftyp/mvhd/tkhd/hdlr closed-form for many ids") {
+    for (id <- Seq(0L, 1L, 23L, 31L, 99L, 100L, 767L)) {
+      val m = Multimodal.decodeMp4Meta(id, Multimodal.syntheticMp4Bytes(id))
+      val dur = 3000 + (id % 100) * 150
+      assert(m.major_brand == "isom" && m.timescale == 600, s"id=$id")
+      assert(m.duration_ms == dur * 1000 / 600, s"id=$id")
+      assert(m.n_tracks == 2 && m.video_tracks == 1 && m.audio_tracks == 1, s"id=$id")
+      assert(m.width == 64 + (id % 32) * 16 && m.height == 48 + (id % 24) * 16, s"id=$id")
+    }
+  }
+
+  test("MP4 probe handles v1 mvhd, 64-bit largesize, and rejects hostile input") {
+    val base = Multimodal.syntheticMp4Bytes(5L)
+    // rebuild the mvhd box as version 1 (8-byte times/duration, box 120)
+    val v0 = base.slice(28, 136) // mvhd box at offset 20+8
+    assert(new String(v0, 4, 4, "US-ASCII") == "mvhd")
+    val v1 = new Array[Byte](120)
+    def p32(o: Int, v: Int): Unit = { v1(o) = (v >> 24).toByte; v1(o+1) = (v >> 16).toByte
+      v1(o+2) = (v >> 8).toByte; v1(o+3) = v.toByte }
+    p32(0, 120); "mvhd".getBytes.copyToArray(v1, 4)
+    v1(8) = 1 // version 1
+    p32(28, 600)       // timescale after two 64-bit times
+    p32(32, 0); p32(36, 3750) // 64-bit duration = 3750
+    val rebuilt = base.take(20) ++ base.slice(20, 28) ++ v1 ++ base.drop(136)
+    // fix the moov size (+12)
+    val moovSz = 8 + 120 + 2 * 173
+    rebuilt(20) = (moovSz >> 24).toByte; rebuilt(21) = (moovSz >> 16).toByte
+    rebuilt(22) = (moovSz >> 8).toByte; rebuilt(23) = moovSz.toByte
+    val m = Multimodal.decodeMp4Meta(5L, rebuilt)
+    assert(m.timescale == 600 && m.duration_ms == 3750L * 1000 / 600)
+    assert(m.video_tracks == 1 && m.width == 64 + 5 * 16)
+    // largesize: wrap the ftyp box with size==1 + 64-bit size (20 → 28)
+    val big = new Array[Byte](base.length + 8)
+    big(0) = 0; big(1) = 0; big(2) = 0; big(3) = 1
+    "ftyp".getBytes.copyToArray(big, 4)
+    big(8) = 0; big(9) = 0; big(10) = 0; big(11) = 0
+    big(12) = 0; big(13) = 0; big(14) = 0; big(15) = 28
+    System.arraycopy(base, 8, big, 16, 12)    // ftyp payload
+    System.arraycopy(base, 20, big, 28, base.length - 20)
+    val m2 = Multimodal.decodeMp4Meta(5L, big)
+    assert(m2.major_brand == "isom" && m2.n_tracks == 2)
+    // hostile: garbage, truncation, box size past the buffer
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeMp4Meta(1L, Array.fill[Byte](64)(0x41))
+    }
+    intercept[Exception] { Multimodal.decodeMp4Meta(5L, base.take(30)) }
+    val evil = base.clone(); evil(20) = 0x7F.toByte // moov size beyond EOF
+    intercept[IllegalArgumentException] { Multimodal.decodeMp4Meta(5L, evil) }
+  }
+
   test("distributed extract over a corpus matches per-row decode") {
     import spark.implicits._
     val ids = Seq(1L, 19L, 42L, 63L).toDF("doc_id")
