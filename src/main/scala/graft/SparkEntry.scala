@@ -996,6 +996,16 @@ object SparkEntry {
         col("audio_tracks"), col("width"), col("height"))
       .orderBy("media_id")
 
+  /** REAL Ogg Vorbis container probe end-to-end: RFC 3533 page walk with
+    * mandatory CRC verification + Vorbis identification-header parse; rate,
+    * channels, page census, and granule-derived duration are closed-form. */
+  private def oggMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractOggMeta(
+        Multimodal.syntheticOgg(t(s, dir, "documents"), "doc_id"))
+      .select(col("media_id"), col("sample_rate"), col("channels"),
+        col("n_pages"), col("granule"), col("duration_ms"))
+      .orderBy("media_id")
+
   /** REAL multi-frame container decode end-to-end: animated GIFs (2–4
     * frames of constant gray, LZW + palette via javax.imageio) fan out to
     * one row per frame; frame means are closed-form in (id, frame). */
@@ -1260,6 +1270,7 @@ object SparkEntry {
     "adpcm_features" -> adpcmFeatures,
     "avi_frames" -> aviFrames,
     "mp4_meta" -> mp4Meta,
+    "ogg_meta" -> oggMeta,
     "gif_frames" -> gifFrames,
     "bmp_features" -> bmpFeatures,
     "png_features" -> pngFeatures,
@@ -1892,6 +1903,12 @@ object SparkEntry {
         |       CAST(1 AS BIGINT) AS audio_tracks,
         |       CAST(64 + (doc_id % 32) * 16 AS BIGINT) AS width,
         |       CAST(48 + (doc_id % 24) * 16 AS BIGINT) AS height
+        |FROM documents ORDER BY 1""".stripMargin,
+    "ogg_meta" ->
+      """SELECT doc_id AS media_id, CAST(8000 AS BIGINT) AS sample_rate,
+        |       CAST(1 AS BIGINT) AS channels, CAST(3 AS BIGINT) AS n_pages,
+        |       CAST(8000 * (1 + doc_id % 30) + (doc_id % 8) * 1000 AS BIGINT) AS granule,
+        |       CAST((8000 * (1 + doc_id % 30) + (doc_id % 8) * 1000) // 8 AS BIGINT) AS duration_ms
         |FROM documents ORDER BY 1""".stripMargin,
     "gif_frames" ->
       """SELECT d.doc_id AS media_id, f.range AS frame_index,

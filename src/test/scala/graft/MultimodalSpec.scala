@@ -415,6 +415,35 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Multimodal.decodeMp4Meta(5L, evil) }
   }
 
+  test("Ogg page CRC matches independently computed RFC 3533 vectors") {
+    // poly 0x04c11db7, MSB-first, init 0, no final XOR — vectors computed
+    // with a separate bitwise Python implementation
+    assert(Multimodal.oggCrc("123456789".getBytes("US-ASCII"), 0, 9) == 0x89A1897F)
+    assert(Multimodal.oggCrc("OggS".getBytes("US-ASCII"), 0, 4) == 0x5FB0A94F)
+  }
+
+  test("Ogg Vorbis probe reads rate/channels/granule closed-form; CRC is enforced") {
+    for (id <- Seq(0L, 7L, 29L, 30L, 123L)) {
+      val m = Multimodal.decodeOggMeta(id, Multimodal.syntheticOggBytes(id))
+      val granule = 8000L * (1 + id % 30) + (id % 8) * 1000L
+      assert(m.sample_rate == 8000 && m.channels == 1 && m.n_pages == 3, s"id=$id")
+      assert(m.granule == granule && m.duration_ms == granule / 8, s"id=$id")
+    }
+    // flip one payload byte on the middle page: its CRC must now mismatch
+    val ogg = Multimodal.syntheticOggBytes(3L)
+    val firstLen = 27 + 1 + 30
+    val corrupt = ogg.clone(); corrupt(firstLen + 30) = (corrupt(firstLen + 30) ^ 1).toByte
+    val e = intercept[IllegalArgumentException] { Multimodal.decodeOggMeta(3L, corrupt) }
+    assert(e.getMessage.contains("CRC"))
+    // hostile: garbage, truncation, non-Vorbis BOS payload
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeOggMeta(1L, Array.fill[Byte](64)(0x41))
+    }
+    intercept[Exception] { Multimodal.decodeOggMeta(3L, ogg.take(40)) }
+    val notVorbis = ogg.clone(); notVorbis(29) = 'x'
+    intercept[IllegalArgumentException] { Multimodal.decodeOggMeta(3L, notVorbis) }
+  }
+
   test("distributed extract over a corpus matches per-row decode") {
     import spark.implicits._
     val ids = Seq(1L, 19L, 42L, 63L).toDF("doc_id")
