@@ -879,8 +879,10 @@ object ExprCompiler {
     case t if t == Xsd.string =>
       when(isLiteral(c) || isIri(c), str(value(c))).otherwise(nullTerm)
     case t if t == Xsd.boolean =>
+      // NaN → false (reference lib/model/src/xsd/boolean.rs:75-82 requires
+      // !is_nan; Spark's NaN =!= 0.0 is TRUE under its total ordering)
       when(boolValue(c).isNotNull, fromBoolean(boolValue(c)))
-        .when(isNumeric(c), fromBoolean(numDouble(c) =!= 0.0))
+        .when(isNumeric(c), fromBoolean(numDouble(c) =!= 0.0 && !isnan(numDouble(c))))
         .when(isSimpleString(c) && value(c).isin("true", "1"), fromBoolean(lit(true)))
         .when(isSimpleString(c) && value(c).isin("false", "0"), fromBoolean(lit(false)))
         .otherwise(nullTerm)
