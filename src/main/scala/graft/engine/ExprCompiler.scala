@@ -902,14 +902,27 @@ object ExprCompiler {
         .when(boolValue(c).isNotNull, boolValue(c).cast(LongType)))
       when(v.isNotNull, fromLong(v)).otherwise(nullTerm)
     case t if t == Xsd.dateTime =>
+      // XSD dateTime lexical space: 'T' separator mandatory, optional
+      // fraction/timezone. Spark's default timestamp parser is far more
+      // lenient (date-only, space separator) — guard with the XSD shape so
+      // string casts match the reference's strict parser
+      // (lib/model/src/xsd/date_time.rs). Residual divergence: XSD's
+      // 24:00:00 end-of-day form is rejected here (Spark cannot represent
+      // the parse), where the reference normalises it to the next day.
       when(tsValue(c).isNotNull && datatypeRaw(c) === Xsd.dateTime, c)
-        .when(isSimpleString(c) && try_to_timestamp(value(c)).isNotNull, TermCols.typedLit(value(c), Xsd.dateTime))
+        .when(isSimpleString(c) &&
+            value(c).rlike("^-?\\d{4,}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?(Z|[+-]\\d{2}:\\d{2})?$") &&
+            try_to_timestamp(value(c)).isNotNull, TermCols.typedLit(value(c), Xsd.dateTime))
         .when(datatypeRaw(c) === Xsd.date, TermCols.typedLit(concat(value(c), lit("T00:00:00")), Xsd.dateTime))
         .otherwise(nullTerm)
     case t if t == Xsd.date =>
       when(datatypeRaw(c) === Xsd.date, c)
         .when(datatypeRaw(c) === Xsd.dateTime, TermCols.typedLit(substring(value(c), 1, 10), Xsd.date))
-        .when(isSimpleString(c) && value(c).rlike("^-?\\d{4,}-\\d{2}-\\d{2}"), TermCols.typedLit(value(c), Xsd.date))
+        // anchored: XSD date is the full lexical plus an optional timezone —
+        // a prefix match would admit trailing garbage
+        .when(isSimpleString(c) &&
+            value(c).rlike("^-?\\d{4,}-\\d{2}-\\d{2}(Z|[+-]\\d{2}:\\d{2})?$"),
+          TermCols.typedLit(value(c), Xsd.date))
         .otherwise(nullTerm)
     case other =>
       // unknown cast IRI: treat as extension-typed literal constructor
