@@ -1006,6 +1006,26 @@ object SparkEntry {
         col("n_pages"), col("granule"), col("duration_ms"))
       .orderBy("media_id")
 
+  /** REAL MPEG-1 Layer III stream probe end-to-end: ID3v2 syncsafe skip,
+    * per-frame header walk (bitrate/sample-rate indices, padding-aware frame
+    * lengths), ID3v1 trailer; frame census and duration are closed-form. */
+  private def mp3Meta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractMp3Meta(
+        Multimodal.syntheticMp3(t(s, dir, "documents"), "doc_id"))
+      .select(col("media_id"), col("sample_rate"), col("channels"),
+        col("bitrate_kbps"), col("n_frames"), col("duration_ms"), col("vbr"))
+      .orderBy("media_id")
+
+  /** REAL H.264 Annex-B probe end-to-end: start-code NAL walk + Exp-Golomb
+    * SPS parse (with emulation-prevention removal and frame cropping);
+    * profile/level/width/height and the NAL census are closed-form. */
+  private def h264Meta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractH264Meta(
+        Multimodal.syntheticH264(t(s, dir, "documents"), "doc_id"))
+      .select(col("media_id"), col("profile_idc"), col("level_idc"),
+        col("width"), col("height"), col("n_nals"), col("n_idr"), col("n_frames"))
+      .orderBy("media_id")
+
   /** REAL multi-frame container decode end-to-end: animated GIFs (2–4
     * frames of constant gray, LZW + palette via javax.imageio) fan out to
     * one row per frame; frame means are closed-form in (id, frame). */
@@ -1271,6 +1291,8 @@ object SparkEntry {
     "avi_frames" -> aviFrames,
     "mp4_meta" -> mp4Meta,
     "ogg_meta" -> oggMeta,
+    "mp3_meta" -> mp3Meta,
+    "h264_meta" -> h264Meta,
     "gif_frames" -> gifFrames,
     "bmp_features" -> bmpFeatures,
     "png_features" -> pngFeatures,
@@ -1909,6 +1931,26 @@ object SparkEntry {
         |       CAST(1 AS BIGINT) AS channels, CAST(3 AS BIGINT) AS n_pages,
         |       CAST(8000 * (1 + doc_id % 30) + (doc_id % 8) * 1000 AS BIGINT) AS granule,
         |       CAST((8000 * (1 + doc_id % 30) + (doc_id % 8) * 1000) // 8 AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY 1""".stripMargin,
+    "mp3_meta" ->
+      """SELECT doc_id AS media_id, CAST(32000 AS BIGINT) AS sample_rate,
+        |       CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        |       CAST(CASE doc_id % 4 WHEN 0 THEN 64 WHEN 1 THEN 96
+        |                            WHEN 2 THEN 128 ELSE 160 END AS BIGINT) AS bitrate_kbps,
+        |       CAST(8 + doc_id % 40 AS BIGINT) AS n_frames,
+        |       CAST((8 + doc_id % 40) * 36 AS BIGINT) AS duration_ms,
+        |       FALSE AS vbr
+        |FROM documents ORDER BY 1""".stripMargin,
+    "h264_meta" ->
+      """SELECT doc_id AS media_id, CAST(66 AS BIGINT) AS profile_idc,
+        |       CAST(30 AS BIGINT) AS level_idc,
+        |       CAST(16 * (4 + doc_id % 32)
+        |            - CASE WHEN doc_id % 3 = 0 THEN 2 * (1 + doc_id % 4) ELSE 0 END AS BIGINT) AS width,
+        |       CAST(16 * (3 + doc_id % 24)
+        |            - CASE WHEN doc_id % 3 = 0 THEN 2 * (doc_id % 2) ELSE 0 END AS BIGINT) AS height,
+        |       CAST(3 + doc_id % 20 AS BIGINT) AS n_nals,
+        |       CAST(1 AS BIGINT) AS n_idr,
+        |       CAST(1 + doc_id % 20 AS BIGINT) AS n_frames
         |FROM documents ORDER BY 1""".stripMargin,
     "gif_frames" ->
       """SELECT d.doc_id AS media_id, f.range AS frame_index,

@@ -1235,6 +1235,335 @@ object Multimodal {
       .toDF("media_id", "media")
   }
 
+  // ------------------------------------------------- MP3 frame-header walk
+
+  final case class Mp3Meta(media_id: Long, sample_rate: Long, channels: Long,
+                           bitrate_kbps: Long, n_frames: Long, duration_ms: Long,
+                           vbr: Boolean)
+
+  // MPEG-1 Layer III bitrate table (index 1–14, kbps) and sample-rate table
+  // (index 0–2), per ISO/IEC 11172-3 §2.4.2.3.
+  private val mp3Bitrates =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val mp3Rates = Array(44100, 48000, 32000)
+
+  /** REAL MPEG audio frame walk (ISO/IEC 11172-3): skips a leading ID3v2 tag
+    * (syncsafe size, optional footer) and a trailing ID3v1 block, then parses
+    * every frame header — sync, version, layer, bitrate/sample-rate indices,
+    * padding — and advances by the computed frame length, so VBR streams
+    * census correctly (duration depends only on the frame count). The
+    * compressed-audio inventory pass: everything except the polyphase/IMDCT
+    * sample decode. Scope: MPEG-1 Layer III; caps: frame count ≤ 1 << 20,
+    * Long-space length validation throughout. */
+  private[graft] def decodeMp3Meta(id: Long, b: Array[Byte]): Mp3Meta = {
+    require(b != null && b.length >= 4, "not an MPEG audio file")
+    var o = 0
+    // ID3v2: "ID3" ver(2) flags(1) syncsafe-size(4); footer flag doubles the
+    // 10-byte envelope (id3.org v2.4 §3.1)
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      var sz = 0L
+      var i = 0
+      while (i < 4) {
+        require((b(6 + i) & 0x80) == 0, "non-syncsafe ID3v2 size")
+        sz = (sz << 7) | (b(6 + i) & 0x7F); i += 1
+      }
+      val envelope = if ((b(5) & 0x10) != 0) 20L else 10L
+      require(envelope + sz <= b.length, "truncated ID3v2 tag")
+      o = (envelope + sz).toInt
+    }
+    var end = b.length
+    if (end - o >= 128 && b(end - 128) == 'T' && b(end - 127) == 'A' && b(end - 126) == 'G')
+      end -= 128
+    var frames = 0L; var rate = 0; var chans = 0L
+    var brMin = Int.MaxValue; var brMax = 0
+    while (o < end) {
+      require(o + 4 <= end, "truncated MPEG frame header")
+      require((b(o) & 0xFF) == 0xFF && (b(o + 1) & 0xE0) == 0xE0, "lost MPEG sync")
+      require(((b(o + 1) >> 3) & 3) == 3, "unsupported MPEG version (MPEG-1 only)")
+      require(((b(o + 1) >> 1) & 3) == 1, "unsupported layer (Layer III only)")
+      val bri = (b(o + 2) >> 4) & 0xF
+      val sri = (b(o + 2) >> 2) & 3
+      require(bri >= 1 && bri <= 14, "free-form/bad bitrate index")
+      require(sri <= 2, "reserved sample-rate index")
+      val kbps = mp3Bitrates(bri)
+      val sr = mp3Rates(sri)
+      val padding = (b(o + 2) >> 1) & 1
+      val mode = (b(o + 3) >> 6) & 3
+      val ch = if (mode == 3) 1L else 2L
+      if (frames == 0L) { rate = sr; chans = ch }
+      else require(sr == rate && ch == chans, "sample-rate/channel change mid-stream")
+      brMin = math.min(brMin, kbps); brMax = math.max(brMax, kbps)
+      // Layer III frame length: 144 * bitrate / samplerate + padding
+      val flen = 144L * kbps * 1000L / sr + padding
+      require(o + flen <= end, "truncated MPEG frame")
+      o += flen.toInt
+      frames += 1
+      require(frames <= (1L << 20), "unsupported frame count")
+    }
+    require(frames > 0, "no MPEG frames")
+    val durationMs = frames * 1152L * 1000L / rate // 1152 samples/frame, Layer III
+    Mp3Meta(id, rate.toLong, chans, if (brMin == brMax) brMin.toLong else 0L,
+      frames, durationMs, brMin != brMax)
+  }
+
+  /** Probe an MP3 media column for stream metadata (partition-local). */
+  def extractMp3Meta(media: DataFrame): DataFrame = {
+    val enc = Encoders.product[Mp3Meta]
+    media.select(col("media_id"), col("media"))
+      .map(row => decodeMp3Meta(row.getLong(0), row.get(1).asInstanceOf[Array[Byte]]))(enc)
+      .toDF()
+  }
+
+  /** Deterministic VALID MPEG-1 Layer III stream per id: an ID3v2 tag of
+    * varying syncsafe size, 8 + id%40 CBR frames at 32 kHz (frame length
+    * 4.5·kbps bytes — exact, no padding), bitrate 64/96/128/160 by id%4,
+    * mono/stereo by id%2, and an ID3v1 trailer when id%3 == 0. Closed forms:
+    * n_frames = 8 + id%40, duration_ms = n_frames·36. */
+  private[graft] def syntheticMp3Bytes(id: Long): Array[Byte] = {
+    val kbps = Array(64, 96, 128, 160)((id % 4).toInt)
+    val bri = mp3Bitrates.indexOf(kbps)
+    val nFrames = (8 + id % 40).toInt
+    val flen = (144L * kbps * 1000L / 32000L).toInt
+    val mono = id % 2 == 0
+    val tagPayload = ((id % 11) * 7).toInt
+    val id3v1 = id % 3 == 0
+    val total = 10 + tagPayload + nFrames * flen + (if (id3v1) 128 else 0)
+    val out = new Array[Byte](total)
+    "ID3".getBytes("US-ASCII").copyToArray(out, 0)
+    out(3) = 4 // v2.4.0, no flags
+    out(6) = ((tagPayload >> 21) & 0x7F).toByte; out(7) = ((tagPayload >> 14) & 0x7F).toByte
+    out(8) = ((tagPayload >> 7) & 0x7F).toByte; out(9) = (tagPayload & 0x7F).toByte
+    var i = 0
+    while (i < tagPayload) { out(10 + i) = ((id + i) % 128).toByte; i += 1 }
+    var o = 10 + tagPayload
+    var f = 0
+    while (f < nFrames) {
+      out(o) = 0xFF.toByte
+      out(o + 1) = 0xFB.toByte                             // MPEG-1, Layer III, no CRC
+      out(o + 2) = ((bri << 4) | (2 << 2)).toByte          // 32 kHz, no padding
+      out(o + 3) = (if (mono) 0xC0 else 0x00).toByte       // mode
+      i = 4
+      while (i < flen) { out(o + i) = (0x80 | ((id + f + i) % 128)).toByte; i += 1 }
+      o += flen
+      f += 1
+    }
+    if (id3v1) { "TAG".getBytes("US-ASCII").copyToArray(out, o) }
+    out
+  }
+
+  def syntheticMp3(df: DataFrame, idCol: String): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    df.select(col(idCol).cast(LongType))
+      .map(r => (r.getLong(0), syntheticMp3Bytes(r.getLong(0))))(enc)
+      .toDF("media_id", "media")
+  }
+
+  // ------------------------------------- H.264 Annex-B NAL walk + SPS parse
+
+  final case class H264Meta(media_id: Long, profile_idc: Long, level_idc: Long,
+                            width: Long, height: Long, n_nals: Long,
+                            n_idr: Long, n_frames: Long)
+
+  /** RBSP bit reader with inline emulation-prevention removal (the 0x03
+    * escape after two zero bytes — ITU-T H.264 §7.4.1.1). */
+  private[graft] final class RbspReader(b: Array[Byte], start: Int, end: Int) {
+    private var pos = start
+    private var bit = 0
+    private var zeros = 0
+    private def curByte: Int = {
+      if (bit == 0 && zeros >= 2 && pos < end && b(pos) == 3) { pos += 1; zeros = 0 }
+      require(pos < end, "RBSP overrun")
+      b(pos) & 0xFF
+    }
+    def u1(): Int = {
+      val v = (curByte >> (7 - bit)) & 1
+      bit += 1
+      if (bit == 8) { zeros = if ((b(pos) & 0xFF) == 0) zeros + 1 else 0; pos += 1; bit = 0 }
+      v
+    }
+    def u(n: Int): Int = { var v = 0; var i = 0; while (i < n) { v = (v << 1) | u1(); i += 1 }; v }
+    /** Exp-Golomb ue(v) (§9.1). */
+    def ue(): Int = {
+      var lead = 0
+      while (u1() == 0) { lead += 1; require(lead <= 31, "ue(v) overflow") }
+      (1 << lead) - 1 + u(lead)
+    }
+    /** Signed Exp-Golomb se(v) (§9.1.1). */
+    def se(): Int = { val k = ue(); if ((k & 1) == 1) (k + 1) / 2 else -(k / 2) }
+  }
+
+  /** REAL H.264 Annex-B probe (ITU-T H.264 §B.1, §7.3.2.1): start-code scan
+    * (both 3- and 4-byte forms), per-NAL census, and a full Exp-Golomb
+    * seq_parameter_set parse — profile/level, the high-profile chroma branch,
+    * all three pic_order_cnt_type shapes, frame cropping with the correct
+    * 4:2:0/4:2:2/4:4:4 crop units — yielding exact coded width/height.
+    * Everything except the CABAC/CAVLC macroblock decode. */
+  private[graft] def decodeH264Meta(id: Long, b: Array[Byte]): H264Meta = {
+    require(b != null && b.length >= 5, "not an Annex-B H.264 stream")
+    var profile = -1L; var level = -1L; var width = -1L; var height = -1L
+    var nals = 0L; var idr = 0L; var slices = 0L
+    var o = 0
+    // locate the first start code; nothing may precede it
+    require(b(0) == 0 && b(1) == 0 && (b(2) == 1 || (b(2) == 0 && b(3) == 1)),
+      "missing leading start code")
+    o = if (b(2) == 1) 3 else 4
+    while (o < b.length) {
+      // find the next start code (or end of stream) to bound this NAL
+      var e = o
+      var found = -1
+      while (found < 0 && e + 2 < b.length) {
+        if (b(e) == 0 && b(e + 1) == 0 && (b(e + 2) == 1 ||
+            (b(e + 2) == 0 && e + 3 < b.length && b(e + 3) == 1))) found = e
+        else e += 1
+      }
+      val nalEnd = if (found >= 0) found else b.length
+      require(nalEnd > o, "empty NAL unit")
+      val hdr = b(o) & 0xFF
+      require((hdr & 0x80) == 0, "forbidden_zero_bit set")
+      val nalType = hdr & 0x1F
+      nals += 1
+      require(nals <= 65536, "unsupported NAL count")
+      nalType match {
+        case 7 => // SPS
+          val r = new RbspReader(b, o + 1, nalEnd)
+          profile = r.u(8).toLong
+          r.u(8) // constraint_set flags + reserved_zero_2bits
+          level = r.u(8).toLong
+          r.ue() // seq_parameter_set_id
+          var chromaIdc = 1 // 4:2:0 default when the branch is absent
+          if (Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
+                .contains(profile.toInt)) {
+            chromaIdc = r.ue()
+            if (chromaIdc == 3) r.u1() // separate_colour_plane_flag
+            r.ue(); r.ue()             // bit_depth_luma/chroma_minus8
+            r.u1()                     // qpprime_y_zero_transform_bypass_flag
+            if (r.u1() == 1) {         // seq_scaling_matrix_present_flag
+              require(false, "scaling matrices unsupported in the probe")
+            }
+          }
+          r.ue() // log2_max_frame_num_minus4
+          r.ue() match {
+            case 0 => r.ue() // log2_max_pic_order_cnt_lsb_minus4
+            case 1 =>
+              r.u1(); r.se(); r.se()
+              val n = r.ue()
+              var i = 0
+              while (i < n) { r.se(); i += 1 }
+            case _ => ()
+          }
+          r.ue() // max_num_ref_frames
+          r.u1() // gaps_in_frame_num_value_allowed_flag
+          val wMbs = r.ue() + 1
+          val hUnits = r.ue() + 1
+          val frameMbsOnly = r.u1()
+          if (frameMbsOnly == 0) r.u1() // mb_adaptive_frame_field_flag
+          r.u1() // direct_8x8_inference_flag
+          var cropL = 0; var cropR = 0; var cropT = 0; var cropB = 0
+          if (r.u1() == 1) { cropL = r.ue(); cropR = r.ue(); cropT = r.ue(); cropB = r.ue() }
+          val subW = if (chromaIdc == 3) 1 else 2
+          val subH = if (chromaIdc == 1) 2 else 1
+          val cropUnitX = if (chromaIdc == 0) 1 else subW
+          val cropUnitY = (if (chromaIdc == 0) 1 else subH) * (2 - frameMbsOnly)
+          width = 16L * wMbs - cropUnitX.toLong * (cropL + cropR)
+          height = 16L * hUnits * (2 - frameMbsOnly) - cropUnitY.toLong * (cropT + cropB)
+          require(width > 0 && height > 0, "cropping exceeds the coded size")
+        case 5 => idr += 1; slices += 1
+        case 1 => slices += 1
+        case _ => () // PPS/SEI/AUD/filler: counted in the census only
+      }
+      o = if (found >= 0) (if (b(found + 2) == 1) found + 3 else found + 4) else b.length
+    }
+    require(profile >= 0, "no SPS in stream")
+    require(slices > 0, "no coded slices")
+    H264Meta(id, profile, level, width, height, nals, idr, slices)
+  }
+
+  /** Probe an H.264 media column for stream metadata (partition-local). */
+  def extractH264Meta(media: DataFrame): DataFrame = {
+    val enc = Encoders.product[H264Meta]
+    media.select(col("media_id"), col("media"))
+      .map(row => decodeH264Meta(row.getLong(0), row.get(1).asInstanceOf[Array[Byte]]))(enc)
+      .toDF()
+  }
+
+  /** RBSP bit writer with ue(v) and the §7.4.1.1 emulation-prevention escape
+    * (insert 0x03 after any 00 00 pair followed by a byte ≤ 3). */
+  private[graft] final class RbspWriter {
+    private val bits = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def u1(v: Int): Unit = bits += (v & 1)
+    def u(n: Int, v: Int): Unit = { var i = n - 1; while (i >= 0) { u1(v >> i); i -= 1 } }
+    def ue(v: Int): Unit = {
+      val k = v + 1
+      val n = 32 - Integer.numberOfLeadingZeros(k)
+      var i = 0
+      while (i < n - 1) { u1(0); i += 1 }
+      u(n, k)
+    }
+    def escaped(): Array[Byte] = {
+      u1(1) // rbsp_stop_one_bit
+      while (bits.length % 8 != 0) u1(0)
+      val raw = bits.grouped(8).map(g => g.foldLeft(0)((a, x) => (a << 1) | x).toByte).toArray
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      var zeros = 0
+      raw.foreach { byte =>
+        if (zeros >= 2 && (byte & 0xFF) <= 3) { out += 3; zeros = 0 }
+        out += byte
+        zeros = if (byte == 0) zeros + 1 else 0
+      }
+      out.toArray
+    }
+  }
+
+  /** Deterministic VALID Annex-B H.264 stream per id: a baseline-profile SPS
+    * (4-byte start code) with closed-form dimensions — 4 + id%32 × 3 + id%24
+    * macroblocks, frame-cropped when id%3 == 0 (right 1 + id%4, bottom id%2,
+    * crop units 2 for 4:2:0) — a PPS, one IDR slice, and id%20 non-IDR
+    * slices (3-byte start codes), payload bytes high-bit-set so no byte
+    * sequence fakes a start code. */
+  private[graft] def syntheticH264Bytes(id: Long): Array[Byte] = {
+    val wMbs = (4 + id % 32).toInt
+    val hMbs = (3 + id % 24).toInt
+    val crop = id % 3 == 0
+    val cropR = (1 + id % 4).toInt
+    val cropB = (id % 2).toInt
+    val w = new RbspWriter
+    w.u(8, 66); w.u(8, 0); w.u(8, 30) // profile baseline, constraints 0, level 3.0
+    w.ue(0)                            // seq_parameter_set_id
+    w.ue(0)                            // log2_max_frame_num_minus4
+    w.ue(2)                            // pic_order_cnt_type
+    w.ue(1)                            // max_num_ref_frames
+    w.u1(0)                            // gaps_in_frame_num_value_allowed_flag
+    w.ue(wMbs - 1); w.ue(hMbs - 1)
+    w.u1(1)                            // frame_mbs_only_flag
+    w.u1(1)                            // direct_8x8_inference_flag
+    if (crop) { w.u1(1); w.ue(0); w.ue(cropR); w.ue(0); w.ue(cropB) } else w.u1(0)
+    w.u1(0)                            // vui_parameters_present_flag
+    val sps = w.escaped()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def nal(startLen: Int, hdr: Int, payload: Array[Byte]): Unit = {
+      var i = 0
+      while (i < startLen - 1) { out += 0; i += 1 }
+      out += 1
+      out += hdr.toByte // forbidden 0 | nal_ref_idc | nal_unit_type
+      out ++= payload
+    }
+    def slicePayload(seed: Long): Array[Byte] =
+      Array.tabulate[Byte](12 + (seed % 9).toInt)(i => (0x80 | ((seed + i * 11) % 128)).toByte)
+    nal(4, 0x67, sps)
+    nal(4, 0x68, Array(0xC8.toByte, 0x42.toByte)) // PPS payload (census only)
+    nal(3, 0x65, slicePayload(id * 3 + 1))
+    var f = 0
+    while (f < (id % 20).toInt) { nal(3, 0x41, slicePayload(id * 7 + f)); f += 1 }
+    out.toArray
+  }
+
+  def syntheticH264(df: DataFrame, idCol: String): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    df.select(col(idCol).cast(LongType))
+      .map(r => (r.getLong(0), syntheticH264Bytes(r.getLong(0))))(enc)
+      .toDF("media_id", "media")
+  }
+
   /** Build a small synthetic media table from any table's rows (for tests
     * and benches — deterministic bytes derived from an id column). */
   def syntheticMedia(df: DataFrame, idCol: String): DataFrame =

@@ -149,6 +149,18 @@ object OpsScaleProbe {
       TextAnalysis.linearScore(docs, "doc_id", "text", w, 4096)
     }
     time("normalize_nfkc")(TextAnalysis.normalizeText(docs, "doc_id", "text", "NFKC"))
+    // media decoders: partition-local narrow maps — synth + decode per row,
+    // no shuffle anywhere, so these must scale embarrassingly linearly
+    val ids = spark.range(nDocs).select(col("id").as("doc_id")).localCheckpoint()
+    import graft.ops.Multimodal
+    time("adpcm_decode")(Multimodal.extractWavFeatures(
+      Multimodal.syntheticAdpcmWav(ids, "doc_id")))
+    time("avi_frames_decode")(Multimodal.extractAviFrames(
+      Multimodal.syntheticAvi(ids, "doc_id")))
+    time("mp4_meta_probe")(Multimodal.extractMp4Meta(
+      Multimodal.syntheticMp4(ids, "doc_id")))
+    time("ogg_meta_probe")(Multimodal.extractOggMeta(
+      Multimodal.syntheticOgg(ids, "doc_id")))
     spark.stop()
   }
 }

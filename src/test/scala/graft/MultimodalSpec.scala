@@ -444,6 +444,81 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Multimodal.decodeOggMeta(3L, notVorbis) }
   }
 
+  test("MP3 frame walk reads rate/channels/bitrate/frames closed-form") {
+    for (id <- 0L until 200L) {
+      val m = Multimodal.decodeMp3Meta(id, Multimodal.syntheticMp3Bytes(id))
+      val kbps = Array(64, 96, 128, 160)((id % 4).toInt)
+      assert(m.sample_rate == 32000 && m.channels == 1 + id % 2, s"id=$id")
+      assert(m.bitrate_kbps == kbps && !m.vbr, s"id=$id")
+      assert(m.n_frames == 8 + id % 40 && m.duration_ms == (8 + id % 40) * 36, s"id=$id")
+    }
+  }
+
+  test("MP3 probe handles VBR, padding, and hostile inputs") {
+    def frame(kbps: Int, padding: Int): Array[Byte] = {
+      val bri = Seq(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+        .indexOf(kbps)
+      val flen = 144 * kbps * 1000 / 32000 + padding
+      val f = Array.tabulate[Byte](flen)(i => (0x80 | (i % 100)).toByte)
+      f(0) = 0xFF.toByte; f(1) = 0xFB.toByte
+      f(2) = ((bri << 4) | (2 << 2) | (padding << 1)).toByte; f(3) = 0xC0.toByte
+      f
+    }
+    // two frames at different bitrates, one padded: a VBR stream
+    val vbr = frame(64, 0) ++ frame(96, 1)
+    val m = Multimodal.decodeMp3Meta(9L, vbr)
+    assert(m.vbr && m.bitrate_kbps == 0 && m.n_frames == 2 && m.duration_ms == 72)
+    // hostile: lost sync, MPEG-2 version bits, truncated frame, bad ID3 size
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeMp3Meta(1L, Array.fill[Byte](64)(0x41))
+    }
+    val mpeg2 = frame(64, 0); mpeg2(1) = 0xF3.toByte
+    intercept[IllegalArgumentException] { Multimodal.decodeMp3Meta(1L, mpeg2) }
+    intercept[Exception] { Multimodal.decodeMp3Meta(1L, frame(64, 0).take(100)) }
+    val badId3 = Multimodal.syntheticMp3Bytes(5L); badId3(6) = 0x80.toByte
+    intercept[IllegalArgumentException] { Multimodal.decodeMp3Meta(5L, badId3) }
+  }
+
+  test("RBSP writer/reader round-trip enforces emulation prevention") {
+    val w = new Multimodal.RbspWriter
+    w.u(24, 0)        // three zero bytes: must be escaped on the wire
+    w.ue(0); w.ue(7); w.ue(255); w.u(8, 0); w.u1(1); w.ue(2)
+    val bytes = w.escaped()
+    // the escape byte must appear (00 00 -> 00 00 03)
+    assert(bytes.sliding(3).exists(s => s(0) == 0 && s(1) == 0 && s(2) == 3))
+    // and no unescaped start-code-like run may survive (00 00 03 is the legal escape)
+    assert(!bytes.sliding(3).exists(s => s(0) == 0 && s(1) == 0 && (s(2) & 0xFF) < 3))
+    val r = new Multimodal.RbspReader(bytes, 0, bytes.length)
+    assert(r.u(24) == 0 && r.ue() == 0 && r.ue() == 7 && r.ue() == 255)
+    assert(r.u(8) == 0 && r.u1() == 1 && r.ue() == 2)
+  }
+
+  test("H.264 SPS parse yields exact cropped dimensions closed-form") {
+    for (id <- 0L until 200L) {
+      val m = Multimodal.decodeH264Meta(id, Multimodal.syntheticH264Bytes(id))
+      val w = 16 * (4 + id % 32) - (if (id % 3 == 0) 2 * (1 + id % 4) else 0)
+      val h = 16 * (3 + id % 24) - (if (id % 3 == 0) 2 * (id % 2) else 0)
+      assert(m.profile_idc == 66 && m.level_idc == 30, s"id=$id")
+      assert(m.width == w && m.height == h, s"id=$id")
+      assert(m.n_nals == 3 + id % 20 && m.n_idr == 1 && m.n_frames == 1 + id % 20, s"id=$id")
+    }
+  }
+
+  test("H.264 probe rejects hostile streams") {
+    val good = Multimodal.syntheticH264Bytes(7L)
+    // no leading start code
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeH264Meta(1L, Array.fill[Byte](64)(0x41))
+    }
+    // forbidden_zero_bit set on the SPS header byte
+    val forbidden = good.clone(); forbidden(4) = (forbidden(4) | 0x80).toByte
+    intercept[IllegalArgumentException] { Multimodal.decodeH264Meta(7L, forbidden) }
+    // slices but no SPS: drop everything before the IDR's start code
+    val idrStart = (0 until good.length - 3).find(i =>
+      good(i) == 0 && good(i + 1) == 0 && good(i + 2) == 1 && good(i + 3) == 0x65).get
+    intercept[IllegalArgumentException] { Multimodal.decodeH264Meta(7L, good.drop(idrStart)) }
+  }
+
   test("distributed extract over a corpus matches per-row decode") {
     import spark.implicits._
     val ids = Seq(1L, 19L, 42L, 63L).toDF("doc_id")
