@@ -97,10 +97,13 @@ object ExprCompiler {
     case ENot(x) => fromBoolean(!ebv(x, env))
     case ECmp(op, l, r) =>
       fromBoolean(cmpStatic(op, l, r, env).getOrElse(
-        cmp(op, bindIf(l, term(l, env), env), bindIf(r, term(r, env), env))))
+        cmp(op, bindIf(l, term(l, env), env), bindIf(r, term(r, env), env),
+          exotic = maybeTimeOrDur(l, env) && maybeTimeOrDur(r, env))))
     case EIn(x, list, neg) =>
       val c = bindIf(x, term(x, env), env)
-      val anyEq = list.map(i => cmp("=", c, term(i, env))).reduceOption(_ || _)
+      val xExotic = maybeTimeOrDur(x, env)
+      val anyEq = list.map(i => cmp("=", c, term(i, env),
+          exotic = xExotic && maybeTimeOrDur(i, env))).reduceOption(_ || _)
         .getOrElse(when(c.isNull, lit(null).cast(BooleanType)).otherwise(lit(false)))
       fromBoolean(if (neg) !anyEq else anyEq)
     case e @ EArith(op, l, r) =>
@@ -154,11 +157,14 @@ object ExprCompiler {
     case ENot(x) => !ebv(x, env)
     case ECmp(op, l, r) =>
       cmpStatic(op, l, r, env).getOrElse(
-        cmp(op, bindIf(l, term(l, env), env), bindIf(r, term(r, env), env)))
+        cmp(op, bindIf(l, term(l, env), env), bindIf(r, term(r, env), env),
+          exotic = maybeTimeOrDur(l, env) && maybeTimeOrDur(r, env)))
     case EBound(v) => env(v.name).isNotNull
     case EIn(x, list, neg) =>
       val c = bindIf(x, term(x, env), env)
-      val anyEq = list.map(i => cmp("=", c, term(i, env))).reduceOption(_ || _)
+      val xExotic = maybeTimeOrDur(x, env)
+      val anyEq = list.map(i => cmp("=", c, term(i, env),
+          exotic = xExotic && maybeTimeOrDur(i, env))).reduceOption(_ || _)
         .getOrElse(when(c.isNull, lit(null).cast(BooleanType)).otherwise(lit(false)))
       if (neg) !anyEq else anyEq
     case other => ebvOfTerm(term(other, env))
@@ -187,7 +193,7 @@ object ExprCompiler {
   /** SPARQL operator mapping (reference lib/functions/src/scalar/comparison/):
     * numeric cross-type by value, strings by codepoint, booleans, dateTimes;
     * '=' additionally term identity for IRIs/bnodes; incomparable → error. */
-  def cmp(op: String, l: Column, r: Column): Column = {
+  def cmp(op: String, l: Column, r: Column, exotic: Boolean = true): Column = {
     val bothNum = isNumeric(l) && isNumeric(r)
     val exact = !isDoubleTyped(l) && !isDoubleTyped(r) // ints/decimals compare exactly
     val numCmp = binOp(op,
@@ -198,11 +204,49 @@ object ExprCompiler {
     val boolCmp = binOp(op, boolValue(l), boolValue(r))
     val tsCmp = binOp(op, tsValue(l), tsValue(r))
     val sameKindStr = isStringLit(l) && isStringLit(r) && (langTag(l) <=> langTag(r))
-    val base =
+    // temporal comparison is WITHIN one datatype only: date < dateTime is a
+    // type error in XPath and in the reference (typed_value.rs
+    // partial_cmp_literals matches DateTimeLiteral/DateLiteral separately)
+    val sameTemporal = tsValue(l).isNotNull && tsValue(r).isNotNull &&
+      (datatypeRaw(l) === datatypeRaw(r))
+    val bothTime = timeValue(l).isNotNull && timeValue(r).isNotNull
+    val timeCmp = binOp(op, timeValue(l), timeValue(r))
+    val bothDur = durMonths(l).isNotNull && durMonths(r).isNotNull
+    // duration order is PARTIAL: defined only when adding both durations to
+    // four reference dates (spanning 28/30/31-day months) agrees — the
+    // reference's algorithm verbatim (lib/model/src/xsd/duration.rs:271-306);
+    // disagreement (e.g. P1M vs P30D) is a type error, not false
+    def durCmp(o: String): Column = {
+      val probes = Seq("1969-09-01", "1697-02-01", "1903-03-01", "1903-07-01")
+        .map(d => (durProbe(l, d), durProbe(r, d)))
+      val allLt = probes.map { case (a, b) => a < b }.reduce(_ && _)
+      val allGt = probes.map { case (a, b) => a > b }.reduce(_ && _)
+      val allEq = probes.map { case (a, b) => a === b }.reduce(_ && _)
+      o match {
+        case "<"  => when(allLt, true).when(allGt || allEq, false)
+        case ">"  => when(allGt, true).when(allLt || allEq, false)
+        case "<=" => when(allLt || allEq, true).when(allGt, false)
+        case ">=" => when(allGt || allEq, true).when(allLt, false)
+        case _    => when(allEq, true).when(allLt || allGt, false) // "="
+      }
+    }
+    // The time/duration branches fire only when BOTH operands are of that
+    // family; callers that can statically rule one side out (a numeric or
+    // dateTime/date static kind, a literal of any other datatype, a
+    // boolean-producing node) pass exotic = false and skip them — the
+    // branches' conditions would be constant-false, but their expression
+    // trees (4 calendar probes × 2 sides, each over regexp extracts) are
+    // large enough to push big BSBM filters past the 64 KB codegen limit
+    // into interpreted fallback (measured: BI-Q8 1.6 s → minutes).
+    val base0 =
       when(bothNum, when(isDoubleTyped(l) || isDoubleTyped(r), numCmpD).otherwise(numCmp))
         .when(sameKindStr, strCmp)
         .when(boolValue(l).isNotNull && boolValue(r).isNotNull, boolCmp)
-        .when(tsValue(l).isNotNull && tsValue(r).isNotNull, tsCmp)
+        .when(sameTemporal, tsCmp)
+    val base =
+      if (!exotic) base0
+      else base0.when(bothTime, timeCmp)
+        .when(bothDur, if (op == "=") durCmp("=") else durCmp(op))
     op match {
       case "=" =>
         base.when(termType(l).isin(0, 1) && termType(l) === termType(r), value(l) === value(r))
@@ -210,11 +254,16 @@ object ExprCompiler {
           .when(l === r, lit(true))
           .otherwise(lit(null).cast(BooleanType))
       case "!=" =>
-        !(when(bothNum, when(isDoubleTyped(l) || isDoubleTyped(r),
+        val eq0 = when(bothNum, when(isDoubleTyped(l) || isDoubleTyped(r),
             binOp("=", numDouble(l), numDouble(r))).otherwise(binOp("=", numDecimal(l), numDecimal(r))))
           .when(sameKindStr, binOp("=", value(l), value(r)))
           .when(boolValue(l).isNotNull && boolValue(r).isNotNull, binOp("=", boolValue(l), boolValue(r)))
-          .when(tsValue(l).isNotNull && tsValue(r).isNotNull, binOp("=", tsValue(l), tsValue(r)))
+          .when(sameTemporal, binOp("=", tsValue(l), tsValue(r)))
+        val eq1 =
+          if (!exotic) eq0
+          else eq0.when(bothTime, binOp("=", timeValue(l), timeValue(r)))
+            .when(bothDur, durCmp("="))
+        !(eq1
           .when(termType(l).isin(0, 1) && termType(l) === termType(r), value(l) === value(r))
           .when(l === r, lit(true))
           .otherwise(lit(null).cast(BooleanType)))
@@ -230,6 +279,21 @@ object ExprCompiler {
    * Catalyst's filter pushdown inlines the operand's defining expression per
    * reference (measured 15 copies of a YEAR() extraction in one predicate).
    */
+  /** Can `e` possibly evaluate to an xsd:time or duration-family literal?
+    * False for boolean-producing nodes, literals of any other datatype, and
+    * expressions with a known numeric/temporal static kind — in which case
+    * [[cmp]] may drop its time/duration branches (they compare only
+    * same-family operands, so one ruled-out side rules the branch out). */
+  private def maybeTimeOrDur(e: Expr, env: Env): Boolean = e match {
+    case ETerm(graft.model.Lit(_, dt, lang)) =>
+      lang.isEmpty && (dt == graft.model.Xsd.time || dt == graft.model.Xsd.duration ||
+        dt == graft.model.Xsd.yearMonthDuration || dt == graft.model.Xsd.dayTimeDuration)
+    case ETerm(_) => false
+    case EOr(_, _) | EAnd(_, _) | ENot(_) | EBound(_) | ECmp(_, _, _) |
+         EIn(_, _, _) | EArith(_, _, _) | ENeg(_) => false
+    case _ => staticKind(e, env).isEmpty
+  }
+
   private def cmpStatic(op: String, l: Expr, r: Expr, env: Env): Option[Column] =
     (staticKind(l, env), staticKind(r, env)) match {
       case (Some(lk), Some(rk)) if lk <= 3 && rk <= 3 =>
@@ -362,6 +426,12 @@ object ExprCompiler {
       numericView(x, env).map { case (d, dec, k) => (-d, -dec, k) }
     case ECall(name @ ("YEAR" | "MONTH" | "DAY" | "HOURS" | "MINUTES" | "SECONDS"),
                Seq(a)) =>
+      // Deliberate divergence, pinned by slice test dt_accessors_on_date:
+      // YEAR/MONTH/DAY also accept xsd:date (SPARQL 1.2 extends the
+      // operator mapping to date; the reference's accessors take only
+      // DateTimeLiteral — lib/functions/src/scalar/dates_and_times/year.rs:49
+      // — which would error on the date-typed columns every RDB→RDF mapping
+      // produces). Time-of-day accessors on xsd:date stay type errors.
       // statically-temporal argument: the lexical shape is fixed
       // (yyyy-MM-ddTHH:mm:ss / yyyy-MM-dd, Spark timestamps are years
       // 0001–9999 so the year field is always exactly 4 digits), so the
