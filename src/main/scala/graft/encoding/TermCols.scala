@@ -197,9 +197,12 @@ object TermCols {
       try_to_timestamp(value(c)))
 
   // ------------------------------------------------------ time & durations
-
-  private val timeRe =
-    "^([01][0-9]|2[0-3]):([0-5][0-9]):([0-5][0-9](?:\\.[0-9]+)?)(Z|[+-](?:0[0-9]|1[0-4]):[0-5][0-9])?$"
+  //
+  // These parse via native Catalyst expressions (XsdTemporalExprs.scala) —
+  // one constant-size node each — NOT regexp_extract column chains: the
+  // chains re-extract per component and Catalyst inlines the whole tree per
+  // reference, which measurably blew plan-optimization time (minutes inside
+  // ColumnPruning on BSBM) and pushed filters past the 64 KB codegen limit.
 
   /** Timeline value (seconds) of an xsd:time literal: seconds-of-day minus
     * the timezone offset — XPath compares times as dateTimes on one
@@ -208,71 +211,28 @@ object TermCols {
     * implicit UTC zone, consistent with this engine's xsd:dateTime handling
     * (the reference's ±14 h indeterminacy rule is the documented divergence
     * pinned by the dt_tz slice tests). NULL for non-time/ill-formed terms. */
-  def timeValue(c: Column): Column = {
-    val v = value(c)
-    val tz = regexp_extract(v, timeRe, 4)
-    val sign = when(substring(tz, 1, 1) === "-", lit(-1)).otherwise(lit(1))
-    val tzSecs = when(tz === "" || tz === "Z", lit(0))
-      .otherwise(sign * (substring(tz, 2, 2).cast(IntegerType) * 3600 +
-        substring(tz, 5, 2).cast(IntegerType) * 60))
-    when(isLiteral(c) && datatypeRaw(c) === Xsd.time && v.rlike(timeRe),
-      regexp_extract(v, timeRe, 1).cast(IntegerType) * 3600.0 +
-        regexp_extract(v, timeRe, 2).cast(IntegerType) * 60.0 +
-        regexp_extract(v, timeRe, 3).cast(DoubleType) - tzSecs)
-  }
-
-  // XSD duration lexical: -?PnYnMnDTnHnMn(.n)S with every component optional
-  // but at least one present and no dangling 'T'. Component digits capped at
-  // 9 so the month arithmetic stays in Int space under ANSI casts.
-  private val durRe =
-    "^(-)?P(?:([0-9]{1,9})Y)?(?:([0-9]{1,9})M)?(?:([0-9]{1,9})D)?" +
-      "(?:T(?:([0-9]{1,9})H)?(?:([0-9]{1,9})M)?(?:([0-9]{1,9}(?:\\.[0-9]+)?)S)?)?$"
-
-  private def durLexOk(c: Column): Column = {
-    val v = value(c)
-    v.rlike(durRe) && v.rlike("[0-9]") && !v.rlike("T$") &&
-      (datatypeRaw(c) === Xsd.duration ||
-        // yearMonthDuration: months only; dayTimeDuration: no Y, no M-before-T
-        (datatypeRaw(c) === Xsd.yearMonthDuration && !v.rlike("[DT]")) ||
-        (datatypeRaw(c) === Xsd.dayTimeDuration &&
-          !(v.rlike("Y") || v.rlike("^[^T]*M"))))
-  }
-
-  private def durGroup(c: Column, i: Int): Column = {
-    val g = regexp_extract(value(c), durRe, i)
-    when(g === "", lit(0)).otherwise(g.cast(IntegerType))
-  }
+  def timeValue(c: Column): Column =
+    XsdTemporalCols.timeSeconds(value(c), datatypeRaw(c))
 
   /** Month component count of a duration-family literal (xsd:duration /
     * yearMonthDuration / dayTimeDuration — reference typed_value.rs compares
     * the three as one family); NULL for non-duration/ill-formed terms. */
-  def durMonths(c: Column): Column = {
-    val sign = when(regexp_extract(value(c), durRe, 1) === "-", lit(-1)).otherwise(lit(1))
-    when(isLiteral(c) && datatypeRaw(c).isin(Xsd.duration, Xsd.yearMonthDuration,
-        Xsd.dayTimeDuration) && durLexOk(c),
-      sign * (durGroup(c, 2) * 12 + durGroup(c, 3)))
-  }
+  def durMonths(c: Column): Column =
+    XsdTemporalCols.durationMonths(value(c), datatypeRaw(c))
 
   /** Second component (days+time, signed, fractional) of a duration-family
     * literal; NULL otherwise. Paired with [[durMonths]]. */
-  def durSeconds(c: Column): Column = {
-    val sign = when(regexp_extract(value(c), durRe, 1) === "-", lit(-1.0)).otherwise(lit(1.0))
-    val frac = regexp_extract(value(c), durRe, 7)
-    val secs = when(frac === "", lit(0.0)).otherwise(frac.cast(DoubleType))
-    when(durMonths(c).isNotNull,
-      sign * (durGroup(c, 4) * 86400.0 + durGroup(c, 5) * 3600.0 +
-        durGroup(c, 6) * 60.0 + secs))
-  }
+  def durSeconds(c: Column): Column =
+    XsdTemporalCols.durationSeconds(value(c), datatypeRaw(c))
 
   /** Timeline probe for duration comparison: epoch seconds after adding the
     * duration to `refDate` (XSD month arithmetic = calendar add with
-    * day-clamping, which Spark's `add_months` implements). The reference
-    * orders durations by agreement across FOUR such probes
+    * day-clamping, as java.time.LocalDate.plusMonths implements). The
+    * reference orders durations by agreement across FOUR such probes
     * (lib/model/src/xsd/duration.rs:271-306 — dates chosen to span 28/30/31
     * day months); one probe alone is the engine's total-order tiebreak. */
   def durProbe(c: Column, refDate: String): Column =
-    unix_date(add_months(to_date(lit(refDate)), durMonths(c))).cast(DoubleType) * 86400.0 +
-      durSeconds(c)
+    XsdTemporalCols.durationProbe(value(c), datatypeRaw(c), refDate)
 
   /** True for plain/xsd:string literals (no language tag). */
   def isSimpleString(c: Column): Column =

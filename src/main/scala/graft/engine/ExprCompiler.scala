@@ -355,17 +355,19 @@ object ExprCompiler {
     case EVar(v) =>
       val c = env(v.name)
       env.kind(v.name) match {
-        case Some(k) if k <= 3 =>
+        case Some(k) if k <= 3 || k == 6 =>
           // static kind: a NULL value (unbound) still renders as error via
           // the null num/decimal, so the literal kind is safe. The
           // isNumeric datatype guard inside numDecimal is statically true
           // here — parse the lexical unguarded so no INSET datatype test
           // survives into the plan
-          val dec = if (k == 3) lit(null).cast(DecimalType(36, 16))
+          val dec = if (k >= 3) lit(null).cast(DecimalType(36, 16))
                     else value(c).try_cast(DecimalType(36, 16))
           // static kind 3 = double FAMILY: split into runtime float/double
-          // by the datatype field (one cheap string test, no INSET)
-          val rk = if (k == 3) when(datatypeRaw(c) === graft.model.Xsd.float, lit(3)).otherwise(lit(4))
+          // by the datatype field (one cheap string test, no INSET);
+          // recorded kind 6 is statically float
+          val rk = if (k == 6) lit(3)
+                   else if (k == 3) when(datatypeRaw(c) === graft.model.Xsd.float, lit(3)).otherwise(lit(4))
                    else lit(k)
           Some((numDouble(c), dec, rk))
         case Some(_) =>
@@ -551,7 +553,11 @@ object ExprCompiler {
     * derivable at plan time (promotion over static operand kinds). Lets the
     * rewriter propagate kinds through BIND into downstream aggregation. */
   def staticKind(e: Expr, env: Env): Option[Int] = e match {
-    case EVar(v) => env.kind(v.name)
+    // recorded kind 6 (canonical xsd:float, see [[bindKind]]) is kind 3 —
+    // the double FAMILY — for every value-domain consumer (comparison,
+    // arithmetic, numeric view); only the record/rebuild machinery
+    // distinguishes them
+    case EVar(v) => env.kind(v.name).map(k => if (k == 6) 3 else k)
     case ETerm(graft.model.Lit(v, dt, None)) =>
       if (dt == graft.model.Xsd.double || dt == graft.model.Xsd.float) Some(3)
       else if (dt == graft.model.Xsd.decimal) Some(2)
@@ -591,6 +597,11 @@ object ExprCompiler {
    * temporal static kinds are shape-checked at the claim site.
    */
   def bindKind(e: Expr, env: Env): Option[Int] = e match {
+    // a variable's RECORDED kind passes through raw: kind 6 (canonical
+    // xsd:float — e.g. a float-family SUM/AVG result) must not collapse to
+    // the family kind 3 here, or the narrow-key rebuild would retype the
+    // value as xsd:double
+    case EVar(v) => env.kind(v.name)
     case ETerm(graft.model.Lit(v, dt, None)) =>
       staticKind(e, env).filter {
         // the range checks keep the narrow representations (LongType /

@@ -940,8 +940,8 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
         ExprCompiler.staticKind(arg, env).map(v.name -> _)
     }.flatten.toMap
     val recordKinds: Map[String, Int] = aggs.collect {
-      case (v, Aggregate(_, _, Some(arg), _)) =>
-        ExprCompiler.bindKind(arg, env).map(v.name -> _)
+      case (v, a @ Aggregate(_, _, Some(arg), _)) =>
+        aggRecordKind(a, arg, env).map(v.name -> _)
     }.flatten.toMap
     val argCols: Map[String, String] = aggs.collect {
       case (v, Aggregate(_, _, Some(arg), _)) =>
@@ -977,6 +977,7 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
       in.kinds.filter { case (v, _) => keyNames.drop(1).contains(v) } ++
       keys.collect { case (v, Some(e)) =>
         ExprCompiler.bindKind(e, env).map(v.name -> _) }.flatten ++
+      // lateral groups key on (lid, keys): never empty, so no global guard
       aggs.flatMap { case (v, a) => aggResultKind(a, recordKinds.get(v.name)).map(v.name -> _) }
     SPlan(joined, (lid +: restore) ++ groupVars, mu, outKinds)
   }
@@ -1242,13 +1243,13 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
       case (v, Aggregate(_, _, Some(arg), _)) =>
         ExprCompiler.staticKind(arg, env).map(v.name -> _)
     }.flatten.toMap
-    // kinds safe to RECORD in the output kinds map: bindKind refuses kind 3
-    // for float-cast-containing args — a recorded 3 means canonical
-    // xsd:double (group-key rebuild, narrow MIN/MAX buffers depend on it),
-    // while staticKind's 3 is the whole double FAMILY
+    // kinds safe to RECORD in the output kinds map: a recorded 3 means
+    // canonical xsd:double, a recorded 6 canonical xsd:float (group-key
+    // rebuild and narrow MIN/MAX buffers depend on the claim), while
+    // staticKind's 3 is the whole double FAMILY — see aggRecordKind
     val recordKinds: Map[String, Int] = aggs.collect {
-      case (v, Aggregate(_, _, Some(arg), _)) =>
-        ExprCompiler.bindKind(arg, env).map(v.name -> _)
+      case (v, a @ Aggregate(_, _, Some(arg), _)) =>
+        aggRecordKind(a, arg, env).map(v.name -> _)
     }.flatten.toMap
     val argCols: Map[String, String] = aggs.collect {
       case (v, Aggregate(_, _, Some(arg), _)) =>
@@ -1267,7 +1268,8 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
       keys.collect { case (v, Some(e)) =>
         ExprCompiler.bindKind(e, env).map(v.name -> _) }.flatten
     val aggKinds = aggs.flatMap { case (v, a) =>
-      aggResultKind(a, recordKinds.get(v.name)).map(v.name -> _) }.toMap
+      aggResultKind(a, recordKinds.get(v.name), globalGroup = keyNames.isEmpty)
+        .map(v.name -> _) }.toMap
     if (aggs.isEmpty)
       return SPlan(df.select(keyNames.map(col): _*).dropDuplicates(), keyNames, mu, keyKinds,
         in.tiny)
@@ -1303,7 +1305,7 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     k match {
       case 1 => value(c).cast(LongType) // canonical integer lexical: exact
       case 2 => numDecimal(c)
-      case 3 => numDouble(c)
+      case 3 | 6 => numDouble(c)        // 6: canonical float — double num bijects
       case _ => value(c)                // 4/5: fixed-shape temporal lexical
     }
   }
@@ -1318,17 +1320,39 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
       case 3 => fromDouble(c)
       case 4 => when(c.isNull, nullTerm).otherwise(typedLit(c, graft.model.Xsd.dateTime))
       case 5 => when(c.isNull, nullTerm).otherwise(typedLit(c, graft.model.Xsd.date))
+      case 6 => fromFloat(c)
     }
   }
 
+  /** Kind to RECORD for an aggregate's input: bindKind's canonical claims
+    * pass through (incl. kind 6 = canonical xsd:float, e.g. a float-family
+    * aggregate var); additionally a float-CAST input — whose own render is
+    * double-lexical, so not bindKind-recordable — guarantees an all-float
+    * group for SUM/AVG, which re-render via fromFloat, the canonical kind-6
+    * rendering. MIN/MAX/SAMPLE return an original input term, so the cast
+    * exception does not apply to them. */
+  private def aggRecordKind(a: Aggregate, arg: Expr, env: ExprCompiler.Env): Option[Int] =
+    ExprCompiler.bindKind(arg, env).orElse(arg match {
+      case ECall(n, _) if (a.name == "SUM" || a.name == "AVG") && n == Xsd.float =>
+        Some(6)
+      case _ => None
+    })
+
   /** Static kind of an aggregate result, when derivable from its input kind
     * (mirrors the type ladder of the buffers below). */
-  private def aggResultKind(a: Aggregate, argKind: Option[Int]): Option[Int] = a.name match {
+  private def aggResultKind(a: Aggregate, argKind: Option[Int],
+                            globalGroup: Boolean = false): Option[Int] = a.name match {
     case "COUNT" => Some(1)
     // SUM/AVG of a temporal input is always an error (never bound), so only
-    // numeric kinds carry over to the result
-    case "SUM" => argKind.filter(_ <= 3)
-    case "AVG" => argKind.filter(_ <= 3).map(k => if (k == 3) 3 else 2)
+    // numeric kinds carry over to the result. Kind 6 (canonical xsd:float)
+    // carries through: the double-family buffers render all-float groups via
+    // fromFloat, which IS the canonical kind-6 rendering. The empty GLOBAL
+    // group renders SUM({}) = AVG({}) = "0"^^xsd:integer, which would break
+    // a recorded double/float claim — so numeric claims need explicit keys
+    // (grouped evaluation never sees an empty group).
+    case "SUM" if !globalGroup => argKind.filter(k => k <= 3 || k == 6)
+    case "AVG" if !globalGroup =>
+      argKind.filter(k => k <= 3 || k == 6).map(k => if (k >= 3) k else 2)
     case "MIN" | "MAX" | "SAMPLE" => argKind // result is one of the inputs
     case _ => None
   }
@@ -1840,7 +1864,16 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
             tmps ::= tmp
             col(tmp)
         }
-        TermCols.sortKey(operand)
+        // ...and the LADDER is materialised too, so the Sort node orders by
+        // a plain attribute: optimizer rules that walk sort expressions
+        // (NestedColumnAliasing's pairwise semanticEquals over struct
+        // extracts in particular) are superlinear in the ordering
+        // expression's size, and the ladder inside Sort measurably took
+        // bi-q8 from 1.6 s to minutes of pure driver plan time.
+        val tmpK = fresh("ordk")
+        d = d.withColumn(tmpK, TermCols.sortKey(operand))
+        tmps ::= tmpK
+        col(tmpK)
       }
       if (c.ascending) k.asc_nulls_first else k.desc_nulls_last
     }

@@ -57,7 +57,9 @@ object ParityBench {
         val t1 = System.nanoTime()
         try g.query(text).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[parity] $q: $e") }
-        q -> (System.nanoTime() - t1) / 1e9
+        val dt = (System.nanoTime() - t1) / 1e9
+        System.err.println(f"[parity] $q: $dt%.2f s")
+        q -> dt
       }
     }
     val results = work.map { case (q, _) => q -> passes.map(_.toMap.apply(q)).min }
