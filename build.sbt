@@ -32,4 +32,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Whole-stage codegen emits a class per generated stage; the JDK 17
+  // default 240 MB code cache fills over a long bench/test run, the JIT
+  // silently stops compiling, and LATER queries run 2-4x slower than
+  // identical EARLIER ones (measured: ParityBench pass 2 slower than
+  // pass 1 on the same plans).
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+PrintCodeCache" // one summary line at JVM exit, cheap evidence
 )
