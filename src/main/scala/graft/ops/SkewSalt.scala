@@ -70,6 +70,15 @@ object SkewSalt {
                     maxBucket: Option[Int] = None)
       : (DataFrame, DataFrame, Seq[String]) = {
     val s = salts
+    // Measured cost of default-on salting at sf0.1 (same-host A/B vs the
+    // r5 snapshot): 1.3-1.6x on each dedup gate — one extra hot-set
+    // detection job + the salt-widened shuffle key. The premium buys the
+    // degenerate case: a single hot bucket's k^2 enumeration drops 5.4 s →
+    // 0.5 s at gate scale (tools/SkewProbe) and is the difference between
+    // one task OOM-ing and 16 tasks finishing at corpus scale. A
+    // localCheckpoint of `banded` here was tried and reverted: no measured
+    // win (signature relations are already cached upstream) and it pins an
+    // id×band-sized relation to executor disk.
     val counts = banded.groupBy(bucketCols.map(col): _*)
       .agg(count(lit(1)).as("__bn"))
     val sizes = counts.where(col("__bn") >= hotThreshold)
