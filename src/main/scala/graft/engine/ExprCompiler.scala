@@ -632,17 +632,22 @@ object ExprCompiler {
         // result that is actually xsd:float. staticKind's domain treats 3
         // as the whole double family, so refuse to record it whenever a
         // float cast anywhere in the tree could make the value a float.
-        k == 3 && containsFloatCast(e)
+        k == 3 && containsFloatCast(e, env)
       }
   }
 
-  private def containsFloatCast(e: Expr): Boolean = e match {
+  /** A float CAST — or a variable whose recorded kind is 6 (canonical
+    * xsd:float, e.g. a float-family aggregate result) — anywhere in the
+    * tree means a family-kind-3 value may actually be xsd:float. */
+  private def containsFloatCast(e: Expr, env: Env): Boolean = e match {
+    case EVar(v) => env.kind(v.name).contains(6)
     case ECall(n, _) if n == graft.model.Xsd.float => true
-    case ECall(_, args) => args.exists(containsFloatCast)
-    case EArith(_, l, r) => containsFloatCast(l) || containsFloatCast(r)
-    case ENeg(x) => containsFloatCast(x)
-    case EIf(c, t, f) => containsFloatCast(c) || containsFloatCast(t) || containsFloatCast(f)
-    case ECoalesce(args) => args.exists(containsFloatCast)
+    case ECall(_, args) => args.exists(containsFloatCast(_, env))
+    case EArith(_, l, r) => containsFloatCast(l, env) || containsFloatCast(r, env)
+    case ENeg(x) => containsFloatCast(x, env)
+    case EIf(c, t, f) =>
+      containsFloatCast(c, env) || containsFloatCast(t, env) || containsFloatCast(f, env)
+    case ECoalesce(args) => args.exists(containsFloatCast(_, env))
     case _ => false
   }
 
