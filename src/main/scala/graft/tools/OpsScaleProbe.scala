@@ -161,6 +161,10 @@ object OpsScaleProbe {
       Multimodal.syntheticMp4(ids, "doc_id")))
     time("ogg_meta_probe")(Multimodal.extractOggMeta(
       Multimodal.syntheticOgg(ids, "doc_id")))
+    time("mp3_meta_probe")(Multimodal.extractMp3Meta(
+      Multimodal.syntheticMp3(ids, "doc_id")))
+    time("h264_meta_probe")(Multimodal.extractH264Meta(
+      Multimodal.syntheticH264(ids, "doc_id")))
     spark.stop()
   }
 }
