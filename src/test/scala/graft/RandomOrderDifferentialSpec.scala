@@ -35,25 +35,87 @@ class RandomOrderDifferentialSpec extends SparkSpec {
       case Lit(v, dt, None) if dt == null || dt == Xsd.string => Some(v)
       case _ => None
     }
+    // xsd:time: timeline seconds (tz-normalized, naive = UTC)
+    def timeOf(t: RdfTerm): Option[Double] = t match {
+      case Lit(v, dt, None) if dt == Xsd.time =>
+        val re = "([0-2][0-9]):([0-5][0-9]):([0-5][0-9](?:\\.[0-9]+)?)(Z|[+-][0-9]{2}:[0-9]{2})?".r
+        v match {
+          case re(h, m, sec, tz) =>
+            val off = Option(tz).filter(_ != "Z").map { z =>
+              val sign = if (z.startsWith("-")) -1 else 1
+              sign * (z.substring(1, 3).toInt * 3600 + z.substring(4, 6).toInt * 60)
+            }.getOrElse(0)
+            Some(h.toInt * 3600.0 + m.toInt * 60.0 + sec.toDouble - off)
+          case _ => None
+        }
+      case _ => None
+    }
+    // duration family: (months, seconds); compared via the XSD spec's four
+    // reference dates with java.time — INDEPENDENT of the engine's Catalyst
+    // expression implementation (which uses a different first probe date)
+    def durOf(t: RdfTerm): Option[(Long, Double)] = t match {
+      case Lit(v, dt, None) if dt == Xsd.duration || dt == Xsd.yearMonthDuration ||
+          dt == Xsd.dayTimeDuration =>
+        val re = ("(-)?P(?:([0-9]+)Y)?(?:([0-9]+)M)?(?:([0-9]+)D)?" +
+          "(?:T(?:([0-9]+)H)?(?:([0-9]+)M)?(?:([0-9]+(?:\\.[0-9]+)?)S)?)?").r
+        v match {
+          case re(sg, y, mo, d, h, mi, sec) =>
+            val sign = if (sg != null) -1 else 1
+            def g(x: String) = Option(x).map(_.toLong).getOrElse(0L)
+            Some((sign * (g(y) * 12 + g(mo)),
+              sign * (g(d) * 86400.0 + g(h) * 3600.0 + g(mi) * 60.0 +
+                Option(sec).map(_.toDouble).getOrElse(0.0))))
+          case _ => None
+        }
+      case _ => None
+    }
+    def durCompare(a: (Long, Double), b: (Long, Double)): Option[Int] = {
+      val refs = Seq("1696-09-01", "1697-02-01", "1903-03-01", "1903-07-01")
+      val cs = refs.map { r =>
+        def probe(p: (Long, Double)) =
+          java.time.LocalDate.parse(r).plusMonths(p._1).toEpochDay * 86400.0 + p._2
+        java.lang.Double.compare(probe(a), probe(b))
+      }
+      if (cs.forall(_ < 0)) Some(-1)
+      else if (cs.forall(_ > 0)) Some(1)
+      else if (cs.forall(_ == 0)) Some(0)
+      else None // indeterminate (e.g. P1M vs P30D): order unspecified
+    }
     if (cat(a) != cat(b)) Some(Integer.compare(cat(a), cat(b)))
     else (numOf(a), numOf(b)) match {
       case (Some(x), Some(y)) if x != y => Some(x.compare(y))
       case (Some(_), Some(_)) => Some(0) // equal value, ties free
-      case _ => (strOf(a), strOf(b)) match {
-        case (Some(x), Some(y)) => Some(x.compareTo(y))
-        case _ => None // mixed literal kinds / IRI-vs-IRI etc: unspecified
+      case _ => (timeOf(a), timeOf(b)) match {
+        case (Some(x), Some(y)) => Some(java.lang.Double.compare(x, y))
+        case _ => (durOf(a), durOf(b)) match {
+          case (Some(x), Some(y)) => durCompare(x, y)
+          case _ => (strOf(a), strOf(b)) match {
+            case (Some(x), Some(y)) => Some(x.compareTo(y))
+            case _ => None // mixed literal kinds / IRI-vs-IRI etc: unspecified
+          }
+        }
       }
     }
   }
 
-  private def randomCase(seed: Int): Unit = {
+  private val baseTerms: Seq[RdfTerm] = Seq(
+    Iri("urn:a"), Iri("urn:b"), BNode("b1"), BNode("b2"),
+    Lit("9", Xsd.integer, None), Lit("10", Xsd.integer, None),
+    Lit("09.5", Xsd.decimal, None), Lit("-2", Xsd.integer, None),
+    Lit("1.0E1", Xsd.double, None), Lit("0", Xsd.integer, None),
+    Lit.simple("apple"), Lit.simple("Banana"), Lit.simple(""))
+
+  private val temporalTerms: Seq[RdfTerm] = Seq(
+    Lit("12:00:00", Xsd.time, None), Lit("05:00:00+02:00", Xsd.time, None),
+    Lit("23:59:59Z", Xsd.time, None), Lit("00:00:01-01:30", Xsd.time, None),
+    Lit("P1Y", Xsd.yearMonthDuration, None), Lit("P12M", Xsd.duration, None),
+    Lit("P30D", Xsd.dayTimeDuration, None), Lit("PT26H", Xsd.dayTimeDuration, None),
+    Lit("P1M", Xsd.duration, None), Lit("-P1D", Xsd.duration, None),
+    Lit("PT0.5S", Xsd.dayTimeDuration, None))
+
+  private def randomCase(seed: Int, soup: Seq[RdfTerm]): Unit = {
     val rnd = new scala.util.Random(seed)
-    val terms: Seq[RdfTerm] = Seq(
-      Iri("urn:a"), Iri("urn:b"), BNode("b1"), BNode("b2"),
-      Lit("9", Xsd.integer, None), Lit("10", Xsd.integer, None),
-      Lit("09.5", Xsd.decimal, None), Lit("-2", Xsd.integer, None),
-      Lit("1.0E1", Xsd.double, None), Lit("0", Xsd.integer, None),
-      Lit.simple("apple"), Lit.simple("Banana"), Lit.simple(""))
+    val terms = soup
     val objs = Seq.fill(8 + rnd.nextInt(8))(terms(rnd.nextInt(terms.size)))
     val triples = objs.zipWithIndex.map { case (o, i) =>
       ((Iri(s"urn:s$i"): RdfTerm), Iri("urn:p"), o)
@@ -90,6 +152,12 @@ class RandomOrderDifferentialSpec extends SparkSpec {
   }
 
   test("ORDER BY respects the SPARQL partial order on 20 random term soups") {
-    (800 to 819).foreach(randomCase)
+    (800 to 819).foreach(randomCase(_, baseTerms))
+  }
+
+  test("ORDER BY respects the partial order on soups with xsd:time and durations") {
+    // mixed soups exercise the sortable encoding's time/duration branches
+    // against an independent java.time four-probe oracle
+    (900 to 915).foreach(randomCase(_, baseTerms ++ temporalTerms))
   }
 }
