@@ -37,6 +37,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // silently stops compiling, and LATER queries run 2-4x slower than
   // identical EARLIER ones (measured: ParityBench pass 2 slower than
   // pass 1 on the same plans).
-  "-XX:ReservedCodeCacheSize=1g",
-  "-XX:+PrintCodeCache" // one summary line at JVM exit, cheap evidence
+  // (no -XX:+PrintCodeCache: its JVM-exit summary prints AFTER the bench's
+  // single JSON line and truncated the driver-parsed BENCH_r06.json)
+  "-XX:ReservedCodeCacheSize=1g"
 )

@@ -254,7 +254,9 @@ object Dedup {
    * matching minhashes. Candidate generation cost is bounded by bucket
    * collisions, not n² — the standard LSH scale path.
    */
-  private val sigCache = new IndexCache[DataFrame]()
+  // cache value = (checkpointed signatures, their row count): the count is
+  // free to keep once paid and feeds SkewSalt's pay-as-you-go gate
+  private val sigCache = new IndexCache[(DataFrame, Long)]()
 
   /** Hot band buckets (≥ [[SkewSalt.hotThreshold]] members) are salted by
     * default — lossless, spreads a hot bucket's k² pair enumeration across
@@ -274,8 +276,12 @@ object Dedup {
     // build-once index artifact (same caching contract as the IVF index) —
     // the minhash, clustering, and keep-best pipelines over one corpus all
     // reuse the same build instead of re-hashing per call
-    val sigs = sigCache.get(IndexCache.key(df, idCol, textCol, numHashes, shingleK),
-      minhashSignatures(df, idCol, textCol, numHashes, shingleK).localCheckpoint())
+    val (sigs, sigsN) = sigCache.get(
+      IndexCache.key(df, idCol, textCol, numHashes, shingleK), {
+        val d = minhashSignatures(df, idCol, textCol, numHashes, shingleK)
+          .localCheckpoint()
+        (d, d.count()) // counting the fresh checkpoint is a narrow, cheap job
+      })
     // band bucket key: md5 of the band's minhash run — portable (the bucket
     // join is on string equality, any engine agrees on md5 of the same text)
     val banded0 = sigs.select(col("id"), col("sig"),
@@ -284,7 +290,8 @@ object Dedup {
           lit("#"), b.cast(StringType))))))
       .select(col("id"), col("sig"), col("pos").as("band"), col("col").as("bh"))
     val (la, rb, jc) =
-      SkewSalt.selfJoinSides(banded0, Seq("band", "bh"), col("id"), maxBucketSize)
+      SkewSalt.selfJoinSides(banded0, Seq("band", "bh"), col("id"), maxBucketSize,
+        knownRows = Some(sigsN * bands)) // exact: banded0 = posexplode(bands)
     val a = la.select(col("band"), col("bh"), col("__salt"),
       col("id").as("id_a"), col("sig").as("sig_a"))
     val b = rb.select(col("band"), col("bh"), col("__salt"),
@@ -324,11 +331,13 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
     // materialised: chunked feeds both sides of the chunk self-join
     val sh = simhash(df, idCol, textCol).localCheckpoint()
+    val shN = sh.count() // narrow count of the fresh checkpoint (salt gate)
     val chunked = sh.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("simhash"), c * 15).bitwiseAND(0x7FFFL)): _*)))
       .select(col("id"), col("simhash"), col("pos").as("chunk"), col("col").as("ch"))
-    val (la, rb, jc) = SkewSalt.selfJoinSides(chunked, Seq("chunk", "ch"), col("id"))
+    val (la, rb, jc) = SkewSalt.selfJoinSides(chunked, Seq("chunk", "ch"), col("id"),
+      knownRows = Some(shN * 4)) // exact: chunked = posexplode(4 chunks)
     val a = la.select(col("chunk"), col("ch"), col("__salt"),
       col("id").as("id_a"), col("simhash").as("sh_a"))
     val b = rb.select(col("chunk"), col("ch"), col("__salt"),

@@ -105,15 +105,21 @@ object Similarity {
     * `nr`), memoised + checkpointed per (session, corpus plan, vecCol,
     * nPlanes): like the IVF index, signatures are a build-once/query-many
     * artifact shared by [[annTopK]], [[annTopKAll]] and [[nearDupPairs]]. */
-  private val lshCache = new IndexCache[DataFrame]()
-  private def lshIndex(emb: DataFrame, idCol: String, vecCol: String, nPlanes: Int): DataFrame =
+  // cache value = (checkpointed signatures, their row count): the count is
+  // free to keep once paid and feeds SkewSalt's pay-as-you-go gate
+  private val lshCache = new IndexCache[(DataFrame, Long)]()
+  private def lshIndexCounted(emb: DataFrame, idCol: String, vecCol: String,
+                              nPlanes: Int): (DataFrame, Long) =
     lshCache.get(IndexCache.key(emb, idCol, vecCol, nPlanes), {
       val dims = dimsOf(emb, vecCol)
-      emb.select(col(idCol), toDouble(col(vecCol)).as("v"))
+      val d = emb.select(col(idCol), toDouble(col(vecCol)).as("v"))
         .withColumn("sig", lshSignature(col("v"), nPlanes, dims))
         .withColumn("nr", norm(col("v")))
         .localCheckpoint()
+      (d, d.count()) // counting the fresh checkpoint is a narrow, cheap job
     })
+  private def lshIndex(emb: DataFrame, idCol: String, vecCol: String, nPlanes: Int): DataFrame =
+    lshIndexCounted(emb, idCol, vecCol, nPlanes)._1
 
   /** Probe-signature masks: exact + all 1-bit flips (multi-probe). */
   private def probeMasks(nPlanes: Int, probeHamming: Int): Seq[Column] =
@@ -430,9 +436,11 @@ object Similarity {
     // checkpointed signatures, and the norms riding along make a
     // within-bucket pair one dot traversal instead of three (sim is
     // bit-identical to cosine — same fold order, same sqrt(dot) norms)
-    val withSig = lshIndex(emb, idCol, vecCol, nPlanes)
-    // hot signature buckets are salted (lossless) — see ops.SkewSalt
-    val (la, rb, jc) = SkewSalt.selfJoinSides(withSig, Seq("sig"), col(idCol))
+    val (withSig, sigN) = lshIndexCounted(emb, idCol, vecCol, nPlanes)
+    // hot signature buckets are salted (lossless) above the measured-size
+    // gate — see ops.SkewSalt
+    val (la, rb, jc) = SkewSalt.selfJoinSides(withSig, Seq("sig"), col(idCol),
+      knownRows = Some(sigN))
     val a = la.select(col("sig"), col("__salt"),
       col(idCol).as("id_a"), col("v").as("va"), col("nr").as("na"))
     val b = rb.select(col("sig"), col("__salt"),

@@ -43,6 +43,15 @@ object SkewSalt {
   def salts: Int =
     sys.props.get("graft.salt.factor").map(_.toInt).getOrElse(16)
 
+  /** Relation size below which salting is skipped entirely (same knob and
+    * default as the closure's heavyKeys gate): even a fully degenerate
+    * bucket at this size enumerates its pairs in one task in seconds, so
+    * the detection job + salt-widened shuffle key are pure tax. Measured
+    * (r6 verdict): default-on salting cost the dedup gates 1.3-1.6x at
+    * sf0.1. Overridable via -Dgraft.salt.minRows. */
+  def minRows: Long =
+    sys.props.get("graft.salt.minRows").map(_.toLong).getOrElse(100000L)
+
   /**
    * Prepare the two sides of a within-bucket pair self-join over `banded`.
    *
@@ -62,14 +71,31 @@ object SkewSalt {
    *                   left-side salt is hashed from
    * @param maxBucket  optional hard cap: buckets larger than this are
    *                   dropped entirely (lossy, caller-documented)
+   * @param knownRows  caller-measured row count of `banded` (or a cheap
+   *                   exact proxy: checkpointed-base count × explode
+   *                   fan-out). Below [[minRows]] the detection job and
+   *                   the salt-widened key are skipped — `__salt` becomes
+   *                   a constant 0 and the bag is trivially unchanged.
+   *                   `None` = unknown → always salt (scale-safe default).
    * @return (left, right, joinCols): join `left` to `right` on `joinCols`;
    *         the joined bag equals the plain self-join on `bucketCols`
    *         (singleton buckets pass through — they produce no pairs).
    */
   def selfJoinSides(banded: DataFrame, bucketCols: Seq[String], saltBy: Column,
-                    maxBucket: Option[Int] = None)
+                    maxBucket: Option[Int] = None,
+                    knownRows: Option[Long] = None)
       : (DataFrame, DataFrame, Seq[String]) = {
     val s = salts
+    // Pay-as-you-go gate (r6 verdict item 1): the detection job + widened
+    // shuffle key taxed every dedup gate 1.3-1.6x at sf0.1 for zero benefit
+    // at that scale. When the caller proves the relation is small, skip
+    // both. The lossy maxBucket cap is still enforced when requested —
+    // it is a semantic contract, not an optimisation.
+    if (maxBucket.isEmpty &&
+        knownRows.exists(_ < math.max(hotThreshold.toLong, minRows))) {
+      val zero = banded.withColumn("__salt", lit(0))
+      return (zero, zero, bucketCols :+ "__salt")
+    }
     // Measured cost of default-on salting at sf0.1 (same-host A/B vs the
     // r5 snapshot): 1.3-1.6x on each dedup gate — one extra hot-set
     // detection job + the salt-widened shuffle key. The premium buys the

@@ -56,7 +56,11 @@ class SkewSaltSpec extends SparkSpec {
     val plainMh = pairs(Dedup.minhashLshPairs(docs, "doc_id", "text"))
     val plainSh = pairs(Dedup.simhashPairs(docs, "doc_id", "text"))
     val (saltMh, saltSh) =
-      withProps("graft.salt.hotBucket" -> "8", "graft.salt.factor" -> "5") {
+      // minRows forced low: the pay-as-you-go gate would otherwise skip
+      // salting entirely on this small corpus and the test would not
+      // exercise the salted path at all
+      withProps("graft.salt.hotBucket" -> "8", "graft.salt.factor" -> "5",
+                "graft.salt.minRows" -> "10") {
         (pairs(Dedup.minhashLshPairs(docs, "doc_id", "text")),
          pairs(Dedup.simhashPairs(docs, "doc_id", "text")))
       }
@@ -77,11 +81,40 @@ class SkewSaltSpec extends SparkSpec {
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val plain = pairs(Similarity.nearDupPairs(emb, "emb_id", "v", 0.95))
-    val salted = withProps("graft.salt.hotBucket" -> "8", "graft.salt.factor" -> "5") {
+    val salted = withProps("graft.salt.hotBucket" -> "8", "graft.salt.factor" -> "5",
+                           "graft.salt.minRows" -> "10") {
       pairs(Similarity.nearDupPairs(emb, "emb_id", "v", 0.95))
     }
     assert(salted == plain, s"salted=${salted.size} plain=${plain.size}")
     assert(plain.size >= 60 * 59 / 2) // the identical half alone
+  }
+
+  test("pay-as-you-go gate: small knownRows skips the detection join, bag unchanged") {
+    import spark.implicits._
+    val rows = Seq.tabulate(30)(i => (i.toLong, s"b${i % 3}")).toDF("id", "bk")
+    def pairSet(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame,
+                jc: Seq[String]): Set[(Long, Long)] = {
+      val a = l.select(col("bk"), col("__salt"), col("id").as("id_a"))
+      val b = r.select(col("bk"), col("__salt"), col("id").as("id_b"))
+      a.join(b, jc).where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    }
+    withProps("graft.salt.hotBucket" -> "4", "graft.salt.factor" -> "5") {
+      // below minRows (default 100000): the sides must be plain projections —
+      // no hot-set detection join anywhere in the plan
+      val (l, r, jc) = SkewSalt.selfJoinSides(rows, Seq("bk"), col("id"),
+        knownRows = Some(30L))
+      assert(!l.queryExecution.optimizedPlan.toString.toLowerCase.contains("join"),
+        "gated side should not contain the hot-set detection join")
+      assert(!r.queryExecution.optimizedPlan.toString.toLowerCase.contains("join"))
+      val gated = pairSet(l, r, jc)
+      // above the gate (knownRows large): salted path engages, same bag
+      val (l2, r2, jc2) = SkewSalt.selfJoinSides(rows, Seq("bk"), col("id"),
+        knownRows = Some(1000000L))
+      assert(l2.queryExecution.optimizedPlan.toString.toLowerCase.contains("join"))
+      assert(pairSet(l2, r2, jc2) == gated)
+      assert(gated.size == 3 * (10 * 9 / 2))
+    }
   }
 
   test("salted closure ≡ analytic count on a hub graph") {
