@@ -88,6 +88,20 @@ final class QuadStore private (val quads: DataFrame,
 
   // ---------------------------------------------------------------- mutation
 
+  /**
+   * SPARQL 1.1 Update: INSERT/DELETE DATA, DELETE WHERE, DELETE-INSERT-WHERE
+   * (incl. WITH/USING), LOAD, CLEAR, DROP, CREATE, ADD, MOVE, COPY —
+   * ';'-separated operations applied in order. Returns the updated store
+   * (immutable-value style; the previous snapshot stays queryable). The
+   * reference stubs this surface entirely (store.rs:409-414,
+   * `unimplemented!()` "TODO #7: Implement Update") — here it executes.
+   */
+  def update(sparql: String): QuadStore = graft.engine.UpdateExec(this, sparql)
+
+  private[graft] def reg: Set[RdfTerm] = registered
+  private[graft] def withQuads(df: DataFrame, reg2: Set[RdfTerm] = registered): QuadStore =
+    new QuadStore(df, reg2)
+
   /** Add quads from another DataFrame (reference Store::extend). */
   def union(other: DataFrame): QuadStore = new QuadStore(quads.unionByName(other), registered)
 

@@ -1193,9 +1193,130 @@ object SparkEntry {
       .orderBy("hour", "minute_10")
   }
 
+  /** REDUCED (spec-permitted dedup — the reference leaves it
+    * `not_impl_err!`): oracle compares against DISTINCT, which is one of
+    * REDUCED's legal answers and the one this engine produces. */
+  private def sparqlReduced(s: SparkSession, dir: String): DataFrame = {
+    val res = graftOver(s, dir, "customer").select(
+      "SELECT REDUCED ?seg WHERE { ?c <urn:g:customer#c_mktsegment> ?seg } ORDER BY ?seg")
+    Graft.decode(res).orderBy("seg")
+  }
+
+  // --------------------------------------------------------------- streaming
+
+  private var asofStageCache: (SparkSession, String, String) = null
+  private val asofStreamCounter = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** The streaming as-of enrich gated against the SAME DuckDB ASOF JOIN
+    * oracle as the batch `events_asof`: click/view events staged as four
+    * ts-quantile parquet chunks written in ascending event-time order, then
+    * replayed through a rate-limited file-source stream
+    * (maxFilesPerTrigger=1 → 4+ micro-batches) into
+    * [[EventStreams.asofEnrichStream]]'s flatMapGroupsWithState operator.
+    * bufferMs is effectively unbounded so no right-state trims — the stream
+    * must reproduce the batch/backfill answer exactly. */
+  private def eventsAsofStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.EventStreams
+    val stage = synchronized {
+      if (asofStageCache != null && asofStageCache._1 == s && asofStageCache._2 == dir)
+        asofStageCache._3
+      else {
+        val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_asof_stream_${dir.replaceAll("[^A-Za-z0-9]", "_")}_${System.identityHashCode(s)}")
+          .getAbsolutePath
+        val ev = t(s, dir, "events").where(col("event_type").isin("click", "view"))
+          .select(col("event_id"), col("ts").cast(TimestampType).as("ts"),
+            col("user_id"), col("event_type"), col("value"))
+          .withColumn("__ms", unix_millis(col("ts")))
+        val cuts = ev.stat.approxQuantile("__ms", Array(0.25, 0.5, 0.75), 0.001)
+        val bounds = (Double.NegativeInfinity +: cuts) :+ Double.PositiveInfinity
+        // sequential writes: each chunk's files carry a later modification
+        // time, so the file source's (mtime, path) ordering replays the
+        // chunks in ascending event-time order — a right event can never
+        // land in a later micro-batch than a left it precedes
+        bounds.toSeq.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+          ev.where(col("__ms") >= lo && col("__ms") < hi).drop("__ms")
+            .coalesce(1).write.mode(if (i == 0) "overwrite" else "append").parquet(path)
+        }
+        asofStageCache = (s, dir, path)
+        path
+      }
+    }
+    val name = s"asof_gate_${asofStreamCounter.incrementAndGet()}"
+    val src = s.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", "1").parquet(stage).as[EventStreams.Event]
+    val q = EventStreams.asofEnrichStream(src, "click", "view",
+        bufferMs = Long.MaxValue / 4)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val res = s.table(name).select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("click_ts_ms"),
+        unix_millis(col("matched_ts")).as("view_matched_ts_ms"),
+        col("matched_value").as("view_value"))
+      .orderBy("event_id").localCheckpoint()
+    s.catalog.dropTempView(name)
+    res
+  }
+
+  // ----------------------------------------------------------------- updates
+
+  /** SPARQL UPDATE end-to-end (the reference stubs Update — store.rs:409):
+    * DELETE/INSERT WHERE retiers every supplier balance into a named graph
+    * and removes the source quads; an INSERT DATA + DELETE DATA round-trip
+    * must leave no residue. The result reads the post-update store: the tier
+    * histogram plus a count of surviving s_acctbal quads (must be 0 — the
+    * deletion is verified inside the oracled result, not by a side-check). */
+  private def sparqlUpdate(s: SparkSession, dir: String): DataFrame = {
+    val st1 = QuadStore(RdbToRdf.tpchQuads(s, dir, Seq("supplier"))).update("""
+      DELETE { ?s <urn:g:supplier#s_acctbal> ?b }
+      INSERT { GRAPH <urn:tiers> { ?s <urn:tier> ?tier } }
+      WHERE  { ?s <urn:g:supplier#s_acctbal> ?b .
+               BIND(IF(?b >= 5000e0, "high", "low") AS ?tier) } ;
+      INSERT DATA { GRAPH <urn:tiers> { <urn:audit> <urn:tier> "audit" } } ;
+      DELETE DATA { GRAPH <urn:tiers> { <urn:audit> <urn:tier> "audit" } }""")
+    val res = st1.select("""
+      SELECT ?tier (COUNT(?x) AS ?n) (COUNT(?bal) AS ?remaining) WHERE {
+        GRAPH <urn:tiers> { ?x <urn:tier> ?tier }
+        OPTIONAL { ?x <urn:g:supplier#s_acctbal> ?bal }
+      } GROUP BY ?tier ORDER BY ?tier""")
+    Graft.decode(res, Map("n" -> LongType, "remaining" -> LongType)).orderBy("tier")
+  }
+
+  /** Graph-management update ops (LOAD / CREATE / ADD / COPY / MOVE / CLEAR /
+    * DROP) sequenced in one request over the nation+region mapping; result =
+    * per-graph quad counts of the post-update store, DuckDB-oracled from the
+    * source tables' row counts. */
+  private def sparqlUpdateGraphs(s: SparkSession, dir: String): DataFrame = {
+    // LOAD source: the region mapping dumped as N-Quads into the default
+    // graph file (written once per (session, sf) under java.io.tmpdir)
+    val loadDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_load_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+    val marker = new java.io.File(loadDir, "_SUCCESS")
+    if (!marker.exists())
+      QuadStore(RdbToRdf.tpchQuads(s, dir, Seq("region"))).dumpNQuads(loadDir.getAbsolutePath)
+    val st1 = QuadStore(RdbToRdf.tpchQuads(s, dir, Seq("nation"))).update(s"""
+      LOAD <file://${loadDir.getAbsolutePath}> INTO GRAPH <urn:regions> ;
+      CREATE GRAPH <urn:scratch> ;
+      ADD DEFAULT TO <urn:scratch> ;
+      COPY <urn:regions> TO <urn:backup> ;
+      MOVE <urn:scratch> TO <urn:final> ;
+      CLEAR DEFAULT ;
+      DROP GRAPH <urn:backup>""")
+    val res = st1.select("""
+      SELECT ?g (COUNT(?s) AS ?n) WHERE { GRAPH ?g { ?s ?p ?o } }
+      GROUP BY ?g ORDER BY ?g""")
+    Graft.decode(res, Map("n" -> LongType)).orderBy("g")
+  }
+
   // =========================================================== the contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sparql_update" -> sparqlUpdate,
+    "sparql_update_graphs" -> sparqlUpdateGraphs,
+    "sparql_reduced" -> sparqlReduced,
+    "events_asof_stream" -> eventsAsofStream,
     "sparql_region_nations" -> sparqlRegionNations,
     "sparql_filter_order" -> sparqlFilterOrder,
     "sparql_optional_agg" -> sparqlOptionalAgg,
@@ -1431,6 +1552,27 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "sparql_reduced" ->
+      "SELECT DISTINCT c_mktsegment AS seg FROM customer ORDER BY seg",
+    "events_asof_stream" ->
+      """SELECT l.event_id, l.user_id, epoch_ms(l.ts) AS click_ts_ms,
+        |       epoch_ms(r.ts) AS view_matched_ts_ms, r.value AS view_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+    "sparql_update" ->
+      """SELECT CASE WHEN s_acctbal >= 5000.0 THEN 'high' ELSE 'low' END AS tier,
+        |       count(*) AS n, 0 AS remaining
+        |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sparql_update_graphs" ->
+      """SELECT g, n FROM (
+        |  -- nation maps to 3 data quads (nationkey, name, regionkey) + 1 fk
+        |  -- edge per row; region to 2 data quads per row (no fk)
+        |  SELECT 'urn:final' AS g, 4 * count(*) AS n FROM nation
+        |  UNION ALL
+        |  SELECT 'urn:regions' AS g, 2 * count(*) AS n FROM region
+        |) ORDER BY g""".stripMargin,
     "link_pagerank" -> PageRankOracleSql,
     "bpe_encode" -> BpeOracleSql,
     "url_host_cap" ->

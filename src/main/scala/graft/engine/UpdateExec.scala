@@ -1,0 +1,282 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QuadStore
+import graft.encoding.TermCols
+import graft.model._
+import graft.sparql.{Algebra, SparqlParser}
+import graft.sparql.Algebra._
+
+/**
+ * SPARQL 1.1 Update executor over the immutable [[QuadStore]].
+ *
+ * The reference stubs this whole surface (`Store::update`,
+ * /root/reference/lib/rdf-fusion/src/store.rs:409-414 —
+ * `unimplemented!()`, "TODO #7: Implement Update"); here every operation
+ * executes. Each op is a DataFrame transformation of the previous state —
+ * snapshot isolation falls out of immutability, and a whole request
+ * composes lazily into one Catalyst plan that materialises only when the
+ * resulting store is read or saved.
+ *
+ * Set semantics (RDF graphs are sets): every quad-adding op appends a
+ * `dropDuplicates` over the four quad columns, so a re-inserted quad is a
+ * no-op and bag-sensitive aggregates over later ops of the same request
+ * stay correct. Deletion is an anti-join keyed on all four columns
+ * (null-safe: the default graph is NULL), which removes every copy — the
+ * scale path at 100 TB is the join, never a driver loop; the delete side
+ * is result-sized and AQE broadcasts it when small.
+ */
+private[graft] object UpdateExec {
+
+  def apply(store: QuadStore, text: String): QuadStore = {
+    val req = SparqlParser.parseUpdate(text)
+    req.ops.foldLeft(store)(exec)
+  }
+
+  private def exec(store: QuadStore, op: UpdateOp): QuadStore = op match {
+
+    case InsertData(qs) =>
+      // ground by construction (parser-validated); bnodes are fresh per op
+      val nonce = freshNonce()
+      val quads = qs.map(q => RdfQuad(
+        q.graph.map(groundTerm(_, nonce)),
+        groundTerm(q.s, nonce), groundPred(q.p, nonce), groundTerm(q.o, nonce)))
+      validateGround(quads)
+      dedup(store.union(graft.sources.Turtle.quadsToDF(spark(store), quads)))
+
+    case DeleteData(qs) =>
+      val quads = qs.map(q => RdfQuad(q.graph.map(groundTerm(_, "")),
+        groundTerm(q.s, ""), groundPred(q.p, ""), groundTerm(q.o, "")))
+      validateGround(quads)
+      minusQuads(store, graft.sources.Turtle.quadsToDF(spark(store), quads))
+
+    case DeleteWhere(qs) =>
+      val plan = solve(store, quadsAsPattern(qs), Nil, Nil, None)
+      minusQuads(store, instantiate(plan, qs, None, insertBnodes = false))
+
+    case Modify(withGraph, del, ins, usingDefault, usingNamed, where) =>
+      val plan = solve(store, where, usingDefault, usingNamed, withGraph)
+      // both template sides instantiate against the PRE-update state
+      // (spec §3.1.3: DELETE and INSERT see the same solution multiset)
+      val afterDel =
+        if (del.isEmpty) store
+        else minusQuads(store, instantiate(plan, del, withGraph, insertBnodes = false))
+      if (ins.isEmpty) afterDel
+      else dedup(afterDel.union(instantiate(plan, ins, withGraph, insertBnodes = true)))
+
+    case LoadOp(source, into, silent) =>
+      try {
+        val path = source.value.stripPrefix("file://")
+        val loaded = QuadStore.loadFile(spark(store), path).quads
+        val retargeted = into match {
+          case Some(g) => loaded.withColumn("graph", ExprCompiler.termLit(g))
+          case None => loaded
+        }
+        dedup(store.union(retargeted))
+      } catch {
+        case e: Throwable if silent => store
+      }
+
+    case ClearOp(target, silent) => clearOrDrop(store, target, silent, drop = false)
+    case DropOp(target, silent) => clearOrDrop(store, target, silent, drop = true)
+
+    case CreateOp(g, silent) =>
+      if (store.containsNamedGraph(g)) {
+        if (silent) store
+        else throw new IllegalArgumentException(s"CREATE: graph $g already exists")
+      } else store.insertNamedGraph(g)
+
+    case AddOp(from, to, silent) =>
+      if (from == to) store
+      else {
+        // ADD creates the destination graph if absent, even when the source
+        // is empty — register a named destination
+        val base = to.fold(store)(store.insertNamedGraph)
+        dedup(base.union(graphQuads(store, from, silent, "ADD")
+          .withColumn("graph", graphLit(to))))
+      }
+
+    case CopyOp(from, to, silent) =>
+      if (from == to) store
+      else {
+        val src = graphQuads(store, from, silent, "COPY")
+        // COPY replaces the destination: clear it, then insert the source
+        dedup(store.clearGraph(to).union(src.withColumn("graph", graphLit(to))))
+      }
+
+    case MoveOp(from, to, silent) =>
+      if (from == to) store
+      else {
+        val src = graphQuads(store, from, silent, "MOVE")
+        val cleared = store.clearGraph(to)
+        val dropped = from match {
+          case Some(g) => cleared.removeNamedGraph(g)
+          case None => cleared.clearGraph(None)
+        }
+        dedup(dropped.union(src.withColumn("graph", graphLit(to))))
+      }
+  }
+
+  // ------------------------------------------------------------------ helpers
+
+  private def spark(store: QuadStore): SparkSession = store.quads.sparkSession
+
+  /** Set-semantics maintenance after any insert: RDF graphs are sets, so a
+    * re-inserted quad must be a no-op for later ops in the same request. */
+  private def dedup(store: QuadStore): QuadStore =
+    store.withQuads(store.quads.dropDuplicates("graph", "subject", "predicate", "object"))
+
+  /** Remove every store quad matching a delete-side quad — one anti-join on
+    * all four columns, null-safe for the NULL default graph and nested
+    * NULL dt/lang fields. */
+  private def minusQuads(store: QuadStore, del: DataFrame): QuadStore = {
+    val d = del.select(col("graph").as("__dg"), col("subject").as("__ds"),
+      col("predicate").as("__dp"), col("object").as("__do"))
+    store.withQuads(store.quads.join(d,
+      col("graph") <=> col("__dg") && col("subject") <=> col("__ds") &&
+        col("predicate") <=> col("__dp") && col("object") <=> col("__do"),
+      "left_anti"))
+  }
+
+  /** Evaluate an update WHERE clause. Dataset rules (spec §3.1.3): USING
+    * clauses act like FROM/FROM NAMED; otherwise WITH sets the default
+    * scope; otherwise the store's default graph. */
+  private def solve(store: QuadStore, where: GraphPattern, usingDefault: Seq[Iri],
+                    usingNamed: Seq[Iri], withGraph: Option[Iri]): SPlan = {
+    val scope =
+      if (usingDefault.nonEmpty) GraphScope.UnionOf(usingDefault.map(_.value))
+      else withGraph match {
+        case Some(g) => GraphScope.Named(g.value)
+        case None => GraphScope.DefaultGraph
+      }
+    new Rewriter(spark(store), store.quads, usingNamed.map(_.value))
+      .pattern(where, scope)
+  }
+
+  /** DELETE WHERE: the quad templates double as the pattern — default-graph
+    * quads form one BGP, each GRAPH group wraps its own. */
+  private def quadsAsPattern(qs: Seq[QuadPattern]): GraphPattern = {
+    val parts = Vector.newBuilder[GraphPattern]
+    val defaults = qs.collect { case QuadPattern(None, s, p, o) => TriplePattern(s, p, o) }
+    if (defaults.nonEmpty) parts += Bgp(defaults)
+    // preserve first-appearance order of graph groups (groupBy is unordered)
+    val named = qs.filter(_.graph.isDefined)
+    named.map(_.graph.get).distinct.foreach { g =>
+      parts += GraphGraph(g,
+        Bgp(named.filter(_.graph.get == g).map(q => TriplePattern(q.s, q.p, q.o))))
+    }
+    parts.result() match {
+      case Vector() => Bgp(Nil)
+      case ps => ps.reduce(Join(_, _))
+    }
+  }
+
+  /**
+   * Instantiate quad templates against a solution relation → quads
+   * DataFrame. Invalid instantiations are skipped per spec: unbound
+   * variables, literal subjects, non-IRI predicates, literal graph names.
+   * INSERT-template bnodes are fresh PER SOLUTION (scoped by a row id and a
+   * per-op nonce).
+   */
+  private def instantiate(plan: SPlan, qs: Seq[QuadPattern],
+                          defaultGraph: Option[Iri], insertBnodes: Boolean): DataFrame = {
+    val nonce = freshNonce()
+    val df = plan.df.withColumn("__row", monotonically_increasing_id())
+    val inScope = plan.vars.toSet
+    def slot(tp: TermPattern): Column = tp match {
+      case VarPat(v) => if (inScope(v.name)) col(v.name) else TermCols.nullTerm
+      case TermPat(t) => ExprCompiler.termLit(t)
+      case BNodePat(l) =>
+        // only reachable on the INSERT side (parser rejects delete bnodes)
+        TermCols.bnode(concat(lit(s"${l}_${nonce}_"),
+          col("__row").cast(org.apache.spark.sql.types.StringType)))
+    }
+    val defaultG: Column =
+      defaultGraph.map(g => ExprCompiler.termLit(g)).getOrElse(TermCols.nullTerm)
+    val parts = qs.map { q =>
+      df.select(q.graph.map(slot).getOrElse(defaultG).as("graph"),
+        slot(q.s).as("subject"), slot(q.p).as("predicate"), slot(q.o).as("object"))
+    }
+    parts.reduce(_ unionAll _)
+      .filter(col("subject").isNotNull && col("subject.t") =!= TermType.Literal &&
+        col("predicate").isNotNull && col("predicate.t") === TermType.Iri &&
+        col("object").isNotNull &&
+        (col("graph").isNull || col("graph.t") =!= TermType.Literal))
+      .dropDuplicates()
+  }
+
+  private def clearOrDrop(store: QuadStore, target: GraphTarget, silent: Boolean,
+                          drop: Boolean): QuadStore = target match {
+    case GraphTarget.Default => store.clearGraph(None)
+    case GraphTarget.Named(g) =>
+      if (!store.containsNamedGraph(g)) {
+        if (silent) store
+        else throw new IllegalArgumentException(
+          s"${if (drop) "DROP" else "CLEAR"}: graph $g does not exist")
+      } else if (drop) store.removeNamedGraph(g)
+      else store.clearGraph(Some(g))
+    case GraphTarget.AllNamed =>
+      if (drop) store.withQuads(store.quads.filter(col("graph").isNull), Set.empty)
+      else {
+        // keep every named graph listed as empty (oxigraph semantics)
+        val graphs = namedGraphTerms(store)
+        store.withQuads(store.quads.filter(col("graph").isNull), store.reg ++ graphs)
+      }
+    case GraphTarget.All =>
+      if (drop) store.clear()
+      else {
+        val graphs = namedGraphTerms(store)
+        store.withQuads(store.quads.limit(0), store.reg ++ graphs)
+      }
+  }
+
+  /** Named-graph terms, collected. Bounded by the store's GRAPH vocabulary —
+    * a metadata-scale set, not data-scale. */
+  private def namedGraphTerms(store: QuadStore): Set[RdfTerm] =
+    store.namedGraphs().collect().map { r =>
+      val t = r.getStruct(0)
+      if (t.getByte(0) == TermType.BlankNode) BNode(t.getString(1)) else Iri(t.getString(1))
+    }.toSet
+
+  /** Source-graph quads for ADD/MOVE/COPY; a missing NAMED source errors
+    * unless SILENT (spec §3.2.3-5). The default graph always exists. */
+  private def graphQuads(store: QuadStore, from: Option[Iri], silent: Boolean,
+                         opName: String): DataFrame = from match {
+    case None => store.quads.filter(col("graph").isNull)
+    case Some(g) =>
+      if (!store.containsNamedGraph(g) && !silent)
+        throw new IllegalArgumentException(s"$opName: source graph $g does not exist")
+      store.quadsForPattern(graph = Some(Some(g)))
+  }
+
+  private def graphLit(to: Option[Iri]): Column =
+    to.map(g => ExprCompiler.termLit(g)).getOrElse(TermCols.nullTerm)
+
+  private def groundTerm(tp: TermPattern, nonce: String): RdfTerm = tp match {
+    case TermPat(t) => t
+    case BNodePat(l) => BNode(s"${l}_$nonce") // fresh per data op
+    case VarPat(v) => throw new IllegalArgumentException(
+      s"variable ?${v.name} in ground quad data") // unreachable: parser validates
+  }
+
+  private def groundPred(tp: TermPattern, nonce: String): Iri = groundTerm(tp, nonce) match {
+    case i: Iri => i
+    case other => throw new IllegalArgumentException(s"non-IRI predicate in quad data: $other")
+  }
+
+  /** Data-op validity: literal subjects/graph names are syntax errors in
+    * ground data (TriplesTemplate accepts them syntactically). */
+  private def validateGround(qs: Seq[RdfQuad]): Unit = qs.foreach { q =>
+    if (q.subject.isInstanceOf[Lit])
+      throw new IllegalArgumentException(s"literal subject in quad data: ${q.subject}")
+    if (q.graph.exists(_.isInstanceOf[Lit]))
+      throw new IllegalArgumentException(s"literal graph name in quad data")
+  }
+
+  private val opCounter = new java.util.concurrent.atomic.AtomicLong()
+  /** Per-op bnode scope nonce: unique within and across requests. */
+  private def freshNonce(): String =
+    java.lang.Long.toHexString(opCounter.incrementAndGet()) + "u" +
+      java.util.UUID.randomUUID().toString.take(8)
+}

@@ -143,6 +143,49 @@ object Algebra {
       fromDefault: Seq[Iri] = Nil, fromNamed: Seq[Iri] = Nil,
       base: Option[String] = None, prefixes: Map[String, String] = Map.empty) extends Query
 
+  // ------------------------------------------------------------------ updates
+
+  /** A template/data quad: triple + optional graph context (None = the
+    * operation's default graph). SPARQL 1.1 Update `Quads` production. */
+  final case class QuadPattern(graph: Option[TermPattern], s: TermPattern,
+                               p: TermPattern, o: TermPattern)
+
+  /** CLEAR/DROP target (GraphRefAll production). */
+  sealed trait GraphTarget
+  object GraphTarget {
+    final case class Named(iri: Iri) extends GraphTarget
+    case object Default extends GraphTarget
+    case object AllNamed extends GraphTarget
+    case object All extends GraphTarget
+  }
+
+  /** One operation of an update request (SPARQL 1.1 Update §3).
+    * The reference stubs the whole surface (`Store::update`,
+    * /root/reference/lib/rdf-fusion/src/store.rs:409-414: unimplemented
+    * "TODO #7") — this engine executes it. */
+  sealed trait UpdateOp
+  final case class InsertData(quads: Seq[QuadPattern]) extends UpdateOp
+  final case class DeleteData(quads: Seq[QuadPattern]) extends UpdateOp
+  /** DELETE WHERE { quads }: the quad patterns are both pattern and template. */
+  final case class DeleteWhere(quads: Seq[QuadPattern]) extends UpdateOp
+  /** (WITH g)? DELETE {..} INSERT {..} (USING ..)* WHERE pattern. */
+  final case class Modify(withGraph: Option[Iri], delete: Seq[QuadPattern],
+                          insert: Seq[QuadPattern], usingDefault: Seq[Iri],
+                          usingNamed: Seq[Iri], where: GraphPattern) extends UpdateOp
+  final case class LoadOp(source: Iri, into: Option[Iri], silent: Boolean) extends UpdateOp
+  final case class ClearOp(target: GraphTarget, silent: Boolean) extends UpdateOp
+  final case class DropOp(target: GraphTarget, silent: Boolean) extends UpdateOp
+  final case class CreateOp(graph: Iri, silent: Boolean) extends UpdateOp
+  /** from/to: None = the default graph (GraphOrDefault production). */
+  final case class AddOp(from: Option[Iri], to: Option[Iri], silent: Boolean) extends UpdateOp
+  final case class MoveOp(from: Option[Iri], to: Option[Iri], silent: Boolean) extends UpdateOp
+  final case class CopyOp(from: Option[Iri], to: Option[Iri], silent: Boolean) extends UpdateOp
+
+  /** A full update request: ';'-separated operations applied in order, each
+    * against the store state the previous one produced. */
+  final case class UpdateRequest(ops: Seq[UpdateOp], base: Option[String],
+                                 prefixes: Map[String, String])
+
   // ------------------------------------------------------------------ helpers
 
   /** Variables referenced inside a pattern's expressions (FILTER/BIND/

@@ -610,6 +610,129 @@ class SparqlParser extends RegexParsers {
           sep.map(s => NtUnescape(stripQuotes(s)))))
     }
 
+  // ----------------------------------------------------------------- updates
+
+  /** Update ::= Prologue (Update1 (';' Update)?)? — a fresh Prologue may
+    * follow every ';', accumulating into the same prefix/base state. */
+  def updateRequest: Parser[UpdateRequest] =
+    (prologue ~> opt(update1)) ~ rep(";" ~> prologue ~> opt(update1)) ^^ {
+      case first ~ rest => UpdateRequest(first.toSeq ++ rest.flatten, baseIri, prefixes)
+    }
+
+  def update1: Parser[UpdateOp] =
+    kw("INSERT") ~ kw("DATA") ~> quadData ^^ { qs =>
+      // §19.8 grammar note 8: INSERT DATA is ground (no variables)
+      if (quadVars(qs)) throw new IllegalArgumentException(
+        "SPARQL update validation error: variables are not allowed in INSERT DATA")
+      InsertData(qs)
+    } |
+    kw("DELETE") ~ kw("DATA") ~> quadData ^^ { qs =>
+      // notes 8+9: DELETE DATA is ground and bnode-free
+      if (quadVars(qs)) throw new IllegalArgumentException(
+        "SPARQL update validation error: variables are not allowed in DELETE DATA")
+      if (quadBnodes(qs)) throw new IllegalArgumentException(
+        "SPARQL update validation error: blank nodes are not allowed in DELETE DATA")
+      DeleteData(qs)
+    } |
+    kw("DELETE") ~ kw("WHERE") ~> quadData ^^ { qs =>
+      if (quadBnodes(qs)) throw new IllegalArgumentException(
+        "SPARQL update validation error: blank nodes are not allowed in DELETE WHERE")
+      DeleteWhere(qs)
+    } |
+    modifyOp | loadOp | clearOp | dropOp | createOp | addOp | moveOp | copyOp
+
+  private def modifyOp: Parser[Modify] =
+    opt(kw("WITH") ~> iri) ~ (
+      (kw("DELETE") ~> quadData) ~ opt(kw("INSERT") ~> quadData) ^^ {
+        case d ~ i => (d, i.getOrElse(Nil)) } |
+      (kw("INSERT") ~> quadData) ^^ (i => (Seq.empty[QuadPattern], i))
+    ) ~ rep(usingClause) ~ (kw("WHERE") ~> groupGraphPattern) ^^ {
+      case w ~ di ~ us ~ where =>
+        // note 9: bnodes may not appear in a DELETE template
+        if (quadBnodes(di._1)) throw new IllegalArgumentException(
+          "SPARQL update validation error: blank nodes are not allowed in DELETE templates")
+        Modify(w, di._1, di._2,
+          us.collect { case (false, i) => i }, us.collect { case (true, i) => i }, where)
+    }
+
+  private def usingClause: Parser[(Boolean, Iri)] =
+    kw("USING") ~> opt(kw("NAMED")) ~ iri ^^ { case n ~ i => (n.isDefined, i) }
+
+  private def loadOp: Parser[LoadOp] =
+    kw("LOAD") ~> opt(kw("SILENT")) ~ iri ~ opt(kw("INTO") ~> kw("GRAPH") ~> iri) ^^ {
+      case s ~ src ~ into => LoadOp(src, into, s.isDefined)
+    }
+
+  private def graphRefAll: Parser[GraphTarget] =
+    kw("GRAPH") ~> iri ^^ (GraphTarget.Named(_)) |
+    kw("DEFAULT") ^^ (_ => GraphTarget.Default) |
+    kw("NAMED") ^^ (_ => GraphTarget.AllNamed) |
+    kw("ALL") ^^ (_ => GraphTarget.All)
+
+  private def clearOp: Parser[ClearOp] =
+    kw("CLEAR") ~> opt(kw("SILENT")) ~ graphRefAll ^^ { case s ~ t => ClearOp(t, s.isDefined) }
+
+  private def dropOp: Parser[DropOp] =
+    kw("DROP") ~> opt(kw("SILENT")) ~ graphRefAll ^^ { case s ~ t => DropOp(t, s.isDefined) }
+
+  private def createOp: Parser[CreateOp] =
+    kw("CREATE") ~> opt(kw("SILENT")) ~ (kw("GRAPH") ~> iri) ^^ {
+      case s ~ g => CreateOp(g, s.isDefined) }
+
+  /** GraphOrDefault: DEFAULT | GRAPH? iri — None = the default graph. */
+  private def graphOrDefault: Parser[Option[Iri]] =
+    kw("DEFAULT") ^^ (_ => None) | opt(kw("GRAPH")) ~> iri ^^ (Some(_))
+
+  private def addOp: Parser[AddOp] =
+    kw("ADD") ~> opt(kw("SILENT")) ~ graphOrDefault ~ (kw("TO") ~> graphOrDefault) ^^ {
+      case s ~ f ~ t => AddOp(f, t, s.isDefined) }
+  private def moveOp: Parser[MoveOp] =
+    kw("MOVE") ~> opt(kw("SILENT")) ~ graphOrDefault ~ (kw("TO") ~> graphOrDefault) ^^ {
+      case s ~ f ~ t => MoveOp(f, t, s.isDefined) }
+  private def copyOp: Parser[CopyOp] =
+    kw("COPY") ~> opt(kw("SILENT")) ~ graphOrDefault ~ (kw("TO") ~> graphOrDefault) ^^ {
+      case s ~ f ~ t => CopyOp(f, t, s.isDefined) }
+
+  /** QuadData / QuadPattern: '{' TriplesTemplate? (GRAPH VarOrIri '{..}' ..)* '}' */
+  def quadData: Parser[Seq[QuadPattern]] = "{" ~> quadsProduction <~ "}"
+
+  private def quadsProduction: Parser[Seq[QuadPattern]] =
+    rep(quadsNotTriples <~ opt(".") | templateTriples ^^ (ts =>
+      ts.map(t => QuadPattern(None, t.s, t.p, t.o)))) ^^ (_.flatten)
+
+  private def quadsNotTriples: Parser[Seq[QuadPattern]] =
+    kw("GRAPH") ~> varOrIriPat ~ ("{" ~> opt(templateTriples) <~ "}") ^^ {
+      case g ~ ts => ts.getOrElse(Nil).map(t => QuadPattern(Some(g), t.s, t.p, t.o))
+    }
+
+  /** Non-empty TriplesTemplate (rep1: an empty match inside quads' rep would
+    * loop forever); paths are rejected like CONSTRUCT templates. */
+  private def templateTriples: Parser[Seq[TriplePattern]] =
+    rep1(triplesSameSubject <~ opt(".")) ^^ { tss =>
+      val all = tss.flatten
+      if (all.exists(_.isRight))
+        throw new IllegalArgumentException(
+          "SPARQL validation error: property paths are not allowed in update templates")
+      all.collect { case Left(t) => t }
+    }
+
+  private def quadVars(qs: Seq[QuadPattern]): Boolean =
+    qs.exists(q => (q.graph.toSeq :+ q.s :+ q.p :+ q.o).exists(_.isInstanceOf[VarPat]))
+  private def quadBnodes(qs: Seq[QuadPattern]): Boolean =
+    qs.exists(q => (q.graph.toSeq :+ q.s :+ q.p :+ q.o).exists(_.isInstanceOf[BNodePat]))
+
+  def parseUpdateRequest(text: String): UpdateRequest = {
+    prefixes = SparqlParser.standardPrefixes
+    baseIri = None
+    parseAll(updateRequest, text) match {
+      case Success(u, _) => u
+      case NoSuccess(msg, rest) =>
+        throw new IllegalArgumentException(
+          s"SPARQL update parse error: $msg at line ${rest.pos.line}, col ${rest.pos.column}\n${rest.pos.longString}")
+      case other => throw new IllegalArgumentException(s"SPARQL update parse error: $other")
+    }
+  }
+
   // -------------------------------------------------------------- public API
 
   def parseQuery(text: String): Query = {
@@ -636,4 +759,7 @@ object SparqlParser {
     "rdfs" -> "http://www.w3.org/2000/01/rdf-schema#")
 
   def parse(text: String): Algebra.Query = new SparqlParser().parseQuery(text)
+
+  def parseUpdate(text: String): Algebra.UpdateRequest =
+    new SparqlParser().parseUpdateRequest(text)
 }

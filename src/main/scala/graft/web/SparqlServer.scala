@@ -44,6 +44,7 @@ final class SparqlServer private (spark: SparkSession, initial: DataFrame, port:
   private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
   server.createContext("/repositories/default/query", (ex: HttpExchange) => handleSafe(ex, handleQuery))
   server.createContext("/repositories/default/data", (ex: HttpExchange) => handleSafe(ex, handleData))
+  server.createContext("/repositories/default/update", (ex: HttpExchange) => handleSafe(ex, handleUpdate))
   // concurrent request handling (the reference's axum layer is concurrent;
   // SparkSession actions are thread-safe, so parallel queries just become
   // parallel jobs). Daemon threads: the server must not pin the JVM.
@@ -190,6 +191,40 @@ final class SparqlServer private (spark: SparkSession, initial: DataFrame, port:
       }
       respond(ex, 204, null, Array.emptyByteArray)
     } finally Files.deleteIfExists(tmp)
+  }
+
+  // ------------------------------------------------------------------ /update
+
+  /** Named graphs registered empty by update ops (CREATE / CLEAR) — carried
+    * across requests alongside the quads. */
+  @volatile private var registeredGraphs: Set[graft.model.RdfTerm] = Set.empty
+
+  /** SPARQL 1.1 Protocol update endpoint: POST with an
+    * `application/sparql-update` body, or form-encoded `update=`.
+    * Applied atomically per request (synchronized swap of the store
+    * snapshot); the result is checkpointed so a long sequence of updates
+    * does not compound into one unbounded Catalyst plan. */
+  private def handleUpdate(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "POST")
+      return respond(ex, 405, "text/plain", "only POST is supported".getBytes(UTF_8))
+    val ct = Option(ex.getRequestHeaders.getFirst("Content-Type"))
+      .map(_.takeWhile(_ != ';').trim.toLowerCase).getOrElse("")
+    val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    val text = ct match {
+      case "application/sparql-update" => body
+      case "application/x-www-form-urlencoded" =>
+        parseQueryParams(body).get("update").flatMap(_.headOption)
+          .getOrElse(throw new BadRequest("missing update parameter"))
+      case other => throw new BadRequest(s"Invalid content type for update: $other")
+    }
+    synchronized {
+      val st0 = registeredGraphs.foldLeft(QuadStore(quads))(_ insertNamedGraph _)
+      val st1 = st0.update(text)
+      quads = st1.quads.localCheckpoint()
+      registeredGraphs = st1.reg
+      hasStore.set(true)
+    }
+    respond(ex, 204, null, Array.emptyByteArray)
   }
 
   private val ContentTypeExt = Map(
