@@ -31,15 +31,21 @@ import graft.model.Xsd
  */
 object XsdTemporal {
 
+  // 24:00:00(.0*)? is a valid XSD lexical meaning end-of-day = start of the
+  // next day; it normalizes to 0 seconds-of-day (same rule as the dateTime
+  // cast's 24:00:00 handling).
   private val timeRe = Pattern.compile(
-    "([01][0-9]|2[0-3]):([0-5][0-9]):([0-5][0-9](?:\\.[0-9]+)?)(Z|[+-](?:0[0-9]|1[0-4]):[0-5][0-9])?")
+    "([01][0-9]|2[0-3]):([0-5][0-9]):([0-5][0-9](?:\\.[0-9]+)?)(Z|[+-](?:0[0-9]|1[0-4]):[0-5][0-9])?" +
+      "|(24):(00):(00(?:\\.0+)?)(Z|[+-](?:0[0-9]|1[0-4]):[0-5][0-9])?")
 
   // XSD duration lexical: -?PnYnMnDTnHnMn(.n)S — every component optional,
-  // at least one digit present, no dangling 'T'. Digits capped at 9 per
-  // component so the month arithmetic stays in Int space.
+  // at least one digit present, no dangling 'T'. Y/M digits capped at 9 so
+  // the month arithmetic stays in Int space; D/H/M/S allow 18 digits (their
+  // math is Double seconds — i64-range second counts like PT10000000000S
+  // must parse, matching the reference's oxsdatatypes range).
   private val durRe = Pattern.compile(
-    "(-)?P(?:([0-9]{1,9})Y)?(?:([0-9]{1,9})M)?(?:([0-9]{1,9})D)?" +
-      "(?:T(?:([0-9]{1,9})H)?(?:([0-9]{1,9})M)?(?:([0-9]{1,9}(?:\\.[0-9]+)?)S)?)?")
+    "(-)?P(?:([0-9]{1,9})Y)?(?:([0-9]{1,9})M)?(?:([0-9]{1,18})D)?" +
+      "(?:T(?:([0-9]{1,18})H)?(?:([0-9]{1,18})M)?(?:([0-9]{1,18}(?:\\.[0-9]+)?)S)?)?")
 
   /** Timeline seconds of an xsd:time: seconds-of-day minus the timezone
     * offset (naive = implicit UTC, matching the engine's xsd:dateTime rule).
@@ -48,15 +54,18 @@ object XsdTemporal {
     if (value == null || dt == null || dt.toString != Xsd.time) return null
     val m = timeRe.matcher(value.toString)
     if (!m.matches()) return null
-    val tz = m.group(4)
+    val end24 = m.group(1) == null // the 24:00:00 alternation branch matched
+    val tz = if (end24) m.group(8) else m.group(4)
     val tzSecs =
       if (tz == null || tz == "Z") 0
       else {
         val sign = if (tz.charAt(0) == '-') -1 else 1
         sign * (tz.substring(1, 3).toInt * 3600 + tz.substring(4, 6).toInt * 60)
       }
-    m.group(1).toInt * 3600.0 + m.group(2).toInt * 60.0 +
-      m.group(3).toDouble - tzSecs
+    val secondsOfDay =
+      if (end24) 0.0 // 24:00:00 ≡ 00:00:00 (end-of-day normalizes)
+      else m.group(1).toInt * 3600.0 + m.group(2).toInt * 60.0 + m.group(3).toDouble
+    secondsOfDay - tzSecs
   }
 
   /** (months, seconds) of a duration-family literal, or null. Subtype

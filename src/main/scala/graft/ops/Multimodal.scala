@@ -1121,6 +1121,20 @@ object Multimodal {
     r
   }
 
+  /** Page CRC with the 4 CRC-field bytes (page offsets 22-25) read as zero —
+    * no mutation of the caller's buffer (the earlier zero-restore dance was
+    * unsafe against concurrent readers of a shared byte array). */
+  private def oggPageCrc(b: Array[Byte], off: Int, len: Int): Int = {
+    var r = 0
+    var i = 0
+    while (i < len) {
+      val byte = if (i >= 22 && i <= 25) 0 else b(off + i) & 0xFF
+      r = (r << 8) ^ oggCrcTable(((r >>> 24) ^ byte) & 0xFF)
+      i += 1
+    }
+    r
+  }
+
   /** REAL Ogg container probe (RFC 3533 page walk with MANDATORY per-page
     * CRC verification) + Vorbis identification-header parse: sample rate and
     * channel count from the BOS page's `vorbis` packet, duration from
@@ -1145,14 +1159,10 @@ object Multimodal {
       while (s < nsegs) { payload += b(o + 27 + s) & 0xFF; s += 1 }
       val pageLen = 27 + nsegs + payload
       require(o.toLong + pageLen <= b.length, "truncated Ogg page")
-      // verify the page CRC: stored little-endian at offset 22, zeroed for
-      // the computation
+      // verify the page CRC: stored little-endian at offset 22, computed
+      // with that field read as zero (no buffer mutation)
       val stored = le32(b, o + 22)
-      val save = Array(b(o + 22), b(o + 23), b(o + 24), b(o + 25))
-      b(o + 22) = 0; b(o + 23) = 0; b(o + 24) = 0; b(o + 25) = 0
-      val computed = oggCrc(b, o, pageLen)
-      b(o + 22) = save(0); b(o + 23) = save(1); b(o + 24) = save(2); b(o + 25) = save(3)
-      require(computed == stored, "Ogg page CRC mismatch")
+      require(oggPageCrc(b, o, pageLen) == stored, "Ogg page CRC mismatch")
       var g = 0L
       var i = 7
       while (i >= 0) { g = (g << 8) | (b(o + 6 + i) & 0xFF); i -= 1 } // LE granule
@@ -1271,12 +1281,15 @@ object Multimodal {
       require(envelope + sz <= b.length, "truncated ID3v2 tag")
       o = (envelope + sz).toInt
     }
-    var end = b.length
-    if (end - o >= 128 && b(end - 128) == 'T' && b(end - 127) == 'A' && b(end - 126) == 'G')
-      end -= 128
+    val end = b.length
     var frames = 0L; var rate = 0; var chans = 0L
     var brMin = Int.MaxValue; var brMax = 0
-    while (o < end) {
+    // ID3v1 is recognised only when a frame boundary lands exactly 128
+    // bytes before EOF with 'TAG' there — 'TAG' bytes INSIDE a frame of a
+    // valid CBR stream (any payload can contain them) must not truncate
+    // the walk (eager end-128 trimming broke such streams).
+    while (o < end &&
+        !(end - o == 128 && b(o) == 'T' && b(o + 1) == 'A' && b(o + 2) == 'G')) {
       require(o + 4 <= end, "truncated MPEG frame header")
       require((b(o) & 0xFF) == 0xFF && (b(o + 1) & 0xE0) == 0xE0, "lost MPEG sync")
       require(((b(o + 1) >> 3) & 3) == 3, "unsupported MPEG version (MPEG-1 only)")

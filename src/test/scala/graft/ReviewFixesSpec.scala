@@ -78,4 +78,69 @@ class ReviewFixesSpec extends SparkSpec {
         |                                     "Point(1 1)"^^geo:wktLiteral) AS ?r) }""".stripMargin)
     assert(res.select("r.v").collect()(0).getString(0) == "true")
   }
+
+  // ---- round-7 advice pins -------------------------------------------------
+
+  test("xsd:time 24:00:00 is a valid lexical equal to 00:00:00 (end-of-day)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def tv(s: String) = graft.encoding.XsdTemporal.timeValue(
+      UTF8String.fromString(s), UTF8String.fromString(Xsd.time))
+    assert(tv("24:00:00") != null && tv("24:00:00") == tv("00:00:00"))
+    assert(tv("24:00:00.000Z") == 0.0)
+    assert(tv("24:00:00+01:00") == tv("00:00:00+01:00"))
+    assert(tv("24:00:01") == null) // only exactly 24:00:00(.0*) is legal
+    assert(tv("24:01:00") == null)
+    // end-to-end: value-equal across the two lexicals
+    val g = Graft(Turtle.quadsToDF(spark, Nil))
+    val res = g.select("""SELECT (("24:00:00"^^xsd:time = "00:00:00"^^xsd:time) AS ?r) WHERE {}""")
+    assert(res.select("r.v").collect()(0).getString(0) == "true")
+  }
+
+  test("durations with i64-range second counts parse and order (PT10000000000S)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def secs(s: String) = graft.encoding.XsdTemporal.durSeconds(
+      UTF8String.fromString(s), UTF8String.fromString(Xsd.duration))
+    assert(secs("PT10000000000S") == 1.0e10)
+    assert(secs("P100000000000D") == 1.0e11 * 86400)
+    assert(secs("-PT10000000000S") == -1.0e10)
+    // months stay Int-guarded: absurd year counts still degrade to null
+    assert(graft.encoding.XsdTemporal.durMonths(
+      UTF8String.fromString("P999999999Y"), UTF8String.fromString(Xsd.duration)) == null)
+    val g = Graft(Turtle.quadsToDF(spark, Nil))
+    val res = g.select(
+      """SELECT (("PT10000000000S"^^xsd:duration > "PT1S"^^xsd:duration) AS ?r) WHERE {}""")
+    assert(res.select("r.v").collect()(0).getString(0) == "true")
+  }
+
+  test("MP3: 'TAG' bytes inside a frame at end-128 do not truncate the walk") {
+    import graft.ops.Multimodal
+    // id=1: no ID3v1 trailer (1 % 3 != 0) → stream ends on a frame boundary
+    val clean = Multimodal.syntheticMp3Bytes(1L)
+    val expect = Multimodal.decodeMp3Meta(1L, clean.clone())
+    // plant 'TAG' at end-128 — payload bytes inside some frame, NOT a
+    // frame boundary (the old heuristic trimmed here and then failed with
+    // "truncated MPEG frame")
+    val planted = clean.clone()
+    val p = planted.length - 128
+    planted(p) = 'T'; planted(p + 1) = 'A'; planted(p + 2) = 'G'
+    val m = Multimodal.decodeMp3Meta(1L, planted)
+    assert(m.n_frames == expect.n_frames && m.duration_ms == expect.duration_ms)
+    // a REAL trailer (id=3: id%3==0) is still recognised at a frame boundary
+    val tagged = Multimodal.syntheticMp3Bytes(3L)
+    assert(Multimodal.decodeMp3Meta(3L, tagged).n_frames == 8 + 3)
+  }
+
+  test("Ogg CRC verification no longer mutates the caller's buffer") {
+    import graft.ops.Multimodal
+    val bytes = Multimodal.syntheticOggBytes(7L)
+    val before = bytes.clone()
+    val t = new Thread(() => { // concurrent reader must never observe zeros
+      var i = 0
+      while (i < 200) { assert(java.util.Arrays.equals(bytes, before)); i += 1 }
+    })
+    t.start()
+    Multimodal.decodeOggMeta(7L, bytes)
+    t.join()
+    assert(java.util.Arrays.equals(bytes, before))
+  }
 }
