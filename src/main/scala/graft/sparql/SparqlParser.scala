@@ -149,13 +149,21 @@ class SparqlParser extends RegexParsers {
   private var anonVarCounter = 0
   private def freshVar(prefix: String): Var = { anonVarCounter += 1; Var(s"__${prefix}_$anonVarCounter") }
 
-  def groupCondition: Parser[(Var, Option[Expr])] =
+  def groupCondition: Parser[(Var, Option[Expr])] = {
+    // §18.2.4: group keys are plain expressions; an aggregate inside a
+    // GROUP BY key is circular and rejected (the reference parser does too)
+    def noAgg(e: Expr): Expr = {
+      if (Algebra.containsAggregate(e))
+        throw new IllegalArgumentException("aggregates are not allowed in GROUP BY")
+      e
+    }
     variable ^^ (v => (v, None)) |
     "(" ~> expression ~ opt(kw("AS") ~> variable) <~ ")" ^^ {
-      case e ~ Some(v) => (v, Some(e))
-      case e ~ None => (freshVar("gk"), Some(e))
+      case e ~ Some(v) => (v, Some(noAgg(e)))
+      case e ~ None => (freshVar("gk"), Some(noAgg(e)))
     } |
-    (builtInCall | iriFunctionCall) ^^ (e => (freshVar("gk"), Some(e)))
+    (builtInCall | iriFunctionCall) ^^ (e => (freshVar("gk"), Some(noAgg(e))))
+  }
 
   def havingClause: Parser[Expr] = kw("HAVING") ~> rep1(constraint) ^^ (cs => cs.reduce(EAnd))
 
