@@ -108,6 +108,17 @@ object SkewSalt {
     val counts = banded.groupBy(bucketCols.map(col): _*)
       .agg(count(lit(1)).as("__bn"))
     val sizes = counts.where(col("__bn") >= hotThreshold)
+    // Skew-adaptive short-circuit (r7, measured by tools/SaltCrossoverProbe):
+    // on non-degenerate corpora NO bucket reaches the threshold, yet the
+    // hot-set left-join + salt-widened shuffle keys still taxed the
+    // self-join ~1.3-1.65x AT EVERY SIZE. When detection finds zero hot
+    // buckets (and no lossy cap is requested), pay only the detection job
+    // and return plain sides. The skewed case pays detection once more via
+    // the broadcast below — a fraction of the k^2 work salting then saves.
+    if (maxBucket.isEmpty && sizes.isEmpty) {
+      val zero = banded.withColumn("__salt", lit(0))
+      return (zero, zero, bucketCols :+ "__salt")
+    }
     val hotSet = broadcast(
       maxBucket.fold(sizes)(cap => sizes.where(col("__bn") <= cap))
         .select(bucketCols.map(col): _*).withColumn("__hot", lit(1)))
