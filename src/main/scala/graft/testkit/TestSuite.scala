@@ -16,11 +16,19 @@ object TestSuite {
   private val MF = "http://www.w3.org/2001/sw/DataAccess/tests/test-manifest#"
   private val QT = "http://www.w3.org/2001/sw/DataAccess/tests/test-query#"
   private val RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+  private val UT = "http://www.w3.org/2009/sparql/tests/test-update#"
+  private val RDFS = "http://www.w3.org/2000/01/rdf-schema#"
 
   sealed trait Test { def name: String }
   final case class QueryEvalTest(name: String, query: Path, data: Option[Path],
                                  graphData: Seq[Path], result: Option[Path]) extends Test
   final case class SyntaxTest(name: String, query: Path, positive: Boolean) extends Test
+  /** W3C SPARQL 1.1 Update evaluation test (ut: vocabulary): a .ru request
+    * applied to a pre-state dataset, compared against a post-state dataset.
+    * Named graphs are (label IRI, ttl file) pairs. */
+  final case class UpdateEvalTest(name: String, request: Path,
+                                  preDefault: Option[Path], preNamed: Seq[(String, Path)],
+                                  postDefault: Option[Path], postNamed: Seq[(String, Path)]) extends Test
 
   /** Load a manifest.ttl: returns tests + included sub-manifests. */
   def load(manifest: Path): (Seq[Test], Seq[Path]) = {
@@ -68,7 +76,26 @@ object TestSuite {
           action.map(a => SyntaxTest(name, path(a), positive = true))
         case t if t == MF + "NegativeSyntaxTest" || t.endsWith("NegativeSyntaxTest11") =>
           action.map(a => SyntaxTest(name, path(a), positive = false))
-        case _ => None // update/service/unknown types — out of scope (as in the reference)
+        case t if t == UT + "UpdateEvaluationTest" =>
+          def named(node: RdfTerm): Seq[(String, Path)] =
+            objs(node, UT + "graphData").map { g =>
+              val label = obj(g, RDFS + "label").collect { case Lit(v, _, _) => v }
+                .getOrElse(throw new IllegalArgumentException(s"ut:graphData without rdfs:label in $name"))
+              val file = obj(g, UT + "graph").map(path)
+                .getOrElse(throw new IllegalArgumentException(s"ut:graphData without ut:graph in $name"))
+              (label, file)
+            }
+          for {
+            a <- action
+            req <- obj(a, UT + "request").map(path)
+          } yield {
+            val res = obj(e, MF + "result")
+            UpdateEvalTest(name, req,
+              preDefault = obj(a, UT + "data").map(path), preNamed = named(a),
+              postDefault = res.flatMap(r => obj(r, UT + "data").map(path)),
+              postNamed = res.map(named).getOrElse(Nil))
+          }
+        case _ => None // service/unknown types — out of scope (as in the reference)
       }
     }
     (tests, includes)

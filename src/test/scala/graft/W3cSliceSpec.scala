@@ -132,6 +132,45 @@ class W3cSliceSpec extends SparkSpec {
           assert(r.isFailure, s"negative syntax test parsed successfully: $text")
         }
       }
+    case t: UpdateEvalTest =>
+      test(s"w3c-slice: ${t.name}") {
+        def read(p: Path): Seq[RdfQuad] = Turtle.parse(
+          new String(Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8))
+        val pre =
+          t.preDefault.toSeq.flatMap(read) ++
+          t.preNamed.flatMap { case (g, p) => read(p).map(_.copy(graph = Some(Iri(g)))) }
+        val req = new String(Files.readAllBytes(t.request), java.nio.charset.StandardCharsets.UTF_8)
+        val updated = QuadStore(Turtle.quadsToDF(spark, pre)).update(req)
+        // actual post-state, grouped by graph
+        val actual: Map[Option[String], Set[(RdfTerm, RdfTerm, RdfTerm)]] =
+          updated.quads.collect().toSeq.map { r =>
+            def term(i: Int): RdfTerm = {
+              val st = r.getStruct(i)
+              st.getByte(0) match {
+                case 0 => Iri(st.getString(1))
+                case 1 => BNode(st.getString(1))
+                case _ => Lit(st.getString(1),
+                  Option(st.getString(2)).getOrElse(
+                    if (st.getString(3) != null) Rdf.langString else Xsd.string),
+                  Option(st.getString(3)))
+              }
+            }
+            val g = Option(r.getStruct(0)).map(_.getString(1))
+            (g, (term(1), term(2), term(3)))
+          }.groupBy(_._1).map { case (g, ts) => g -> ts.map(_._2).toSet }
+        val expected: Map[Option[String], Set[(RdfTerm, RdfTerm, RdfTerm)]] =
+          (t.postDefault.toSeq.map(p => (None: Option[String]) -> read(p)) ++
+           t.postNamed.map { case (g, p) => (Some(g): Option[String]) -> read(p) })
+            .toMap.map { case (g, qs) =>
+              g -> qs.map(q => (q.subject, q.predicate: RdfTerm, q.obj)).toSet
+            }.filter(_._2.nonEmpty)
+        assert(actual.keySet == expected.keySet,
+          s"graph sets differ:\nactual  =${actual.keySet}\nexpected=${expected.keySet}")
+        expected.foreach { case (g, exp) =>
+          assert(isomorphic(actual(g), exp),
+            s"graph $g mismatch (modulo bnode bijection):\nactual  =${actual(g)}\nexpected=$exp")
+        }
+      }
     case t => test(s"w3c-slice: ${t.name}") { fail(s"unexpected test type $t") }
   }
 }
