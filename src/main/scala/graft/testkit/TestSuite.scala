@@ -22,7 +22,8 @@ object TestSuite {
   sealed trait Test { def name: String }
   final case class QueryEvalTest(name: String, query: Path, data: Option[Path],
                                  graphData: Seq[Path], result: Option[Path]) extends Test
-  final case class SyntaxTest(name: String, query: Path, positive: Boolean) extends Test
+  final case class SyntaxTest(name: String, query: Path, positive: Boolean,
+                              isUpdate: Boolean = false) extends Test
   /** W3C SPARQL 1.1 Update evaluation test (ut: vocabulary): a .ru request
     * applied to a pre-state dataset, compared against a post-state dataset.
     * Named graphs are (label IRI, ttl file) pairs. */
@@ -74,6 +75,10 @@ object TestSuite {
           }
         case t if t == MF + "PositiveSyntaxTest" || t.endsWith("PositiveSyntaxTest11") =>
           action.map(a => SyntaxTest(name, path(a), positive = true))
+        case t if t == MF + "PositiveUpdateSyntaxTest11" =>
+          action.map(a => SyntaxTest(name, path(a), positive = true, isUpdate = true))
+        case t if t == MF + "NegativeUpdateSyntaxTest11" =>
+          action.map(a => SyntaxTest(name, path(a), positive = false, isUpdate = true))
         case t if t == MF + "NegativeSyntaxTest" || t.endsWith("NegativeSyntaxTest11") =>
           action.map(a => SyntaxTest(name, path(a), positive = false))
         case t if t == UT + "UpdateEvaluationTest" =>

@@ -126,9 +126,12 @@ class W3cSliceSpec extends SparkSpec {
     case t: SyntaxTest =>
       test(s"w3c-slice: ${t.name}") {
         val text = new String(Files.readAllBytes(t.query), java.nio.charset.StandardCharsets.UTF_8)
-        if (t.positive) graft.sparql.SparqlParser.parse(text) // must not throw
+        def parse(): Any =
+          if (t.isUpdate) graft.sparql.SparqlParser.parseUpdate(text)
+          else graft.sparql.SparqlParser.parse(text)
+        if (t.positive) parse() // must not throw
         else {
-          val r = scala.util.Try(graft.sparql.SparqlParser.parse(text))
+          val r = scala.util.Try(parse())
           assert(r.isFailure, s"negative syntax test parsed successfully: $text")
         }
       }
