@@ -19,10 +19,11 @@ import graft.sparql.Algebra._
  * composes lazily into one Catalyst plan that materialises only when the
  * resulting store is read or saved.
  *
- * Set semantics (RDF graphs are sets): every quad-adding op appends a
- * `dropDuplicates` over the four quad columns, so a re-inserted quad is a
- * no-op and bag-sensitive aggregates over later ops of the same request
- * stay correct. Deletion is an anti-join keyed on all four columns
+ * Set semantics (RDF graphs are sets): every quad-adding op inserts only
+ * the genuinely-new quads (see [[unionDistinct]] — a scan-only semi-join
+ * against the additions, never a whole-store shuffle), so a re-inserted
+ * quad is a no-op and bag-sensitive aggregates over later ops of the same
+ * request stay correct. Deletion is an anti-join keyed on all four columns
  * (null-safe: the default graph is NULL), which removes every copy — the
  * scale path at 100 TB is the join, never a driver loop; the delete side
  * is result-sized and AQE broadcasts it when small.
@@ -43,7 +44,7 @@ private[graft] object UpdateExec {
         q.graph.map(groundTerm(_, nonce)),
         groundTerm(q.s, nonce), groundPred(q.p, nonce), groundTerm(q.o, nonce)))
       validateGround(quads)
-      dedup(store.union(graft.sources.Turtle.quadsToDF(spark(store), quads)))
+      unionDistinct(store, graft.sources.Turtle.quadsToDF(spark(store), quads))
 
     case DeleteData(qs) =>
       val quads = qs.map(q => RdfQuad(q.graph.map(groundTerm(_, "")),
@@ -63,7 +64,7 @@ private[graft] object UpdateExec {
         if (del.isEmpty) store
         else minusQuads(store, instantiate(plan, del, withGraph, insertBnodes = false))
       if (ins.isEmpty) afterDel
-      else dedup(afterDel.union(instantiate(plan, ins, withGraph, insertBnodes = true)))
+      else unionDistinct(afterDel, instantiate(plan, ins, withGraph, insertBnodes = true))
 
     case LoadOp(source, into, silent) =>
       try {
@@ -73,7 +74,7 @@ private[graft] object UpdateExec {
           case Some(g) => loaded.withColumn("graph", ExprCompiler.termLit(g))
           case None => loaded
         }
-        dedup(store.union(retargeted))
+        unionDistinct(store, retargeted)
       } catch {
         case e: Throwable if silent => store
       }
@@ -93,8 +94,8 @@ private[graft] object UpdateExec {
         // ADD creates the destination graph if absent, even when the source
         // is empty — register a named destination
         val base = to.fold(store)(store.insertNamedGraph)
-        dedup(base.union(graphQuads(store, from, silent, "ADD")
-          .withColumn("graph", graphLit(to))))
+        unionDistinct(base, graphQuads(store, from, silent, "ADD")
+          .withColumn("graph", graphLit(to)))
       }
 
     case CopyOp(from, to, silent) =>
@@ -102,7 +103,8 @@ private[graft] object UpdateExec {
       else {
         val src = graphQuads(store, from, silent, "COPY")
         // COPY replaces the destination: clear it, then insert the source
-        dedup(store.clearGraph(to).union(src.withColumn("graph", graphLit(to))))
+        store.clearGraph(to).union(
+          src.withColumn("graph", graphLit(to)).dropDuplicates())
       }
 
     case MoveOp(from, to, silent) =>
@@ -114,7 +116,7 @@ private[graft] object UpdateExec {
           case Some(g) => cleared.removeNamedGraph(g)
           case None => cleared.clearGraph(None)
         }
-        dedup(dropped.union(src.withColumn("graph", graphLit(to))))
+        dropped.union(src.withColumn("graph", graphLit(to)).dropDuplicates())
       }
   }
 
@@ -122,10 +124,25 @@ private[graft] object UpdateExec {
 
   private def spark(store: QuadStore): SparkSession = store.quads.sparkSession
 
-  /** Set-semantics maintenance after any insert: RDF graphs are sets, so a
-    * re-inserted quad must be a no-op for later ops in the same request. */
-  private def dedup(store: QuadStore): QuadStore =
-    store.withQuads(store.quads.dropDuplicates("graph", "subject", "predicate", "object"))
+  /** Set-semantics insert: RDF graphs are sets, so a re-inserted quad must
+    * be a no-op. NOT a whole-store dropDuplicates (that reshuffles the
+    * entire store per update — fatal at 100 TB): instead the store is
+    * SCANNED once with a semi-join against the additions (the additions
+    * side is the broadcast/build side — result-sized, usually tiny), and
+    * only genuinely-new quads union in. The store itself is never
+    * shuffled; the two small relations (deduped adds, their existing
+    * copies) shuffle at additions-scale. */
+  private def unionDistinct(store: QuadStore, adds: DataFrame): QuadStore = {
+    val cols = Seq("graph", "subject", "predicate", "object")
+    val a = adds.select(cols.map(col): _*).dropDuplicates(cols)
+    val probe = a.select(col("graph").as("__ag"), col("subject").as("__as"),
+      col("predicate").as("__ap"), col("object").as("__ao"))
+    val existing = store.quads.join(probe,
+      col("graph") <=> col("__ag") && col("subject") <=> col("__as") &&
+        col("predicate") <=> col("__ap") && col("object") <=> col("__ao"),
+      "left_semi")
+    store.withQuads(store.quads.unionByName(a.exceptAll(existing)))
+  }
 
   /** Remove every store quad matching a delete-side quad — one anti-join on
     * all four columns, null-safe for the NULL default graph and nested
