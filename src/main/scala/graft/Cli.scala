@@ -26,8 +26,9 @@ object Cli {
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("serve") => serve(parseFlags(args.drop(1)))
     case Some("convert") => convert(parseFlags(args.drop(1)))
+    case Some("update") => update(parseFlags(args.drop(1)))
     case other =>
-      System.err.println(s"unknown command: ${other.getOrElse("")} (expected serve | convert)")
+      System.err.println(s"unknown command: ${other.getOrElse("")} (expected serve | convert | update)")
       sys.exit(2)
   }
 
@@ -110,5 +111,29 @@ object Cli {
       case other => System.err.println(s"unsupported output format: $other"); sys.exit(2)
     }
     println(s"[graft] converted $fromFile -> $toFile")
+  }
+
+  /**
+   * update --load in.nq [--load more.ttl ...] (--update "SPARQL" | --update-file req.ru)
+   *        --out dir/
+   * Apply a SPARQL 1.1 Update request to the loaded dataset and dump the
+   * result as N-Quads. (The reference CLI has no update command — its
+   * store stubs Update entirely; this exceeds it.)
+   */
+  private[graft] def update(flags: Map[String, Seq[String]]): Unit = {
+    val spark = session()
+    val loads = flags.getOrElse("load", Nil)
+    val text = flags.get("update").flatMap(_.headOption)
+      .orElse(flags.get("update-file").flatMap(_.headOption).map(p =>
+        new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")))
+      .getOrElse { System.err.println("missing --update or --update-file"); sys.exit(2); "" }
+    val out = flags.getOrElse("out", Nil).headOption
+      .getOrElse { System.err.println("missing --out"); sys.exit(2); "" }
+    val initial =
+      if (loads.isEmpty) QuadStore.empty(spark)
+      else QuadStore(loads.map(p => QuadStore.loadFile(spark, p).quads).reduce(_ unionAll _))
+    val updated = initial.update(text)
+    updated.dumpNQuads(out)
+    println(s"[graft] update applied; ${updated.count()} quads -> $out")
   }
 }

@@ -54,4 +54,21 @@ class CliSpec extends SparkSpec {
       "lenient" -> Nil))
     assert(sources.NTriples.read(spark, out, quads = true).count() == 1)
   }
+
+  test("update applies a SPARQL update request and dumps the result") {
+    val in = Files.createTempFile("cli_in5", ".nt")
+    Files.write(in, ("<urn:a> <urn:old> \"1\" .\n" +
+      "<urn:b> <urn:keep> \"2\" .\n").getBytes(UTF_8))
+    val out = tmpDir("cli_out5") + "/post"
+    Cli.update(Map("load" -> Seq(in.toString),
+      "update" -> Seq(
+        "DELETE { ?s <urn:old> ?o } INSERT { ?s <urn:new> ?o } WHERE { ?s <urn:old> ?o } ; " +
+        "INSERT DATA { <urn:c> <urn:added> 3 }"),
+      "out" -> Seq(out)))
+    val back = QuadStore(sources.NTriples.read(spark, out, quads = true))
+    assert(back.count() == 3)
+    assert(back.ask("ASK { <urn:a> <urn:new> \"1\" }"))
+    assert(!back.ask("ASK { ?s <urn:old> ?o }"))
+    assert(back.ask("ASK { <urn:c> <urn:added> 3 }"))
+  }
 }

@@ -263,6 +263,22 @@ class UpdateSpec extends SparkSpec {
     assert(re.update("DELETE WHERE { ?s <urn:p> ?o }").count() == 0)
   }
 
+  test("INSERT DATA plan shape: the store is scanned, never shuffled") {
+    import spark.implicits._
+    // a store big enough that AQE keeps the additions as the broadcast side
+    val big = QuadStore(graft.sources.Turtle.quadsToDF(spark,
+      (0 until 5000).map(i => q(s"urn:s$i", s"urn:p${i % 7}", Lit.integer(i)))))
+    val updated = big.update("INSERT DATA { <urn:new> <urn:p> 1 . <urn:s1> <urn:p1> 1 }")
+    assert(updated.count() == 5001) // one quad existed already
+    val plan = updated.quads.queryExecution.executedPlan.toString
+    // set-semantics check = semi join with the ADDITIONS broadcast; a
+    // SortMergeJoin here would mean the whole store shuffled per insert
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"expected a broadcast semi-join against the additions, got:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "the store side must not shuffle for an INSERT DATA")
+  }
+
   test("GRAPH ?var template routes deletes by bound graph") {
     val st0 = store(
       q("urn:a", "urn:p", Lit.simple("1"), Some(g1)),
