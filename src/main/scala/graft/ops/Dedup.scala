@@ -326,18 +326,57 @@ object Dedup {
           .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, candidates via
-    * 4×15-bit chunk equality (pigeonhole: dist ≤ 3 ⇒ some chunk equal). */
+  /**
+   * SimHash near-dup pairs with Hamming distance ≤ maxDist.
+   *
+   * Candidate generation by pigeonhole over hash blocks, Manku-style
+   * (Detecting Near-Duplicates for Web Crawling, WWW'07 §3):
+   *
+   *  - maxDist ≤ 3 (the near-dup regime) over ≥400k docs: 6 blocks of 10
+   *    bits; dist ≤ 3 touches ≤ 3 blocks, so SOME 3 of the 6 blocks are
+   *    fully equal — key each row by every C(6,3) = 20 block-triple
+   *    (30-bit keys). LOSSLESS, and the 2^30-per-table key space keeps
+   *    mean bucket occupancy ~0 at tens of millions of docs. (The 4×15-bit
+   *    single-chunk keys saturate there: at 2M docs mean occupancy hit
+   *    ~250 and verification went superlinear — 216 s vs 33.9 s,
+   *    tools/SimhashScaleProbe.) Below 400k docs the cheaper 4-chunk keys
+   *    win (also lossless for dist ≤ 3) — size crossover measured,
+   *    overridable via -Dgraft.simhash.mankuMinRows.
+   *  - maxDist > 3: exact pigeonhole would need maxDist+1 blocks of < 4
+   *    bits (useless keys) — keep the 4×15-bit single-chunk keys as a
+   *    documented approximate-recall candidate generator (a pair differing
+   *    in all 4 chunks is missed; the DuckDB oracle replicates the same
+   *    generator, so the gate pins the exact behavior).
+   *
+   * Both schemes verify candidates against the exact 60-bit distance, so
+   * for maxDist ≤ 3 the RESULT is identical either way (spec-pinned).
+   */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
     // materialised: chunked feeds both sides of the chunk self-join
     val sh = simhash(df, idCol, textCol).localCheckpoint()
     val shN = sh.count() // narrow count of the fresh checkpoint (salt gate)
+    // Scheme crossover (measured, tools/SimhashScaleProbe): the 20-table
+    // explode costs ~2× at 200k docs (10.9 s vs 5.6 s) but the single-chunk
+    // scheme saturates and goes superlinear above that (216 s vs 33.9 s at
+    // 2M, identical pair counts). Both are LOSSLESS for maxDist ≤ 3, so the
+    // choice is purely a size-keyed plan decision.
+    val mankuMin = sys.props.get("graft.simhash.mankuMinRows").map(_.toLong).getOrElse(400000L)
+    val manku = maxDist <= 3 && shN >= mankuMin
+    val keys: Seq[Column] =
+      if (manku) {
+        def block(b: Int): Column =
+          shiftright(col("simhash"), b * 10).bitwiseAND(0x3FFL)
+        for {
+          i <- 0 until 6; j <- i + 1 until 6; k <- j + 1 until 6
+        } yield block(i).bitwiseOR(shiftleft(block(j), 10))
+          .bitwiseOR(shiftleft(block(k), 20))
+      } else (0 until 4).map(c =>
+        shiftright(col("simhash"), c * 15).bitwiseAND(0x7FFFL))
     val chunked = sh.select(col("id"), col("simhash"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("simhash"), c * 15).bitwiseAND(0x7FFFL)): _*)))
+      posexplode(array(keys: _*)))
       .select(col("id"), col("simhash"), col("pos").as("chunk"), col("col").as("ch"))
     val (la, rb, jc) = SkewSalt.selfJoinSides(chunked, Seq("chunk", "ch"), col("id"),
-      knownRows = Some(shN * 4)) // exact: chunked = posexplode(4 chunks)
+      knownRows = Some(shN * keys.size)) // exact: chunked = posexplode(keys)
     val a = la.select(col("chunk"), col("ch"), col("__salt"),
       col("id").as("id_a"), col("simhash").as("sh_a"))
     val b = rb.select(col("chunk"), col("ch"), col("__salt"),

@@ -65,7 +65,7 @@ class DedupDifferentialSpec extends SparkSpec {
     assert(got == expect)
   }
 
-  test("simhash chunk candidates are complete for the pigeonhole bound") {
+  test("simhash chunk candidates are complete for the pigeonhole bound (both schemes)") {
     val c = corpus(4).localCheckpoint()
     // brute force: all pairs of driver-collected signatures with dist<=3
     val sigs = Dedup.simhash(c, "doc_id", "text").collect()
@@ -75,9 +75,15 @@ class DedupDifferentialSpec extends SparkSpec {
       d = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
       if d <= 3
     } yield (a, b, d)).toSet
-    val got = Dedup.simhashPairs(c, "doc_id", "text", maxDist = 3).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    assert(got == expect)
+    def run(): Set[(Long, Long, Int)] =
+      Dedup.simhashPairs(c, "doc_id", "text", maxDist = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // default: 4×15-bit single-chunk keys (corpus below the Manku crossover)
+    assert(run() == expect)
+    // forced: Manku 6-block/choose-3 keys — must be lossless too
+    sys.props("graft.simhash.mankuMinRows") = "1"
+    try assert(run() == expect)
+    finally sys.props.remove("graft.simhash.mankuMinRows")
   }
 
   test("clusters partition the corpus consistently with the pair graph") {
