@@ -25,14 +25,16 @@ final class Graft(val quads: DataFrame, val star: Option[StarSource] = None,
   /** SELECT → DataFrame of PlainTerm structs, one column per variable. */
   def select(text: String): DataFrame = SparqlParser.parse(text) match {
     case q: SelectQuery =>
-      new Rewriter(spark, quads, q.fromNamed.map(_.value), star, fuseStars, quadStarFusion, compatUnion).select(q, defaultScope(q.fromDefault)).df
+      new Rewriter(spark, quads, q.fromNamed.map(_.value), star, fuseStars, quadStarFusion, compatUnion,
+        hasDatasetClause = q.fromDefault.nonEmpty || q.fromNamed.nonEmpty).select(q, defaultScope(q.fromDefault)).df
     case other => throw new IllegalArgumentException(s"not a SELECT query: ${other.getClass.getSimpleName}")
   }
 
   /** Any query form, dispatched. */
   def query(text: String): DataFrame = SparqlParser.parse(text) match {
     case q: SelectQuery =>
-      new Rewriter(spark, quads, q.fromNamed.map(_.value), star, fuseStars, quadStarFusion, compatUnion).select(q, defaultScope(q.fromDefault)).df
+      new Rewriter(spark, quads, q.fromNamed.map(_.value), star, fuseStars, quadStarFusion, compatUnion,
+        hasDatasetClause = q.fromDefault.nonEmpty || q.fromNamed.nonEmpty).select(q, defaultScope(q.fromDefault)).df
     case q: AskQuery => ask(q)
     case q: ConstructQuery => construct(q)
     case q: DescribeQuery => describe(q)
@@ -45,7 +47,8 @@ final class Graft(val quads: DataFrame, val star: Option[StarSource] = None,
 
   def askBoolean(text: String): Boolean = SparqlParser.parse(text) match {
     case q: AskQuery =>
-      !new Rewriter(spark, quads, q.fromNamed.map(_.value), star, fuseStars, quadStarFusion, compatUnion)
+      !new Rewriter(spark, quads, q.fromNamed.map(_.value), star, fuseStars, quadStarFusion, compatUnion,
+        hasDatasetClause = q.fromDefault.nonEmpty || q.fromNamed.nonEmpty)
         .pattern(q.where, defaultScope(q.fromDefault)).df.isEmpty
     case other => throw new IllegalArgumentException(s"not an ASK query: $other")
   }
@@ -55,7 +58,8 @@ final class Graft(val quads: DataFrame, val star: Option[StarSource] = None,
 
   /** ASK → single row, single boolean column (reference eval.rs:73-86). */
   private def ask(q: AskQuery): DataFrame = {
-    val p = new Rewriter(spark, quads, q.fromNamed.map(_.value), star, fuseStars, quadStarFusion, compatUnion).pattern(q.where, defaultScope(q.fromDefault))
+    val p = new Rewriter(spark, quads, q.fromNamed.map(_.value), star, fuseStars, quadStarFusion, compatUnion,
+        hasDatasetClause = q.fromDefault.nonEmpty || q.fromNamed.nonEmpty).pattern(q.where, defaultScope(q.fromDefault))
     p.df.limit(1).select(lit(1).as("one")).groupBy().count()
       .select((col("count") > 0).as("ask"))
   }
@@ -67,7 +71,8 @@ final class Graft(val quads: DataFrame, val star: Option[StarSource] = None,
    * Template blank nodes are scoped per-solution via a row id.
    */
   private def construct(q: ConstructQuery): DataFrame = {
-    val rewriter = new Rewriter(spark, quads, q.fromNamed.map(_.value), star, fuseStars, quadStarFusion, compatUnion)
+    val rewriter = new Rewriter(spark, quads, q.fromNamed.map(_.value), star, fuseStars, quadStarFusion, compatUnion,
+        hasDatasetClause = q.fromDefault.nonEmpty || q.fromNamed.nonEmpty)
     val plan = rewriter.select(
       SelectQuery(Nil, distinct = false, reduced = false, q.where, Nil, None,
         q.orderBy, q.offset, q.limit, q.fromDefault, q.fromNamed, q.base, q.prefixes),
@@ -94,7 +99,8 @@ final class Graft(val quads: DataFrame, val star: Option[StarSource] = None,
     * (reference eval.rs:87-131). The bnode frontier shrinks each round, so
     * the loop is bounded by the deepest bnode chain. */
   private def describe(q: DescribeQuery): DataFrame = {
-    val rewriter = new Rewriter(spark, quads, q.fromNamed.map(_.value), star, fuseStars, quadStarFusion, compatUnion)
+    val rewriter = new Rewriter(spark, quads, q.fromNamed.map(_.value), star, fuseStars, quadStarFusion, compatUnion,
+        hasDatasetClause = q.fromDefault.nonEmpty || q.fromNamed.nonEmpty)
     val targets0: DataFrame = q.where match {
       case Some(w) =>
         val p = rewriter.pattern(w, defaultScope(q.fromDefault))

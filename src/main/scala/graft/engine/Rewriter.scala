@@ -29,9 +29,20 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
                      star: Option[StarSource] = None,
                      fuseStars: Boolean = true,
                      quadStarFusion: Boolean = false,
-                     compatUnion: Boolean = true) {
+                     compatUnion: Boolean = true,
+                     hasDatasetClause: Boolean = false) {
 
   import GraphScope._
+
+  /** Named graphs visible to GRAPH patterns (spec §13.2 dataset
+    * construction): None = no dataset clause → the store's named graphs;
+    * Some(list) = exactly the FROM NAMED list — which is EMPTY when the
+    * query has FROM clauses but no FROM NAMED (a dataset description
+    * replaces the store dataset wholesale, it does not extend it). */
+  private val namedVisible: Option[Seq[String]] =
+    if (fromNamed.nonEmpty) Some(fromNamed)
+    else if (hasDatasetClause) Some(Nil)
+    else None
 
   private var counter = 0
   private def fresh(p: String): String = { counter += 1; s"__${p}_$counter" }
@@ -180,13 +191,16 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
   private def scopedQuads(scope: GraphScope): (DataFrame, Option[String]) = scope match {
     case DefaultGraph => (quads.filter(col("graph").isNull), None)
     case Named(iri) =>
-      // with FROM NAMED, GRAPH <iri> only matches listed graphs
-      val ok = fromNamed.isEmpty || fromNamed.contains(iri)
+      // with a dataset clause, GRAPH <iri> only matches listed graphs
+      val ok = namedVisible.forall(_.contains(iri))
       (quads.filter(lit(ok) && col("graph.t") === TermType.Iri && col("graph.v") === iri), None)
     case NamedVar(v) =>
       val base = quads.filter(col("graph").isNotNull)
-      val df = if (fromNamed.isEmpty) base
-               else base.filter(col("graph.v").isin(fromNamed: _*))
+      val df = namedVisible match {
+        case None => base
+        case Some(Nil) => base.filter(lit(false)) // FROM-only: no named graphs
+        case Some(l) => base.filter(col("graph.v").isin(l: _*))
+      }
       (df, Some(v))
     case UnionOf(iris) =>
       // FROM merge semantics: triples from any listed graph, deduplicated

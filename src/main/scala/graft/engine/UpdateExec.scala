@@ -167,7 +167,8 @@ private[graft] object UpdateExec {
         case Some(g) => GraphScope.Named(g.value)
         case None => GraphScope.DefaultGraph
       }
-    new Rewriter(spark(store), store.quads, usingNamed.map(_.value))
+    new Rewriter(spark(store), store.quads, usingNamed.map(_.value),
+        hasDatasetClause = usingDefault.nonEmpty || usingNamed.nonEmpty)
       .pattern(where, scope)
   }
 
