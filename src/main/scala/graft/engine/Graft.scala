@@ -26,7 +26,7 @@ final class Graft(val quads: DataFrame, val star: Option[StarSource] = None,
   def select(text: String): DataFrame = SparqlParser.parse(text) match {
     case q: SelectQuery =>
       new Rewriter(spark, quads, q.fromNamed.map(_.value), star, fuseStars, quadStarFusion, compatUnion,
-        hasDatasetClause = q.fromDefault.nonEmpty || q.fromNamed.nonEmpty).select(q, defaultScope(q.fromDefault)).df
+        hasDatasetClause = q.fromDefault.nonEmpty || q.fromNamed.nonEmpty).select(q, defaultScope(q.fromDefault, q.fromNamed)).df
     case other => throw new IllegalArgumentException(s"not a SELECT query: ${other.getClass.getSimpleName}")
   }
 
@@ -34,7 +34,7 @@ final class Graft(val quads: DataFrame, val star: Option[StarSource] = None,
   def query(text: String): DataFrame = SparqlParser.parse(text) match {
     case q: SelectQuery =>
       new Rewriter(spark, quads, q.fromNamed.map(_.value), star, fuseStars, quadStarFusion, compatUnion,
-        hasDatasetClause = q.fromDefault.nonEmpty || q.fromNamed.nonEmpty).select(q, defaultScope(q.fromDefault)).df
+        hasDatasetClause = q.fromDefault.nonEmpty || q.fromNamed.nonEmpty).select(q, defaultScope(q.fromDefault, q.fromNamed)).df
     case q: AskQuery => ask(q)
     case q: ConstructQuery => construct(q)
     case q: DescribeQuery => describe(q)
@@ -49,17 +49,22 @@ final class Graft(val quads: DataFrame, val star: Option[StarSource] = None,
     case q: AskQuery =>
       !new Rewriter(spark, quads, q.fromNamed.map(_.value), star, fuseStars, quadStarFusion, compatUnion,
         hasDatasetClause = q.fromDefault.nonEmpty || q.fromNamed.nonEmpty)
-        .pattern(q.where, defaultScope(q.fromDefault)).df.isEmpty
+        .pattern(q.where, defaultScope(q.fromDefault, q.fromNamed)).df.isEmpty
     case other => throw new IllegalArgumentException(s"not an ASK query: $other")
   }
 
-  private def defaultScope(from: Seq[Iri]): GraphScope =
-    if (from.nonEmpty) GraphScope.UnionOf(from.map(_.value)) else GraphScope.DefaultGraph
+  /** Spec §13.2 dataset construction: FROM merges listed graphs into the
+    * default; FROM NAMED without FROM leaves the default graph EMPTY (a
+    * dataset description replaces the store dataset, never extends it). */
+  private def defaultScope(from: Seq[Iri], fromNamed: Seq[Iri]): GraphScope =
+    if (from.nonEmpty) GraphScope.UnionOf(from.map(_.value))
+    else if (fromNamed.nonEmpty) GraphScope.UnionOf(Nil)
+    else GraphScope.DefaultGraph
 
   /** ASK → single row, single boolean column (reference eval.rs:73-86). */
   private def ask(q: AskQuery): DataFrame = {
     val p = new Rewriter(spark, quads, q.fromNamed.map(_.value), star, fuseStars, quadStarFusion, compatUnion,
-        hasDatasetClause = q.fromDefault.nonEmpty || q.fromNamed.nonEmpty).pattern(q.where, defaultScope(q.fromDefault))
+        hasDatasetClause = q.fromDefault.nonEmpty || q.fromNamed.nonEmpty).pattern(q.where, defaultScope(q.fromDefault, q.fromNamed))
     p.df.limit(1).select(lit(1).as("one")).groupBy().count()
       .select((col("count") > 0).as("ask"))
   }
@@ -76,7 +81,7 @@ final class Graft(val quads: DataFrame, val star: Option[StarSource] = None,
     val plan = rewriter.select(
       SelectQuery(Nil, distinct = false, reduced = false, q.where, Nil, None,
         q.orderBy, q.offset, q.limit, q.fromDefault, q.fromNamed, q.base, q.prefixes),
-      defaultScope(q.fromDefault))
+      defaultScope(q.fromDefault, q.fromNamed))
     val df = plan.df.withColumn("__row", monotonically_increasing_id())
     val inScope = plan.vars.toSet
     def slot(tp: TermPattern): Column = tp match {
@@ -103,7 +108,7 @@ final class Graft(val quads: DataFrame, val star: Option[StarSource] = None,
         hasDatasetClause = q.fromDefault.nonEmpty || q.fromNamed.nonEmpty)
     val targets0: DataFrame = q.where match {
       case Some(w) =>
-        val p = rewriter.pattern(w, defaultScope(q.fromDefault))
+        val p = rewriter.pattern(w, defaultScope(q.fromDefault, q.fromNamed))
         // DESCRIBE * = all in-scope variables
         val wanted = if (q.targets.isEmpty) p.vars.map(Var(_)).map(VarPat(_)) else q.targets
         val cols = wanted.collect { case VarPat(v) if p.vars.contains(v.name) => col(v.name) }

@@ -203,8 +203,13 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
       }
       (df, Some(v))
     case UnionOf(iris) =>
-      // FROM merge semantics: triples from any listed graph, deduplicated
-      (quads.filter(col("graph.t") === TermType.Iri && col("graph.v").isin(iris: _*))
+      // FROM merge semantics: triples from any listed graph, deduplicated.
+      // UnionOf(Nil) = the EMPTY default graph (FROM NAMED / USING NAMED
+      // without FROM/USING — §13.2 dataset construction).
+      val member =
+        if (iris.isEmpty) lit(false)
+        else col("graph.t") === TermType.Iri && col("graph.v").isin(iris: _*)
+      (quads.filter(member)
         .select(col("subject"), col("predicate"), col("object")).dropDuplicates()
         .withColumn("graph", TermCols.nullTerm), None)
   }

@@ -163,6 +163,9 @@ private[graft] object UpdateExec {
                     usingNamed: Seq[Iri], withGraph: Option[Iri]): SPlan = {
     val scope =
       if (usingDefault.nonEmpty) GraphScope.UnionOf(usingDefault.map(_.value))
+      // USING NAMED without USING: the described dataset has an EMPTY
+      // default graph, and WITH is ignored for the WHERE clause (§3.1.3)
+      else if (usingNamed.nonEmpty) GraphScope.UnionOf(Nil)
       else withGraph match {
         case Some(g) => GraphScope.Named(g.value)
         case None => GraphScope.DefaultGraph
