@@ -26,8 +26,6 @@ class OxigraphFixtureSpec extends SparkSpec {
   /** Not-yet-supported features (documented gaps, mirroring the reference's
     * own ignore lists where applicable). */
   private val skip: Set[String] = Set(
-    "small_unicode_escape_with_multibytes_char_update", // UPDATE — not in reference engine either
-    "long_unicode_escape_with_multibytes_char_update",
     "one_or_more_star", // RDF-star data (reference skips SPARQL-star suites too)
     // pins oxigraph's arbitrary total order for *incomparable* terms (malformed
     // dates between numerics, unknown datatypes among strings); SPARQL 15.1
@@ -79,8 +77,10 @@ class OxigraphFixtureSpec extends SparkSpec {
       test(s"syntax: ${t.name}") {
         if (skipped(t)) cancel("skipped (documented gap)")
         val text = new String(Files.readAllBytes(t.query), java.nio.charset.StandardCharsets.UTF_8)
-        if (t.positive) SparqlParser.parse(text)
-        else assertThrows[Exception](SparqlParser.parse(text))
+        def parse(): Any =
+          if (t.isUpdate) SparqlParser.parseUpdate(text) else SparqlParser.parse(text)
+        if (t.positive) parse()
+        else assertThrows[Exception](parse())
       }
     case t: QueryEvalTest =>
       test(s"eval: ${t.name}") {
