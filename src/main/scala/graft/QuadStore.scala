@@ -98,6 +98,12 @@ final class QuadStore private (val quads: DataFrame,
    */
   def update(sparql: String): QuadStore = graft.engine.UpdateExec(this, sparql)
 
+  /** Update with the protocol's using-graph-uri / using-named-graph-uri
+    * dataset (errors if the request also carries USING clauses). */
+  def update(sparql: String, usingDefault: Seq[RdfTerm], usingNamed: Seq[RdfTerm]): QuadStore =
+    graft.engine.UpdateExec(this, sparql,
+      usingDefault.collect { case i: Iri => i }, usingNamed.collect { case i: Iri => i })
+
   private[graft] def reg: Set[RdfTerm] = registered
   private[graft] def withQuads(df: DataFrame, reg2: Set[RdfTerm] = registered): QuadStore =
     new QuadStore(df, reg2)

@@ -30,12 +30,27 @@ import graft.sparql.Algebra._
  */
 private[graft] object UpdateExec {
 
-  def apply(store: QuadStore, text: String): QuadStore = {
+  /** `protoUsingDefault`/`protoUsingNamed`: the SPARQL 1.1 Protocol's
+    * using-graph-uri / using-named-graph-uri parameters — a request-level
+    * dataset each pattern-bearing operation evaluates against. Supplying
+    * them alongside an operation's own USING clause is an error
+    * (protocol §2.2.3). */
+  def apply(store: QuadStore, text: String,
+            protoUsingDefault: Seq[Iri] = Nil,
+            protoUsingNamed: Seq[Iri] = Nil): QuadStore = {
     val req = SparqlParser.parseUpdate(text)
-    req.ops.foldLeft(store)(exec)
+    if (protoUsingDefault.nonEmpty || protoUsingNamed.nonEmpty)
+      req.ops.foreach {
+        case m: Modify if m.usingDefault.nonEmpty || m.usingNamed.nonEmpty =>
+          throw new IllegalArgumentException(
+            "protocol using-graph-uri parameters cannot be combined with a USING clause")
+        case _ =>
+      }
+    req.ops.foldLeft(store)(exec(_, _, protoUsingDefault, protoUsingNamed))
   }
 
-  private def exec(store: QuadStore, op: UpdateOp): QuadStore = op match {
+  private def exec(store: QuadStore, op: UpdateOp,
+                   protoDefault: Seq[Iri] = Nil, protoNamed: Seq[Iri] = Nil): QuadStore = op match {
 
     case InsertData(qs) =>
       // ground by construction (parser-validated); bnodes are fresh per op
@@ -53,11 +68,16 @@ private[graft] object UpdateExec {
       minusQuads(store, graft.sources.Turtle.quadsToDF(spark(store), quads))
 
     case DeleteWhere(qs) =>
-      val plan = solve(store, quadsAsPattern(qs), Nil, Nil, None)
+      val plan = solve(store, quadsAsPattern(qs), protoDefault, protoNamed, None)
       minusQuads(store, instantiate(plan, qs, None, insertBnodes = false))
 
     case Modify(withGraph, del, ins, usingDefault, usingNamed, where) =>
-      val plan = solve(store, where, usingDefault, usingNamed, withGraph)
+      // the protocol dataset applies when the op carries no USING of its
+      // own (combining both already rejected in apply())
+      val (ud, un) =
+        if (usingDefault.isEmpty && usingNamed.isEmpty) (protoDefault, protoNamed)
+        else (usingDefault, usingNamed)
+      val plan = solve(store, where, ud, un, withGraph)
       // both template sides instantiate against the PRE-update state
       // (spec §3.1.3: DELETE and INSERT see the same solution multiset)
       val afterDel =

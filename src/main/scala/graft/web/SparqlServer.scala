@@ -210,16 +210,22 @@ final class SparqlServer private (spark: SparkSession, initial: DataFrame, port:
     val ct = Option(ex.getRequestHeaders.getFirst("Content-Type"))
       .map(_.takeWhile(_ != ';').trim.toLowerCase).getOrElse("")
     val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-    val text = ct match {
-      case "application/sparql-update" => body
+    // protocol dataset params live in the URL query string for direct
+    // bodies and in the form fields for form-encoded ones (§2.2.3)
+    val urlParams = parseQueryParams(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
+    val (text, params) = ct match {
+      case "application/sparql-update" => (body, urlParams)
       case "application/x-www-form-urlencoded" =>
-        parseQueryParams(body).get("update").flatMap(_.headOption)
-          .getOrElse(throw new BadRequest("missing update parameter"))
+        val form = parseQueryParams(body)
+        (form.get("update").flatMap(_.headOption)
+          .getOrElse(throw new BadRequest("missing update parameter")), form ++ urlParams)
       case other => throw new BadRequest(s"Invalid content type for update: $other")
     }
+    val usingDefault = params.getOrElse("using-graph-uri", Nil).map(graft.model.Iri(_))
+    val usingNamed = params.getOrElse("using-named-graph-uri", Nil).map(graft.model.Iri(_))
     synchronized {
       val st0 = registeredGraphs.foldLeft(QuadStore(quads))(_ insertNamedGraph _)
-      val st1 = st0.update(text)
+      val st1 = st0.update(text, usingDefault, usingNamed)
       quads = st1.quads.localCheckpoint()
       registeredGraphs = st1.reg
       hasStore.set(true)

@@ -66,4 +66,27 @@ class SparqlServerUpdateSpec extends SparkSpec {
       contentType = "text/plain", body = "x")._1 == 400)
     assert(http("GET", s"$base/repositories/default/update")._1 == 405)
   }
+
+  test("protocol using-graph-uri scopes update WHERE; combining with USING is 400") {
+    // seed one named graph and one default-graph triple
+    val (s0, _) = http("POST", s"$base/repositories/default/update",
+      contentType = "application/sparql-update",
+      body = "INSERT DATA { <urn:d:s> <urn:d:p> 1 . GRAPH <urn:d:g1> { <urn:d:gs> <urn:d:p> 2 } }")
+    assert(s0 == 204)
+    // using-graph-uri=g1: the WHERE sees g1 AS the default graph → copies
+    // the named-graph triple, not the real default-graph one
+    val (s1, b1) = http("POST",
+      s"$base/repositories/default/update?using-graph-uri=${URLEncoder.encode("urn:d:g1", UTF_8)}",
+      contentType = "application/sparql-update",
+      body = "INSERT { ?s <urn:d:copied> ?o } WHERE { ?s <urn:d:p> ?o }")
+    assert(s1 == 204, b1)
+    assert(ask("ASK { <urn:d:gs> <urn:d:copied> 2 }"))
+    assert(!ask("ASK { <urn:d:s> <urn:d:copied> 1 }"))
+    // param + in-request USING → 400 (protocol 2.2.3)
+    val (s2, b2) = http("POST",
+      s"$base/repositories/default/update?using-graph-uri=${URLEncoder.encode("urn:d:g1", UTF_8)}",
+      contentType = "application/sparql-update",
+      body = "INSERT { ?s <urn:d:x> ?o } USING <urn:d:g1> WHERE { ?s <urn:d:p> ?o }")
+    assert(s2 == 400 && b2.contains("USING"), s"$s2 $b2")
+  }
 }
