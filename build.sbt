@@ -16,6 +16,11 @@ run / fork := true
 // and the logger's "[info] " prefix breaks the driver's parse
 // (BENCH_r{1,2}.json both recorded "parsed": null).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and suppress sbt's trailing "[success] Total time: ..." line, which
+// prints AFTER the forked main's JSON and broke the driver's last-line
+// parse again in rounds 6-7 (BENCH_r{6,7}.json "parsed": null).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -82,7 +82,15 @@ final class Graft(val quads: DataFrame, val star: Option[StarSource] = None,
       SelectQuery(Nil, distinct = false, reduced = false, q.where, Nil, None,
         q.orderBy, q.offset, q.limit, q.fromDefault, q.fromNamed, q.base, q.prefixes),
       defaultScope(q.fromDefault, q.fromNamed))
-    val df = plan.df.withColumn("__row", monotonically_increasing_id())
+    val hasBnodes = q.template.exists(t =>
+      Seq(t.s, t.p, t.o).exists(_.isInstanceOf[BNodePat]))
+    // Pin row ids when the template mints bnodes: the per-template selects
+    // re-evaluate the solution plan, and monotonically_increasing_id is
+    // partition-layout-dependent — without the checkpoint two evaluations
+    // (or two actions on the constructed graph) could deal different ids to
+    // the same solution, breaking bnode co-reference across templates.
+    val stamped = plan.df.withColumn("__row", monotonically_increasing_id())
+    val df = if (hasBnodes) stamped.localCheckpoint() else stamped
     val inScope = plan.vars.toSet
     def slot(tp: TermPattern): Column = tp match {
       case VarPat(v) => if (inScope(v.name)) col(v.name) else TermCols.nullTerm

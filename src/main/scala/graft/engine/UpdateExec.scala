@@ -33,21 +33,43 @@ private[graft] object UpdateExec {
   /** `protoUsingDefault`/`protoUsingNamed`: the SPARQL 1.1 Protocol's
     * using-graph-uri / using-named-graph-uri parameters — a request-level
     * dataset each pattern-bearing operation evaluates against. Supplying
-    * them alongside an operation's own USING clause is an error
-    * (protocol §2.2.3). */
+    * them alongside an operation's own USING clause — or an operation
+    * using WITH — is an error (protocol §2.2.3: "it is an error to
+    * supply [them] for a SPARQL 1.1 Update request that contains an
+    * operation that uses the USING, USING NAMED, or WITH clause"). */
   def apply(store: QuadStore, text: String,
             protoUsingDefault: Seq[Iri] = Nil,
             protoUsingNamed: Seq[Iri] = Nil): QuadStore = {
     val req = SparqlParser.parseUpdate(text)
     if (protoUsingDefault.nonEmpty || protoUsingNamed.nonEmpty)
       req.ops.foreach {
-        case m: Modify if m.usingDefault.nonEmpty || m.usingNamed.nonEmpty =>
+        case m: Modify if m.usingDefault.nonEmpty || m.usingNamed.nonEmpty ||
+            m.withGraph.nonEmpty =>
           throw new IllegalArgumentException(
-            "protocol using-graph-uri parameters cannot be combined with a USING clause")
+            "protocol using-graph-uri parameters cannot be combined with a USING or WITH clause")
         case _ =>
       }
-    req.ops.foldLeft(store)(exec(_, _, protoUsingDefault, protoUsingNamed))
+    // Lineage cut every few ops: each op nests another anti-join/union over
+    // the previous state, so a long request otherwise compiles one
+    // ever-deeper megaplan (Catalyst analysis is superlinear in depth — the
+    // same hazard the closure/kmeans/pagerank loops cut). The checkpoint is
+    // store-snapshot-sized but amortised over the ops between cuts; plan
+    // compile time stays ~flat across 100-op requests (tools/UpdatePlanProbe).
+    var sinceCut = 0
+    req.ops.foldLeft(store) { (st, op) =>
+      val next = exec(st, op, protoUsingDefault, protoUsingNamed)
+      sinceCut += 1
+      if (sinceCut >= lineageCutEvery && (next ne st)) {
+        sinceCut = 0
+        next.withQuads(next.quads.localCheckpoint())
+      } else next
+    }
   }
+
+  /** Ops between lineage cuts in a multi-op request; overridable for probes
+    * via -Dgraft.update.cutEvery. */
+  private def lineageCutEvery: Int =
+    sys.props.get("graft.update.cutEvery").map(_.toInt).getOrElse(8)
 
   private def exec(store: QuadStore, op: UpdateOp,
                    protoDefault: Seq[Iri] = Nil, protoNamed: Seq[Iri] = Nil): QuadStore = op match {
@@ -88,15 +110,25 @@ private[graft] object UpdateExec {
 
     case LoadOp(source, into, silent) =>
       try {
-        val path = source.value.stripPrefix("file://")
-        val loaded = QuadStore.loadFile(spark(store), path).quads
+        val loaded0 =
+          if (source.value.startsWith("http://") || source.value.startsWith("https://"))
+            loadHttp(spark(store), source.value)
+          else QuadStore.loadFile(spark(store), source.value.stripPrefix("file://")).quads
+        // Force materialisation INSIDE the try: .nt/.nq line parsing runs
+        // lazily on executors, so without this a malformed document would
+        // escape the SILENT handler and crash a later, unrelated action on
+        // the store. The checkpoint is document-sized.
+        val loaded = if (silent) loaded0.localCheckpoint() else loaded0
         val retargeted = into match {
           case Some(g) => loaded.withColumn("graph", ExprCompiler.termLit(g))
           case None => loaded
         }
         unionDistinct(store, retargeted)
       } catch {
-        case e: Throwable if silent => store
+        // SILENT means ignore LOAD failures (transport, parse, missing
+        // document) — not machine failures: fatal Throwables (OOM, linkage
+        // errors) must still propagate.
+        case scala.util.control.NonFatal(_) if silent => store
       }
 
     case ClearOp(target, silent) => clearOrDrop(store, target, silent, drop = false)
@@ -110,33 +142,43 @@ private[graft] object UpdateExec {
 
     case AddOp(from, to, silent) =>
       if (from == to) store
-      else {
-        // ADD creates the destination graph if absent, even when the source
-        // is empty — register a named destination
-        val base = to.fold(store)(store.insertNamedGraph)
-        unionDistinct(base, graphQuads(store, from, silent, "ADD")
-          .withColumn("graph", graphLit(to)))
+      else graphQuads(store, from, silent, "ADD") match {
+        // SILENT + missing named source: the failed operation leaves the
+        // store UNCHANGED (spec §3.2.5 / W3C update-silent add07) — the
+        // destination graph is NOT registered
+        case None => store
+        case Some(src) =>
+          // ADD creates the destination graph if absent, even when the
+          // source is empty — register a named destination
+          val base = to.fold(store)(store.insertNamedGraph)
+          unionDistinct(base, src.withColumn("graph", graphLit(to)))
       }
 
     case CopyOp(from, to, silent) =>
       if (from == to) store
-      else {
-        val src = graphQuads(store, from, silent, "COPY")
-        // COPY replaces the destination: clear it, then insert the source
-        store.clearGraph(to).union(
-          src.withColumn("graph", graphLit(to)).dropDuplicates())
+      else graphQuads(store, from, silent, "COPY") match {
+        // SILENT + missing source must NOT clear the destination
+        // (W3C update-silent copy07)
+        case None => store
+        case Some(src) =>
+          // COPY replaces the destination: clear it, then insert the source
+          store.clearGraph(to).union(
+            src.withColumn("graph", graphLit(to)).dropDuplicates())
       }
 
     case MoveOp(from, to, silent) =>
       if (from == to) store
-      else {
-        val src = graphQuads(store, from, silent, "MOVE")
-        val cleared = store.clearGraph(to)
-        val dropped = from match {
-          case Some(g) => cleared.removeNamedGraph(g)
-          case None => cleared.clearGraph(None)
-        }
-        dropped.union(src.withColumn("graph", graphLit(to)).dropDuplicates())
+      else graphQuads(store, from, silent, "MOVE") match {
+        // SILENT + missing source must NOT clear the destination or drop
+        // anything (W3C update-silent move07)
+        case None => store
+        case Some(src) =>
+          val cleared = store.clearGraph(to)
+          val dropped = from match {
+            case Some(g) => cleared.removeNamedGraph(g)
+            case None => cleared.clearGraph(None)
+          }
+          dropped.union(src.withColumn("graph", graphLit(to)).dropDuplicates())
       }
   }
 
@@ -223,7 +265,18 @@ private[graft] object UpdateExec {
   private def instantiate(plan: SPlan, qs: Seq[QuadPattern],
                           defaultGraph: Option[Iri], insertBnodes: Boolean): DataFrame = {
     val nonce = freshNonce()
-    val df = plan.df.withColumn("__row", monotonically_increasing_id())
+    val hasBnodes = insertBnodes && qs.exists(q =>
+      Seq(q.s, q.p, q.o).exists(_.isInstanceOf[BNodePat]) ||
+        q.graph.exists(_.isInstanceOf[BNodePat]))
+    // When templates mint bnodes, PIN the row ids before fanning out to the
+    // per-template selects: monotonically_increasing_id depends on partition
+    // layout, and the union re-evaluates the solution plan once per
+    // template — without the checkpoint a shuffle could re-deal ids between
+    // evaluations and the "same" solution's bnode would not be co-referent
+    // across templates (a subtly wrong, non-co-referent graph). The
+    // checkpoint is solution-relation-sized.
+    val stamped = plan.df.withColumn("__row", monotonically_increasing_id())
+    val df = if (hasBnodes) stamped.localCheckpoint() else stamped
     val inScope = plan.vars.toSet
     def slot(tp: TermPattern): Column = tp match {
       case VarPat(v) => if (inScope(v.name)) col(v.name) else TermCols.nullTerm
@@ -280,15 +333,49 @@ private[graft] object UpdateExec {
       if (t.getByte(0) == TermType.BlankNode) BNode(t.getString(1)) else Iri(t.getString(1))
     }.toSet
 
-  /** Source-graph quads for ADD/MOVE/COPY; a missing NAMED source errors
-    * unless SILENT (spec §3.2.3-5). The default graph always exists. */
+  /** Source-graph quads for ADD/MOVE/COPY. A missing NAMED source errors,
+    * or under SILENT returns None — the caller must leave the store
+    * UNCHANGED (spec §3.2.3-5: SILENT suppresses the error; the failed
+    * operation has no effect). The default graph always exists. */
   private def graphQuads(store: QuadStore, from: Option[Iri], silent: Boolean,
-                         opName: String): DataFrame = from match {
-    case None => store.quads.filter(col("graph").isNull)
+                         opName: String): Option[DataFrame] = from match {
+    case None => Some(store.quads.filter(col("graph").isNull))
     case Some(g) =>
-      if (!store.containsNamedGraph(g) && !silent)
-        throw new IllegalArgumentException(s"$opName: source graph $g does not exist")
-      store.quadsForPattern(graph = Some(Some(g)))
+      if (store.containsNamedGraph(g)) Some(store.quadsForPattern(graph = Some(Some(g))))
+      else if (silent) None
+      else throw new IllegalArgumentException(s"$opName: source graph $g does not exist")
+  }
+
+  /** LOAD from an http(s) IRI: dereference the document (following
+    * redirects), dispatch the reader on Content-Type (falling back to the
+    * URL's extension), and parallelise the parsed quads. A LOADed document
+    * is driver-sized by nature — the scale path for bulk data is parquet /
+    * file loads, not single-document dereference (spec §3.1.4). */
+  private def loadHttp(spark: SparkSession, url: String): DataFrame = {
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val client = HttpClient.newBuilder()
+      .followRedirects(HttpClient.Redirect.NORMAL)
+      .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+    val req = HttpRequest.newBuilder(java.net.URI.create(url))
+      .header("Accept",
+        "text/turtle, application/n-triples, application/n-quads, application/trig, application/rdf+xml")
+      .timeout(java.time.Duration.ofSeconds(60)).GET().build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() / 100 != 2)
+      throw new RuntimeException(s"LOAD <$url> returned HTTP ${resp.statusCode()}")
+    val ctype = resp.headers().firstValue("Content-Type").orElse("").toLowerCase
+      .takeWhile(_ != ';').trim
+    val lowerUrl = url.toLowerCase.takeWhile(c => c != '?' && c != '#')
+    val body = resp.body()
+    val quads: Seq[RdfQuad] =
+      if (ctype == "application/rdf+xml" || lowerUrl.endsWith(".rdf") || lowerUrl.endsWith(".owl"))
+        graft.sources.RdfXml.parse(body, docIri = url)
+      else if (ctype == "application/n-triples" || ctype == "application/n-quads" ||
+               lowerUrl.endsWith(".nt") || lowerUrl.endsWith(".nq"))
+        body.linesIterator.flatMap(graft.sources.NTriples.parseLine(_)).toSeq
+      else // turtle / trig / unknown → the Turtle-family parser (strict)
+        graft.sources.Turtle.parse(body)
+    graft.sources.Turtle.quadsToDF(spark, quads)
   }
 
   private def graphLit(to: Option[Iri]): Column =

@@ -44,11 +44,21 @@ object SkewSalt {
     sys.props.get("graft.salt.factor").map(_.toInt).getOrElse(16)
 
   /** Relation size below which salting is skipped entirely (same knob and
-    * default as the closure's heavyKeys gate): even a fully degenerate
-    * bucket at this size enumerates its pairs in one task in seconds, so
-    * the detection job + salt-widened shuffle key are pure tax. Measured
-    * (r6 verdict): default-on salting cost the dedup gates 1.3-1.6x at
-    * sf0.1. Overridable via -Dgraft.salt.minRows. */
+    * default as the closure's heavyKeys gate). Measured (r6 verdict):
+    * default-on salting cost the dedup gates 1.3-1.6x at sf0.1, so below
+    * this size the detection job + salt-widened shuffle key are treated as
+    * pure tax and skipped.
+    *
+    * ACCEPTED WORST CASE of the skip: hotThreshold (1024) is a PER-BUCKET
+    * bound, so a fully degenerate corpus that lands all ~100k rows in ONE
+    * bucket enumerates ~5e9 pairs in a single task — minutes, not seconds,
+    * though bounded (no OOM: pair enumeration streams). Real banded
+    * relations (minhash bands, simhash chunks, shingle prefixes) spread
+    * rows across many buckets by construction, and a corpus degenerate
+    * enough to defeat that is exact-dedup's job first. Callers facing
+    * adversarial bucket keys should lower -Dgraft.salt.minRows (1024 makes
+    * the skip provably safe: rows < hotThreshold cannot contain a hot
+    * bucket, at the cost of re-adding the detection job at small scale). */
   def minRows: Long =
     sys.props.get("graft.salt.minRows").map(_.toLong).getOrElse(100000L)
 

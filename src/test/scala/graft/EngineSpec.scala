@@ -235,6 +235,27 @@ class EngineSpec extends SparkSpec {
     assert(bnodes.size == 3)
   }
 
+  test("CONSTRUCT bnodes stay co-referent across templates on a shuffled solution relation") {
+    import graft.model._
+    // join-shaped WHERE (shuffle) + two actions on the result: the pinned
+    // row ids must keep each solution's _:x identical in both templates
+    val quads = (0 until 150).flatMap { i =>
+      Seq(RdfQuad(None, Iri(s"urn:a$i"), Iri("urn:p"), Iri(s"urn:m$i")),
+          RdfQuad(None, Iri(s"urn:m$i"), Iri("urn:q"), Lit.simple(s"v$i")))
+    }
+    val eng = graft.engine.Graft(graft.sources.Turtle.quadsToDF(spark, quads))
+    val df = eng.query(
+      "CONSTRUCT { ?a <urn:via> _:x . _:x <urn:to> ?v } WHERE { ?a <urn:p> ?m . ?m <urn:q> ?v }")
+    assert(df.count() == 300) // first action
+    val via = df.filter(org.apache.spark.sql.functions.col("predicate.v") === "urn:via")
+      .selectExpr("subject.v as a", "object.v as b")
+    val to = df.filter(org.apache.spark.sql.functions.col("predicate.v") === "urn:to")
+      .selectExpr("subject.v as b2", "object.v as v")
+    val pairs = via.join(to, via("b") === to("b2")).select("a", "v")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet // second action
+    assert(pairs == (0 until 150).map(i => (s"urn:a$i", s"v$i")).toSet)
+  }
+
   test("FROM NAMED restricts GRAPH matching") {
     val q1 = g.select(
       s"""SELECT ?g FROM NAMED <${EX}graph1> WHERE { GRAPH ?g { ?s ?p ?o } }""")

@@ -140,6 +140,31 @@ class UpdateSpec extends SparkSpec {
     assert(pairs == bn)
   }
 
+  test("Modify: template bnodes stay co-referent across templates on a shuffled solution relation") {
+    // the solution relation includes a JOIN (a shuffle whose output
+    // partitioning is not deterministic across re-evaluations); without the
+    // pinned row ids the two template instantiations could deal DIFFERENT
+    // ids to the same solution and the shared bnode would not be co-referent
+    val base = (0 until 200).flatMap { i =>
+      Seq(q(s"urn:s$i", "urn:p", Iri(s"urn:o$i")),
+          RdfQuad(None, Iri(s"urn:o$i"), Iri("urn:q"), Lit.simple(s"v$i")))
+    }
+    val st0 = store(base: _*)
+    val st1 = st0.update(
+      "INSERT { ?s <urn:ref> _:n . _:n <urn:val> ?v } WHERE { ?s <urn:p> ?o . ?o <urn:q> ?v }")
+    // force TWO separate actions over the updated store (re-evaluation risk)
+    assert(st1.quads.filter(col("predicate.v") === "urn:ref").count() == 200)
+    val refs = st1.quads.filter(col("predicate.v") === "urn:ref")
+      .select(col("subject.v").as("s"), col("object.v").as("b"))
+    val vals = st1.quads.filter(col("predicate.v") === "urn:val")
+      .select(col("subject.v").as("b2"), col("object.v").as("v"))
+    val joined = refs.join(vals, col("b") === col("b2"))
+      .select("s", "v").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(joined == (0 until 200).map(i => (s"urn:s$i", s"v$i")).toSet,
+      "each solution's template bnode must link its own ?s to its own ?v")
+    assert(vals.select("b2").distinct().count() == 200) // fresh bnode per solution
+  }
+
   test("WITH: default graph for WHERE and both templates") {
     val st0 = store(
       q("urn:a", "urn:p", Lit.simple("g1"), Some(g1)),
@@ -236,6 +261,86 @@ class UpdateSpec extends SparkSpec {
     assert(allQuads(st0.update("MOVE <urn:graph:1> TO <urn:graph:1>")) == allQuads(st0))
     intercept[IllegalArgumentException](st0.update("ADD <urn:nope> TO <urn:graph:1>"))
     assert(allQuads(st0.update("ADD SILENT <urn:nope> TO <urn:graph:1>")) == allQuads(st0))
+  }
+
+  test("ADD/COPY/MOVE SILENT with a missing source leave the store UNCHANGED") {
+    // W3C update-silent semantics (add07/copy07/move07): SILENT suppresses
+    // the error AND the failed operation has no effect — the destination is
+    // neither cleared nor registered.
+    val st0 = store(
+      q("urn:keep", "urn:p", Lit.simple("v"), Some(g2)),
+      q("urn:d", "urn:p", Lit.simple("dft")))
+    val cp = st0.update("COPY SILENT GRAPH <urn:nope> TO GRAPH <urn:graph:2>")
+    assert(allQuads(cp) == allQuads(st0), "COPY SILENT must not wipe the destination")
+    val mv = st0.update("MOVE SILENT GRAPH <urn:nope> TO GRAPH <urn:graph:2>")
+    assert(allQuads(mv) == allQuads(st0), "MOVE SILENT must not wipe the destination")
+    val ad = st0.update("ADD SILENT GRAPH <urn:nope> TO GRAPH <urn:graph:7>")
+    assert(allQuads(ad) == allQuads(st0))
+    assert(!ad.containsNamedGraph(Iri("urn:graph:7")),
+      "ADD SILENT with a missing source must not register the destination")
+    // non-silent forms still error
+    intercept[IllegalArgumentException](st0.update("COPY GRAPH <urn:nope> TO GRAPH <urn:graph:2>"))
+    intercept[IllegalArgumentException](st0.update("MOVE GRAPH <urn:nope> TO GRAPH <urn:graph:2>"))
+  }
+
+  test("protocol dataset params reject WITH as well as USING (protocol §2.2.3)") {
+    val st0 = store(q("urn:a", "urn:p", Lit.simple("1"), Some(g1)))
+    intercept[IllegalArgumentException](st0.update(
+      "WITH <urn:graph:1> DELETE { ?s ?p ?o } WHERE { ?s ?p ?o }",
+      Seq(g1), Nil))
+    intercept[IllegalArgumentException](st0.update(
+      "DELETE { ?s ?p ?o } USING <urn:graph:1> WHERE { ?s ?p ?o }",
+      Seq(g1), Nil))
+    // a plain Modify with neither WITH nor USING accepts the protocol dataset
+    val ok = st0.update("DELETE { ?s ?p ?o } WHERE { ?s ?p ?o }", Seq(g1), Nil)
+    assert(allQuads(ok) == allQuads(st0)) // WHERE scoped to g1-as-default; templates target the real default graph
+  }
+
+  test("LOAD over http(s): content-type dispatch, INTO GRAPH, SILENT on transport/parse failure") {
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def serve(path: String, ctype: String, body: String): Unit =
+      srv.createContext(path, (ex: com.sun.net.httpserver.HttpExchange) => {
+        val bytes = body.getBytes("UTF-8")
+        ex.getResponseHeaders.set("Content-Type", ctype)
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes); ex.close()
+      })
+    serve("/data.ttl", "text/turtle",
+      "@prefix ex: <urn:ex:> . ex:s ex:p \"turtle\" , ex:o .")
+    serve("/data", "application/n-triples",
+      "<urn:ex:s> <urn:ex:p> \"nt\" .")
+    serve("/bad.ttl", "text/turtle", "@prefix broken @@@")
+    srv.createContext("/missing", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.sendResponseHeaders(404, -1); ex.close()
+    })
+    srv.start()
+    val base = s"http://127.0.0.1:${srv.getAddress.getPort}"
+    try {
+      val st0 = QuadStore.empty(spark)
+      assert(st0.update(s"LOAD <$base/data.ttl>").count() == 2)
+      // content-type (not extension) picks the N-Triples reader here
+      val st2 = st0.update(s"LOAD <$base/data> INTO GRAPH <urn:graph:1>")
+      assert(st2.quadsForPattern(graph = Some(Some(g1))).count() == 1)
+      intercept[Throwable](st0.update(s"LOAD <$base/missing>"))
+      assert(st0.update(s"LOAD SILENT <$base/missing>").count() == 0)
+      intercept[Throwable](st0.update(s"LOAD <$base/bad.ttl>"))
+      assert(st0.update(s"LOAD SILENT <$base/bad.ttl>").count() == 0)
+    } finally srv.stop(0)
+  }
+
+  test("LOAD SILENT swallows a lazily-failing .nt parse (executor-side failure)") {
+    // a file whose malformedness only surfaces when executors parse the
+    // lines: without eager materialisation under SILENT, the failure would
+    // escape the handler and crash a later action on the store
+    val dir = java.nio.file.Files.createTempDirectory("graft-lazyload").toFile
+    val f = new java.io.File(dir, "bad.nt")
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    w.println("<urn:ok> <urn:p> \"fine\" .")
+    w.println("this is not an n-triples line at all @@@")
+    w.close()
+    val st = QuadStore.empty(spark).update(s"LOAD SILENT <file://${f.getAbsolutePath}>")
+    assert(st.count() == 0) // the whole failed LOAD is ignored, store unchanged
   }
 
   test("LOAD: file into default and INTO GRAPH; SILENT on missing file") {
