@@ -51,7 +51,19 @@ object ParityBench {
       "wind-farm-grouped-production-query3", "wind-farm-grouped-production-query4")
     val work: Seq[(String, Graft)] = bsbmNames.map(_ -> bsbm) ++ wfNames.map(_ -> wf)
 
+    // Same host-speed fingerprint as Bench.calibrate(): a trivial
+    // code-independent probe, min across passes — so a parity number from a
+    // different host normalizes against the recorded calibration instead of
+    // reading as a code regression (the r8 fresh-host run measured 2.0x the
+    // r7 wall-clock with an unchanged engine; calibration explained it).
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(200000000L).selectExpr("sum(id * 3 + 1)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibrations = scala.collection.mutable.ArrayBuffer[Double]()
     val passes = (1 to 2).map { _ =>
+      calibrations += calibrate()
       work.map { case (q, g) =>
         val text = new String(Files.readAllBytes(qdir.resolve(s"$q.sparql")), "UTF-8")
         val t1 = System.nanoTime()
@@ -65,7 +77,9 @@ object ParityBench {
     val results = work.map { case (q, _) => q -> passes.map(_.toMap.apply(q)).min }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"parity_total","value":$total,"unit":"sec","n_queries":${results.size},"bsbm_products":$nBsbm,"wf_turbines":$nWf,"queries":$qs}""")
+    val calMin = calibrations.min
+    val calAll = calibrations.mkString("[", ",", "]")
+    println(s"""{"metric":"parity_total","value":$total,"unit":"sec","n_queries":${results.size},"bsbm_products":$nBsbm,"wf_turbines":$nWf,"calibration":$calMin,"calibration_all":$calAll,"queries":$qs}""")
     spark.stop()
   }
 }

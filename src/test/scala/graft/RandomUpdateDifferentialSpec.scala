@@ -11,10 +11,29 @@ import graft.sources.Turtle
  * the engine (`QuadStore.update`) and by a naive driver-side set-semantics
  * model of the SPARQL 1.1 Update spec. Complements the curated UpdateSpec /
  * W3C-slice update tests with unbiased op sequences. Seeds fixed.
+ *
+ * The model tracks BOTH the quad set and the named-graph registry — graph
+ * existence is "registered OR non-empty" (mirrors
+ * QuadStore.containsNamedGraph), so SILENT ADD/COPY/MOVE from a
+ * missing-vs-registered-but-empty source take different branches here just
+ * like in the engine (a quad-set-only model cannot distinguish them and
+ * silently encodes whichever semantics the engine has).
+ *
+ * Each seed runs two phases: (1) four ops applied one request at a time
+ * with the state compared after every op, and (2) ten ops joined into ONE
+ * ";"-separated request — past UpdateExec's lineage-cut threshold
+ * (cutEvery=8) — compared once at the end, so the cut path itself is under
+ * differential test.
  */
 class RandomUpdateDifferentialSpec extends SparkSpec {
 
   private type Quad = (Option[String], String, String, RdfTerm) // graph IRI, s, p, o
+  /** Model state: quads + registered named graphs (graphs that exist even
+    * while empty — after CLEAR, or as an ADD/COPY/MOVE destination). */
+  private case class Model(quads: Set[Quad], reg: Set[String]) {
+    def exists(g: Option[String]): Boolean =
+      g.forall(gi => reg(gi) || quads.exists(_._1.contains(gi)))
+  }
   private val graphs = Seq(None, Some("urn:g1"), Some("urn:g2"))
   private val nodes = (0 until 4).map(i => s"urn:n$i")
   private val preds = (0 until 3).map(i => s"urn:p$i")
@@ -38,11 +57,11 @@ class RandomUpdateDifferentialSpec extends SparkSpec {
     q._1.fold(s"$t .")(g => s"GRAPH <$g> { $t }")
   }
 
-  /** One random op as (update text, naive model transition). */
+  /** One random op as (update text, model transition). */
   private def randomOp(rnd: scala.util.Random,
-                       state: Set[Quad]): (String, Set[Quad] => Set[Quad]) = {
+                       state: Model): (String, Model => Model) = {
     def someQuads(): Seq[Quad] = {
-      val fromStore = rnd.shuffle(state.toSeq).take(rnd.nextInt(3))
+      val fromStore = rnd.shuffle(state.quads.toSeq).take(rnd.nextInt(3))
       val fresh = (0 until rnd.nextInt(3)).map { _ =>
         (graphs(rnd.nextInt(graphs.size)), nodes(rnd.nextInt(nodes.size)),
           preds(rnd.nextInt(preds.size)), objs(rnd.nextInt(objs.size)))
@@ -52,17 +71,19 @@ class RandomUpdateDifferentialSpec extends SparkSpec {
     rnd.nextInt(6) match {
       case 0 =>
         val qs = someQuads()
-        (s"INSERT DATA { ${qs.map(renderQuad).mkString(" ")} }", st => st ++ qs)
+        (s"INSERT DATA { ${qs.map(renderQuad).mkString(" ")} }",
+          m => m.copy(quads = m.quads ++ qs))
       case 1 =>
         val qs = someQuads()
-        (s"DELETE DATA { ${qs.map(renderQuad).mkString(" ")} }", st => st -- qs)
+        (s"DELETE DATA { ${qs.map(renderQuad).mkString(" ")} }",
+          m => m.copy(quads = m.quads -- qs))
       case 2 =>
         // DELETE WHERE { ?s <p> ?o } in default or a named graph
         val p = preds(rnd.nextInt(preds.size))
         val g = graphs(rnd.nextInt(graphs.size))
         val pat = g.fold(s"?s <$p> ?o .")(gi => s"GRAPH <$gi> { ?s <$p> ?o }")
         (s"DELETE WHERE { $pat }",
-          st => st.filterNot(q => q._1 == g && q._3 == p))
+          m => m.copy(quads = m.quads.filterNot(q => q._1 == g && q._3 == p)))
       case 3 =>
         // rename predicate pa -> pb within one graph scope (WITH for named)
         val pa = preds(rnd.nextInt(preds.size))
@@ -70,28 +91,40 @@ class RandomUpdateDifferentialSpec extends SparkSpec {
         val g = graphs(rnd.nextInt(graphs.size))
         val withClause = g.fold("")(gi => s"WITH <$gi> ")
         (s"${withClause}DELETE { ?s <$pa> ?o } INSERT { ?s <$pb> ?o } WHERE { ?s <$pa> ?o }",
-          st => {
-            val moved = st.filter(q => q._1 == g && q._3 == pa)
-            st -- moved ++ moved.map(q => (q._1, q._2, pb, q._4))
+          m => {
+            val moved = m.quads.filter(q => q._1 == g && q._3 == pa)
+            m.copy(quads = m.quads -- moved ++ moved.map(q => (q._1, q._2, pb, q._4)))
           })
       case 4 =>
-        val g = Some("urn:g" + (1 + rnd.nextInt(2)))
-        (s"CLEAR GRAPH <${g.get}>", st => st.filterNot(_._1 == g)) // graph exists? SILENT below
+        // CLEAR SILENT: missing graph is a total no-op; an existing graph is
+        // emptied but stays REGISTERED (it still "exists" for later ops)
+        val g = "urn:g" + (1 + rnd.nextInt(2))
+        (s"CLEAR SILENT GRAPH <$g>",
+          m => if (!m.exists(Some(g))) m
+               else Model(m.quads.filterNot(_._1.contains(g)), m.reg + g))
       case _ =>
-        // ADD / COPY / MOVE between default and a named graph
+        // ADD / COPY / MOVE between default and a named graph. SILENT +
+        // missing named source = total no-op (the engine leaves the store
+        // unchanged, W3C update-silent add07/copy07/move07); an existing
+        // source — even registered-but-empty — runs the op, which registers
+        // a named destination (and MOVE drops the source registration).
         val kind = Seq("ADD", "COPY", "MOVE")(rnd.nextInt(3))
         val from = graphs(rnd.nextInt(graphs.size))
         val to = graphs(rnd.nextInt(graphs.size))
         def ref(x: Option[String]) = x.fold("DEFAULT")(g => s"<$g>")
         (s"$kind SILENT ${ref(from)} TO ${ref(to)}",
-          st =>
-            if (from == to) st
+          m =>
+            if (from == to) m
+            else if (!m.exists(from)) m // SILENT missing source: unchanged
             else {
-              val src = st.filter(_._1 == from).map(q => (to, q._2, q._3, q._4))
+              val src = m.quads.filter(_._1 == from).map(q => (to, q._2, q._3, q._4))
+              val regTo = m.reg ++ to
               kind match {
-                case "ADD" => st ++ src
-                case "COPY" => st.filterNot(_._1 == to) ++ src
-                case "MOVE" => st.filterNot(q => q._1 == to || q._1 == from) ++ src
+                case "ADD" => Model(m.quads ++ src, regTo)
+                case "COPY" => Model(m.quads.filterNot(_._1 == to) ++ src, regTo)
+                case "MOVE" => Model(
+                  m.quads.filterNot(q => q._1 == to || q._1 == from) ++ src,
+                  regTo -- from)
               }
             })
     }
@@ -114,28 +147,67 @@ class RandomUpdateDifferentialSpec extends SparkSpec {
         term(1).asInstanceOf[Iri].value, term(2).asInstanceOf[Iri].value, term(3))
     }
 
+  private def assertState(seed: Int, ops: Seq[String], store: QuadStore, model: Model): Unit = {
+    val actual = actualQuads(store)
+    assert(actual == model.quads,
+      s"""seed=$seed after ops:
+         |${ops.mkString("\n")}
+         |missing=${(model.quads -- actual).take(5)}
+         |extra=${(actual -- model.quads).take(5)}""".stripMargin)
+    // Named graphs the engine lists = explicit registry ∪ graphs with data
+    // (QuadStore.namedGraphs). Reuse the already-collected quads for the
+    // data part so the lazy update chain evaluates ONCE per assertion.
+    val expGraphs = model.reg ++ model.quads.flatMap(_._1)
+    val actGraphs = store.reg.collect {
+      case Iri(v) => v
+      case BNode(v) => v
+    } ++ actual.flatMap(_._1)
+    assert(actGraphs == expGraphs,
+      s"""seed=$seed graph registry diverged after ops:
+         |${ops.mkString("\n")}
+         |actual=$actGraphs expected=$expGraphs""".stripMargin)
+  }
+
   private def runCase(seed: Int): Unit = {
     val rnd = new scala.util.Random(seed)
-    var model = randomStore(rnd)
+    var model = Model(randomStore(rnd), Set.empty)
     var store = QuadStore(Turtle.quadsToDF(spark,
-      model.toSeq.map(q => RdfQuad(q._1.map(Iri(_)), Iri(q._2), Iri(q._3), q._4))))
+      model.quads.toSeq.map(q => RdfQuad(q._1.map(Iri(_)), Iri(q._2), Iri(q._3), q._4))))
     val ops = Seq.newBuilder[String]
-    // CLEAR GRAPH on a maybe-missing graph must be SILENT to stay total
+    // phase 1: one request per op, state compared after every op
     for (_ <- 0 until 4) {
-      val (text0, step) = randomOp(rnd, model)
-      val text = if (text0.startsWith("CLEAR GRAPH")) "CLEAR SILENT" + text0.drop(5) else text0
+      val (text, step) = randomOp(rnd, model)
       ops += text
       store = store.update(text)
       model = step(model)
-      // canonicalize integers: the engine keeps the inserted lexical; the
-      // model inserts "1"/"2" only, and the store generator does too, so
-      // lexical forms agree — compare exact
-      val actual = actualQuads(store)
-      assert(actual == model,
-        s"""seed=$seed after ops:
-           |${ops.result().mkString("\n")}
-           |missing=${(model -- actual).take(5)}
-           |extra=${(actual -- model).take(5)}""".stripMargin)
+      assertState(seed, ops.result(), store, model)
+    }
+    // phase 2 (a subset of seeds): five ops in ONE request with the
+    // lineage-cut threshold lowered to 3, so the every-k-ops checkpoint
+    // fires MID-REQUEST and ops after the cut run against checkpointed
+    // state — the same code path a 100-op request takes at the default
+    // cutEvery=8, at a fraction of the Catalyst-depth cost (a stacked
+    // 10-op fold is ~100 nested operators; analysis alone made the
+    // original 30×10-op variant a 50-minute spec).
+    if (seed <= 10) {
+      // Cut the phase-1 lineage first: the batch otherwise re-evaluates
+      // the whole phase-1 op chain inside every one of its own evaluations.
+      store = store.withQuads(store.quads.localCheckpoint())
+      val batch = Seq.newBuilder[String]
+      for (_ <- 0 until 5) {
+        val (text, step) = randomOp(rnd, model)
+        batch += text
+        model = step(model)
+      }
+      val req = batch.result().mkString(" ;\n")
+      ops += req
+      val prev = sys.props.put("graft.update.cutEvery", "3")
+      try store = store.update(req)
+      finally prev match {
+        case Some(v) => sys.props.update("graft.update.cutEvery", v)
+        case None => sys.props.remove("graft.update.cutEvery")
+      }
+      assertState(seed, ops.result(), store, model)
     }
   }
 

@@ -1,0 +1,6 @@
+PREFIX : <http://example.org/>
+WITH <http://example.org/g1>
+INSERT { :r :got ?o . :r :saw ?g }
+USING <http://example.org/g2>
+USING NAMED <http://example.org/g1>
+WHERE { { :s :p ?o } UNION { GRAPH ?g { :s :p ?x } } }

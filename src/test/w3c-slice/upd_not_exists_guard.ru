@@ -1,0 +1,3 @@
+PREFIX : <http://example.org/>
+DELETE { ?s :p ?o }
+WHERE { ?s :p ?o FILTER NOT EXISTS { ?s :keep true } }
