@@ -49,27 +49,40 @@ private[graft] object UpdateExec {
             "protocol using-graph-uri parameters cannot be combined with a USING or WITH clause")
         case _ =>
       }
-    // Lineage cut every few ops: each op nests another anti-join/union over
-    // the previous state, so a long request otherwise compiles one
-    // ever-deeper megaplan (Catalyst analysis is superlinear in depth — the
-    // same hazard the closure/kmeans/pagerank loops cut). The checkpoint is
-    // store-snapshot-sized but amortised over the ops between cuts; plan
-    // compile time stays ~flat across 100-op requests (tools/UpdatePlanProbe).
-    var sinceCut = 0
+    // Lineage cut by PLAN-GROWTH WEIGHT, not op count: each op embeds the
+    // previous state's plan k times (Modify ≈ 6× — the delete anti-join,
+    // the insert semi-join + union, and the WHERE solve all reference it),
+    // so plan size grows ~k^n BETWEEN cuts — a fixed every-8-ops cut still
+    // admitted ~6^8 ≈ 1.7M-leaf plans that ground Catalyst for minutes
+    // (measured by tools/UpdatePlanProbe). Multiplying a per-op growth
+    // factor and cutting when the product exceeds cutWeight bounds every
+    // compiled plan to ~cutWeight leaves, making a 100-op request linear.
+    // The checkpoint is store-snapshot-sized but amortised over the ops
+    // between cuts.
+    var weight = 1L
     req.ops.foldLeft(store) { (st, op) =>
       val next = exec(st, op, protoUsingDefault, protoUsingNamed)
-      sinceCut += 1
-      if (sinceCut >= lineageCutEvery && (next ne st)) {
-        sinceCut = 0
+      weight *= opGrowth(op)
+      if (weight >= lineageCutWeight && (next ne st)) {
+        weight = 1L
         next.withQuads(next.quads.localCheckpoint())
       } else next
     }
   }
 
-  /** Ops between lineage cuts in a multi-op request; overridable for probes
-    * via -Dgraft.update.cutEvery. */
-  private def lineageCutEvery: Int =
-    sys.props.get("graft.update.cutEvery").map(_.toInt).getOrElse(8)
+  /** How many times an op's output plan embeds its input store plan. */
+  private def opGrowth(op: UpdateOp): Long = op match {
+    case _: Modify => 8      // anti-join + semi-join + union + WHERE solve
+    case _: DeleteWhere => 4 // anti-join + pattern solve
+    case _: AddOp | _: CopyOp | _: MoveOp => 3
+    case _ => 2              // data ops / LOAD / CLEAR-family
+  }
+
+  /** Accumulated growth product that triggers a lineage cut (bounds every
+    * compiled plan to about this many store-plan leaves); overridable for
+    * probes/specs via -Dgraft.update.cutWeight. */
+  private def lineageCutWeight: Long =
+    sys.props.get("graft.update.cutWeight").map(_.toLong).getOrElse(64L)
 
   private def exec(store: QuadStore, op: UpdateOp,
                    protoDefault: Seq[Iri] = Nil, protoNamed: Seq[Iri] = Nil): QuadStore = op match {
@@ -87,11 +100,14 @@ private[graft] object UpdateExec {
       val quads = qs.map(q => RdfQuad(q.graph.map(groundTerm(_, "")),
         groundTerm(q.s, ""), groundPred(q.p, ""), groundTerm(q.o, "")))
       validateGround(quads)
-      minusQuads(store, graft.sources.Turtle.quadsToDF(spark(store), quads))
+      // parser-sized ground data: always broadcast the anti-join side
+      minusQuads(store, graft.sources.Turtle.quadsToDF(spark(store), quads),
+        broadcastDel = true)
 
     case DeleteWhere(qs) =>
       val plan = solve(store, quadsAsPattern(qs), protoDefault, protoNamed, None)
-      minusQuads(store, instantiate(plan, qs, None, insertBnodes = false))
+      val (delRel, small) = sized(instantiate(plan, qs, None, insertBnodes = false))
+      minusQuads(store, delRel, broadcastDel = small)
 
     case Modify(withGraph, del, ins, usingDefault, usingNamed, where) =>
       // the protocol dataset applies when the op carries no USING of its
@@ -104,9 +120,15 @@ private[graft] object UpdateExec {
       // (spec §3.1.3: DELETE and INSERT see the same solution multiset)
       val afterDel =
         if (del.isEmpty) store
-        else minusQuads(store, instantiate(plan, del, withGraph, insertBnodes = false))
+        else {
+          val (delRel, small) = sized(instantiate(plan, del, withGraph, insertBnodes = false))
+          minusQuads(store, delRel, broadcastDel = small)
+        }
       if (ins.isEmpty) afterDel
-      else unionDistinct(afterDel, instantiate(plan, ins, withGraph, insertBnodes = true))
+      else {
+        val (insRel, small) = sized(instantiate(plan, ins, withGraph, insertBnodes = true))
+        unionDistinct(afterDel, insRel, broadcastAdds = small)
+      }
 
     case LoadOp(source, into, silent) =>
       try {
@@ -194,11 +216,17 @@ private[graft] object UpdateExec {
     * only genuinely-new quads union in. The store itself is never
     * shuffled; the two small relations (deduped adds, their existing
     * copies) shuffle at additions-scale. */
-  private def unionDistinct(store: QuadStore, adds: DataFrame): QuadStore = {
+  private def unionDistinct(store: QuadStore, adds: DataFrame,
+                            broadcastAdds: Boolean = false): QuadStore = {
     val cols = Seq("graph", "subject", "predicate", "object")
     val a = adds.select(cols.map(col): _*).dropDuplicates(cols)
-    val probe = a.select(col("graph").as("__ag"), col("subject").as("__as"),
+    val probe0 = a.select(col("graph").as("__ag"), col("subject").as("__as"),
       col("predicate").as("__ap"), col("object").as("__ao"))
+    // Pin broadcast when the additions side is MEASURED small: AQE's static
+    // byte threshold missed just-over-10MB instantiated sides and fell back
+    // to a SortMergeJoin that sorts + shuffles the whole store
+    // (tools/UpdateScaleProbe measured 3 of them over a 20M-quad store).
+    val probe = if (broadcastAdds) probe0.hint("broadcast") else probe0
     val existing = store.quads.join(probe,
       col("graph") <=> col("__ag") && col("subject") <=> col("__as") &&
         col("predicate") <=> col("__ap") && col("object") <=> col("__ao"),
@@ -208,14 +236,30 @@ private[graft] object UpdateExec {
 
   /** Remove every store quad matching a delete-side quad — one anti-join on
     * all four columns, null-safe for the NULL default graph and nested
-    * NULL dt/lang fields. */
-  private def minusQuads(store: QuadStore, del: DataFrame): QuadStore = {
-    val d = del.select(col("graph").as("__dg"), col("subject").as("__ds"),
+    * NULL dt/lang fields. `broadcastDel` pins the result-sized side as the
+    * broadcast build side (see unionDistinct). */
+  private def minusQuads(store: QuadStore, del: DataFrame,
+                         broadcastDel: Boolean = false): QuadStore = {
+    val d0 = del.select(col("graph").as("__dg"), col("subject").as("__ds"),
       col("predicate").as("__dp"), col("object").as("__do"))
+    val d = if (broadcastDel) d0.hint("broadcast") else d0
     store.withQuads(store.quads.join(d,
       col("graph") <=> col("__dg") && col("subject") <=> col("__ds") &&
         col("predicate") <=> col("__dp") && col("object") <=> col("__do"),
       "left_anti"))
+  }
+
+  /** Materialize a result-sized relation once (it is referenced 2-3 times
+    * downstream and would otherwise re-run its WHERE solve per reference)
+    * and measure it: under `graft.update.broadcastRows` (default 1M rows,
+    * a few hundred MB of term structs) the caller pins it as a broadcast
+    * build side so the store side of the anti/semi joins never shuffles.
+    * Larger sides fall back to the planner — at that size a shuffle join
+    * is the correct plan and a pinned broadcast would OOM the driver. */
+  private def sized(df: DataFrame): (DataFrame, Boolean) = {
+    val m = df.localCheckpoint()
+    (m, m.count() <= sys.props.get("graft.update.broadcastRows")
+      .map(_.toLong).getOrElse(1000000L))
   }
 
   /** Evaluate an update WHERE clause. Dataset rules (spec §3.1.3): USING

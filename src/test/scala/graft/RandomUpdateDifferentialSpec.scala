@@ -183,12 +183,12 @@ class RandomUpdateDifferentialSpec extends SparkSpec {
       assertState(seed, ops.result(), store, model)
     }
     // phase 2 (a subset of seeds): five ops in ONE request with the
-    // lineage-cut threshold lowered to 3, so the every-k-ops checkpoint
-    // fires MID-REQUEST and ops after the cut run against checkpointed
-    // state — the same code path a 100-op request takes at the default
-    // cutEvery=8, at a fraction of the Catalyst-depth cost (a stacked
-    // 10-op fold is ~100 nested operators; analysis alone made the
-    // original 30×10-op variant a 50-minute spec).
+    // lineage-cut weight lowered, so the plan-growth checkpoint fires
+    // MID-REQUEST and ops after the cut run against checkpointed state —
+    // the same code path a 100-op request takes at the default
+    // cutWeight=64, at a fraction of the Catalyst cost (plan size grows
+    // ~6^n in uncut Modify ops; an uncut 10-op fold made the original
+    // variant of this spec a 50-minute run).
     if (seed <= 10) {
       // Cut the phase-1 lineage first: the batch otherwise re-evaluates
       // the whole phase-1 op chain inside every one of its own evaluations.
@@ -201,11 +201,11 @@ class RandomUpdateDifferentialSpec extends SparkSpec {
       }
       val req = batch.result().mkString(" ;\n")
       ops += req
-      val prev = sys.props.put("graft.update.cutEvery", "3")
+      val prev = sys.props.put("graft.update.cutWeight", "8")
       try store = store.update(req)
       finally prev match {
-        case Some(v) => sys.props.update("graft.update.cutEvery", v)
-        case None => sys.props.remove("graft.update.cutEvery")
+        case Some(v) => sys.props.update("graft.update.cutWeight", v)
+        case None => sys.props.remove("graft.update.cutWeight")
       }
       assertState(seed, ops.result(), store, model)
     }
