@@ -105,9 +105,10 @@ private[graft] object UpdateExec {
         broadcastDel = true)
 
     case DeleteWhere(qs) =>
-      val plan = solve(store, quadsAsPattern(qs), protoDefault, protoNamed, None)
-      val (delRel, small) = sized(instantiate(plan, qs, None, insertBnodes = false))
-      minusQuads(store, delRel, broadcastDel = small)
+      val (plan, small) = sizedSolutions(store,
+        solve(store, quadsAsPattern(qs), protoDefault, protoNamed, None), qs.size)
+      minusQuads(store, instantiate(plan, qs, None, insertBnodes = false),
+        broadcastDel = small)
 
     case Modify(withGraph, del, ins, usingDefault, usingNamed, where) =>
       // the protocol dataset applies when the op carries no USING of its
@@ -115,20 +116,17 @@ private[graft] object UpdateExec {
       val (ud, un) =
         if (usingDefault.isEmpty && usingNamed.isEmpty) (protoDefault, protoNamed)
         else (usingDefault, usingNamed)
-      val plan = solve(store, where, ud, un, withGraph)
+      val (plan, small) = sizedSolutions(store,
+        solve(store, where, ud, un, withGraph), math.max(del.size, ins.size))
       // both template sides instantiate against the PRE-update state
       // (spec §3.1.3: DELETE and INSERT see the same solution multiset)
       val afterDel =
         if (del.isEmpty) store
-        else {
-          val (delRel, small) = sized(instantiate(plan, del, withGraph, insertBnodes = false))
-          minusQuads(store, delRel, broadcastDel = small)
-        }
+        else minusQuads(store, instantiate(plan, del, withGraph, insertBnodes = false),
+          broadcastDel = small)
       if (ins.isEmpty) afterDel
-      else {
-        val (insRel, small) = sized(instantiate(plan, ins, withGraph, insertBnodes = true))
-        unionDistinct(afterDel, insRel, broadcastAdds = small)
-      }
+      else unionDistinct(afterDel, instantiate(plan, ins, withGraph, insertBnodes = true),
+        broadcastAdds = small)
 
     case LoadOp(source, into, silent) =>
       try {
@@ -249,17 +247,36 @@ private[graft] object UpdateExec {
       "left_anti"))
   }
 
-  /** Materialize a result-sized relation once (it is referenced 2-3 times
-    * downstream and would otherwise re-run its WHERE solve per reference)
-    * and measure it: under `graft.update.broadcastRows` (default 1M rows,
-    * a few hundred MB of term structs) the caller pins it as a broadcast
-    * build side so the store side of the anti/semi joins never shuffles.
-    * Larger sides fall back to the planner — at that size a shuffle join
-    * is the correct plan and a pinned broadcast would OOM the driver. */
-  private def sized(df: DataFrame): (DataFrame, Boolean) = {
-    val m = df.localCheckpoint()
-    (m, m.count() <= sys.props.get("graft.update.broadcastRows")
-      .map(_.toLong).getOrElse(1000000L))
+  /** Materialize an op's WHERE solution relation ONCE (both template sides
+    * instantiate from it, and each side is referenced 2-3 more times in the
+    * anti/semi joins — without the checkpoint the solve re-runs per
+    * reference) and measure it. A template side holds at most
+    * solutions × templates quads, so when that bound is under
+    * `graft.update.broadcastRows` (default 1M rows, a few hundred MB of
+    * term structs) the caller pins the side as the broadcast build side and
+    * the store side of the anti/semi joins never shuffles. Larger sides
+    * fall back to the planner — at that size a shuffle join is the correct
+    * plan and a pinned broadcast would OOM the driver. One eager
+    * solution-sized job per op, shared by both sides. */
+  private def sizedSolutions(store: QuadStore, plan: SPlan,
+                             nTemplates: Int): (SPlan, Boolean) = {
+    // Pay-as-you-go (the SkewSalt.minRows pattern): below a store-size
+    // gate the measurement job costs more than the SortMergeJoin it
+    // prevents — skip it and let the planner/AQE choose (a shuffle of a
+    // sub-512MB store is harmless, and AQE broadcasts truly small sides
+    // on its own). Catalyst stats are free: parquet-backed stores report
+    // real file bytes; in-memory/checkpointed lineages report the huge
+    // default and take the measured path (conservative).
+    val storeBytes = store.quads.queryExecution.optimizedPlan.stats.sizeInBytes
+    val gate = sys.props.get("graft.update.measureStoreBytes")
+      .map(BigInt(_)).getOrElse(BigInt(512L * 1024 * 1024))
+    if (storeBytes < gate) (plan, false)
+    else {
+      val m = plan.df.localCheckpoint()
+      val bound = m.count() * math.max(nTemplates, 1)
+      (plan.copy(df = m), bound <= sys.props.get("graft.update.broadcastRows")
+        .map(_.toLong).getOrElse(1000000L))
+    }
   }
 
   /** Evaluate an update WHERE clause. Dataset rules (spec §3.1.3): USING
