@@ -9,7 +9,10 @@ import graft.model.Iri
  * `rdf-fusion` CLI (/root/reference/cli/src/cli.rs):
  *
  *   serve   --bind host:port [--union-default-graph] [--load path ...]
+ *           [--log dir]
  *           Start the SPARQL-protocol HTTP server (read + data-POST mode).
+ *           --log makes the store durable: mutations append to a
+ *           write-ahead update log under dir and survive restarts.
  *   convert --from-file in.ttl --to-file out.nq [--lenient]
  *           [--from-graph IRI | --from-default-graph] [--to-graph IRI]
  *           Convert between RDF serialisations; formats are taken from the
@@ -67,10 +70,14 @@ object Cli {
       case paths => paths.map(p => QuadStore.loadFile(spark, p).quads)
         .reduce(_ unionAll _).localCheckpoint()
     }
+    // --log dir: durable store — mutations append to a write-ahead update
+    // log under dir and survive restarts (an existing dir wins over --load)
+    val logDir = flags.get("log").flatMap(_.headOption)
     val server = graft.web.SparqlServer.start(spark, initial, port,
-      unionDefaultGraph = union, host = host)
+      unionDefaultGraph = union, host = host, logDir = logDir)
     println(s"[graft] serving SPARQL protocol on $host:${server.boundPort}" +
-      (if (union) " (union default graph)" else ""))
+      (if (union) " (union default graph)" else "") +
+      logDir.fold("")(d => s" (update log: $d)"))
     Thread.currentThread.join() // serve until killed
   }
 

@@ -33,13 +33,43 @@ import graft.sources.{NTriples, RdfWriters}
  * paths (results are collected only to stream the response body).
  */
 final class SparqlServer private (spark: SparkSession, initial: DataFrame, port: Int,
-                                  unionDefaultGraph: Boolean, host: String) {
+                                  unionDefaultGraph: Boolean, host: String,
+                                  logDir: Option[String]) {
 
-  @volatile private var quads: DataFrame =
-    if (initial != null) initial
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      NTriples.quadSchema)
-  private val hasStore = new java.util.concurrent.atomic.AtomicBoolean(initial != null)
+  /** Durable mode: the store lives in an [[graft.UpdateLog]] directory —
+    * mutations append to the write-ahead log and survive a restart. An
+    * existing log dir wins over `initial`; a fresh one is initialised from
+    * it. Mutating endpoints apply the SAME request text in memory that
+    * they append, so the in-memory snapshot and a replay agree exactly. */
+  private val logged: Option[String] = logDir.map { dir =>
+    val d = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(d.resolve("base"))) {
+      val init = if (initial != null) QuadStore(initial)
+        else QuadStore(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], NTriples.quadSchema))
+      graft.UpdateLog.init(init, dir)
+    }
+    dir
+  }
+
+  /** Named graphs registered empty by update ops (CREATE / CLEAR) — carried
+    * across requests alongside the quads. Declared BEFORE `quads`: the
+    * logged-mode initializer below assigns it, and a later declaration
+    * would re-initialize it to empty. */
+  @volatile private var registeredGraphs: Set[graft.model.RdfTerm] = Set.empty
+
+  @volatile private var quads: DataFrame = logged match {
+    case Some(dir) =>
+      val st = graft.UpdateLog.load(spark, dir)
+      registeredGraphs = st.reg
+      st.quads.localCheckpoint()
+    case None if initial != null => initial
+    case None =>
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        NTriples.quadSchema)
+  }
+  private val hasStore = new java.util.concurrent.atomic.AtomicBoolean(
+    initial != null || logged.isDefined)
 
   private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
   server.createContext("/repositories/default/query", (ex: HttpExchange) => handleSafe(ex, handleQuery))
@@ -179,25 +209,44 @@ final class SparqlServer private (spark: SparkSession, initial: DataFrame, port:
       .map(_.takeWhile(_ != ';').trim.toLowerCase).getOrElse("")
     val ext = ContentTypeExt.getOrElse(ct, throw new BadRequest(s"Invalid content type: $ct"))
     val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-    val tmp = Files.createTempFile("graft_post", ext)
-    try {
-      Files.write(tmp, body.getBytes(UTF_8))
-      val parsed = QuadStore.loadFile(spark, tmp.toString).quads
-      // materialise before the temp file goes away (and so queries don't
-      // re-parse the upload); the store itself stays a lazy union of loads
-      val add = parsed.localCheckpoint()
-      synchronized {
-        quads = if (hasStore.getAndSet(true)) quads.unionAll(add) else add
-      }
-      respond(ex, 204, null, Array.emptyByteArray)
-    } finally Files.deleteIfExists(tmp)
+    logged match {
+      case Some(dir) =>
+        // durable mode: persist the document under the log dir and route
+        // the ingestion through a logged LOAD request, so the in-memory
+        // apply and any future replay run the IDENTICAL code path (incl.
+        // LOAD's set semantics — a replay must not disagree about
+        // duplicates with the live store)
+        val docs = java.nio.file.Paths.get(dir).resolve("docs")
+        Files.createDirectories(docs)
+        val doc = docs.resolve(java.util.UUID.randomUUID().toString + ext)
+        Files.write(doc, body.getBytes(UTF_8))
+        val req = s"LOAD <file://${doc.toAbsolutePath}>"
+        synchronized {
+          val st0 = registeredGraphs.foldLeft(QuadStore(quads))(_ insertNamedGraph _)
+          val st1 = st0.update(req)
+          quads = st1.quads.localCheckpoint()
+          registeredGraphs = st1.reg
+          hasStore.set(true)
+          graft.UpdateLog.append(dir, req)
+        }
+        respond(ex, 204, null, Array.emptyByteArray)
+      case None =>
+        val tmp = Files.createTempFile("graft_post", ext)
+        try {
+          Files.write(tmp, body.getBytes(UTF_8))
+          val parsed = QuadStore.loadFile(spark, tmp.toString).quads
+          // materialise before the temp file goes away (and so queries don't
+          // re-parse the upload); the store itself stays a lazy union of loads
+          val add = parsed.localCheckpoint()
+          synchronized {
+            quads = if (hasStore.getAndSet(true)) quads.unionAll(add) else add
+          }
+          respond(ex, 204, null, Array.emptyByteArray)
+        } finally Files.deleteIfExists(tmp)
+    }
   }
 
   // ------------------------------------------------------------------ /update
-
-  /** Named graphs registered empty by update ops (CREATE / CLEAR) — carried
-    * across requests alongside the quads. */
-  @volatile private var registeredGraphs: Set[graft.model.RdfTerm] = Set.empty
 
   /** SPARQL 1.1 Protocol update endpoint: POST with an
     * `application/sparql-update` body, or form-encoded `update=`.
@@ -223,12 +272,22 @@ final class SparqlServer private (spark: SparkSession, initial: DataFrame, port:
     }
     val usingDefault = params.getOrElse("using-graph-uri", Nil).map(graft.model.Iri(_))
     val usingNamed = params.getOrElse("using-named-graph-uri", Nil).map(graft.model.Iri(_))
+    // a logged store replays REQUEST TEXT — protocol dataset parameters
+    // live outside the text and would be lost on replay, silently changing
+    // the replayed semantics. Spell the dataset as USING clauses instead.
+    if (logged.isDefined && (usingDefault.nonEmpty || usingNamed.nonEmpty))
+      throw new BadRequest(
+        "using-graph-uri/using-named-graph-uri are not supported on a logged store; " +
+          "put USING / USING NAMED clauses in the request")
     synchronized {
       val st0 = registeredGraphs.foldLeft(QuadStore(quads))(_ insertNamedGraph _)
       val st1 = st0.update(text, usingDefault, usingNamed)
       quads = st1.quads.localCheckpoint()
       registeredGraphs = st1.reg
       hasStore.set(true)
+      // durability AFTER the in-memory apply succeeded: a failed request
+      // must not poison the log
+      logged.foreach(graft.UpdateLog.append(_, text))
     }
     respond(ex, 204, null, Array.emptyByteArray)
   }
@@ -448,6 +507,7 @@ object SparqlServer {
     * the union of all graphs as its default graph (the reference CLI's
     * --union-default-graph). */
   def start(spark: SparkSession, quads: DataFrame = null, port: Int = 0,
-            unionDefaultGraph: Boolean = false, host: String = "0.0.0.0"): SparqlServer =
-    new SparqlServer(spark, quads, port, unionDefaultGraph, host)
+            unionDefaultGraph: Boolean = false, host: String = "0.0.0.0",
+            logDir: Option[String] = None): SparqlServer =
+    new SparqlServer(spark, quads, port, unionDefaultGraph, host, logDir)
 }

@@ -1,0 +1,99 @@
+package graft
+
+import java.net.{HttpURLConnection, URI, URLEncoder}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+import graft.web.SparqlServer
+
+/** Durable protocol server: with a log dir, update POSTs and data POSTs
+  * append to the write-ahead update log and a RESTARTED server over the
+  * same directory reproduces the exact store — including graphs
+  * registered empty, and LOAD-routed data uploads. Protocol dataset
+  * params are rejected in logged mode (they live outside the request
+  * text a replay sees). */
+class SparqlServerLogSpec extends SparkSpec {
+
+  private val dir = Files.createTempDirectory("graft_server_log").toString
+
+  private def http(method: String, url: String, accept: String = null,
+                   contentType: String = null, body: String = null): (Int, String) = {
+    val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    if (accept != null) conn.setRequestProperty("Accept", accept)
+    if (contentType != null) conn.setRequestProperty("Content-Type", contentType)
+    if (body != null) { conn.setDoOutput(true); conn.getOutputStream.write(body.getBytes(UTF_8)) }
+    val status = conn.getResponseCode
+    val stream = if (status >= 400) conn.getErrorStream else conn.getInputStream
+    (status, if (stream == null) "" else new String(stream.readAllBytes(), UTF_8))
+  }
+
+  private def ask(base: String, q: String): Boolean = {
+    val (st, body) = http("GET",
+      s"$base/repositories/default/query?query=${URLEncoder.encode(q, UTF_8)}",
+      accept = "application/sparql-results+json")
+    assert(st == 200, body)
+    body.contains("true")
+  }
+
+  test("mutations survive a server restart over the same log dir") {
+    val s1 = SparqlServer.start(spark, logDir = Some(dir))
+    val base1 = s"http://127.0.0.1:${s1.boundPort}"
+    try {
+      assert(http("POST", s"$base1/repositories/default/update",
+        contentType = "application/sparql-update",
+        body = "INSERT DATA { <urn:l:a> <urn:l:p> \"v1\" }")._1 == 204)
+      assert(http("POST", s"$base1/repositories/default/update",
+        contentType = "application/sparql-update",
+        body = "CREATE GRAPH <urn:l:gEmpty>")._1 == 204)
+      // data POST routes through a logged LOAD (set semantics: the repeat
+      // upload must not duplicate)
+      assert(http("POST", s"$base1/repositories/default/data",
+        contentType = "application/n-quads",
+        body = "<urn:l:b> <urn:l:p> \"v2\" <urn:l:g1> .\n")._1 == 204)
+      assert(http("POST", s"$base1/repositories/default/data",
+        contentType = "application/n-quads",
+        body = "<urn:l:b> <urn:l:p> \"v2\" <urn:l:g1> .\n")._1 == 204)
+      assert(ask(base1, "ASK { <urn:l:a> <urn:l:p> \"v1\" }"))
+      assert(ask(base1, "ASK { GRAPH <urn:l:g1> { <urn:l:b> <urn:l:p> \"v2\" } }"))
+      // protocol dataset params rejected in logged mode
+      val (st, msg) = http("POST",
+        s"$base1/repositories/default/update?using-graph-uri=${URLEncoder.encode("urn:l:g1", UTF_8)}",
+        contentType = "application/sparql-update",
+        body = "INSERT { <urn:x> <urn:y> ?o } WHERE { ?s <urn:l:p> ?o }")
+      assert(st == 400, msg)
+    } finally s1.stop()
+
+    // fresh server over the same dir: the log replays to the same state
+    val s2 = SparqlServer.start(spark, logDir = Some(dir))
+    val base2 = s"http://127.0.0.1:${s2.boundPort}"
+    try {
+      assert(ask(base2, "ASK { <urn:l:a> <urn:l:p> \"v1\" }"))
+      assert(ask(base2, "ASK { GRAPH <urn:l:g1> { <urn:l:b> <urn:l:p> \"v2\" } }"))
+      // the duplicate upload stayed a set: exactly one copy
+      assert(ask(base2,
+        "ASK { { SELECT (COUNT(*) AS ?n) WHERE { GRAPH <urn:l:g1> { ?s ?p ?o } } } FILTER(?n = 1) }"))
+      // registered-empty graph survived via the log replay
+      val (stG, bodyG) = http("GET",
+        s"$base2/repositories/default/query?query=" +
+          URLEncoder.encode("SELECT ?g WHERE { GRAPH ?g {} }", UTF_8),
+        accept = "application/sparql-results+json")
+      // (GRAPH ?g {} enumeration may not list empty graphs; assert via a
+      // follow-up CREATE that must now fail without SILENT)
+      val (stC, _) = http("POST", s"$base2/repositories/default/update",
+        contentType = "application/sparql-update", body = "CREATE GRAPH <urn:l:gEmpty>")
+      assert(stC >= 400, s"CREATE of a replay-registered graph must error (got $stC, g-query $stG $bodyG)")
+      // compaction folds the log; the compacted dir serves identically
+      UpdateLog.compact(spark, dir)
+    } finally s2.stop()
+
+    val s3 = SparqlServer.start(spark, logDir = Some(dir))
+    val base3 = s"http://127.0.0.1:${s3.boundPort}"
+    try {
+      assert(ask(base3, "ASK { <urn:l:a> <urn:l:p> \"v1\" }"))
+      assert(ask(base3, "ASK { GRAPH <urn:l:g1> { <urn:l:b> <urn:l:p> \"v2\" } }"))
+      val (stC, _) = http("POST", s"$base3/repositories/default/update",
+        contentType = "application/sparql-update", body = "CREATE GRAPH <urn:l:gEmpty>")
+      assert(stC >= 400, "registry must survive compaction")
+    } finally s3.stop()
+  }
+}
