@@ -92,6 +92,17 @@ object UpdateLog {
     Files.move(d.resolve("base.next"), d.resolve("base"))
     writeRegistry(d, reg)
     consumed.foreach(Files.delete)
+    // uploaded documents (the server's logged data POSTs) whose LOAD entry
+    // was just folded are garbage — keep only those a surviving entry
+    // still references
+    val docs = d.resolve("docs")
+    if (Files.isDirectory(docs)) {
+      val live = entries(d.resolve("log"))
+        .map(p => new String(Files.readAllBytes(p), "UTF-8")).mkString("\n")
+      Files.list(docs).iterator().asScala.toSeq
+        .filterNot(p => live.contains(p.getFileName.toString))
+        .foreach(Files.delete)
+    }
     readRegistry(d).foldLeft(
       QuadStore.load(spark, d.resolve("base").toString))(_ insertNamedGraph _)
   }

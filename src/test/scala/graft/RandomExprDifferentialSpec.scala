@@ -23,8 +23,8 @@ import graft.sources.Turtle
  * model and engine share IEEE-semantics-free ground; the curated tests own
  * the specials. ~25 expressions ride ONE query per seed (independent BINDs
  * over a single VALUES row) so the whole spec costs a handful of Spark
- * jobs; more than ~10 per query overflows whole-stage codegen's method
- * limit (janino falls back to interpreted and the spec crawls).
+ * jobs; more per query overflows whole-stage codegen's 64KB method limit
+ * (janino falls back to interpreted and the spec crawls).
  */
 class RandomExprDifferentialSpec extends SparkSpec {
 
@@ -237,7 +237,7 @@ class RandomExprDifferentialSpec extends SparkSpec {
       if (rnd.nextInt(5) == 0) None // UNDEF
       else Some(v -> atomPool(rnd.nextInt(atomPool.size)))
     }.toMap
-    val exprs = Seq.fill(10)(genExpr(rnd, 3))
+    val exprs = Seq.fill(8)(genExpr(rnd, 3))
 
     val valuesRow = Seq("a", "b", "c")
       .map(v => assign.get(v).map(renderT).getOrElse("UNDEF")).mkString("(", " ", ")")
