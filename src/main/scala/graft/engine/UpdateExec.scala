@@ -350,8 +350,15 @@ private[graft] object UpdateExec {
     val defaultG: Column =
       defaultGraph.map(g => ExprCompiler.termLit(g)).getOrElse(TermCols.nullTerm)
     val parts = qs.map { q =>
-      df.select(q.graph.map(slot).getOrElse(defaultG).as("graph"),
+      val part = df.select(q.graph.map(slot).getOrElse(defaultG).as("graph"),
         slot(q.s).as("subject"), slot(q.p).as("predicate"), slot(q.o).as("object"))
+      // an EXPLICIT graph slot that evaluates to NULL is an UNBOUND graph
+      // variable — that instantiation is skipped (spec: invalid), and must
+      // NOT be conflated with "no graph slot" (NULL = the default graph)
+      q.graph match {
+        case Some(VarPat(_)) => part.filter(col("graph").isNotNull)
+        case _ => part
+      }
     }
     parts.reduce(_ unionAll _)
       .filter(col("subject").isNotNull && col("subject.t") =!= TermType.Literal &&
