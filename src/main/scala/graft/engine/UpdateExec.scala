@@ -39,7 +39,23 @@ private[graft] object UpdateExec {
     * operation that uses the USING, USING NAMED, or WITH clause"). */
   def apply(store: QuadStore, text: String,
             protoUsingDefault: Seq[Iri] = Nil,
-            protoUsingNamed: Seq[Iri] = Nil): QuadStore = {
+            protoUsingNamed: Seq[Iri] = Nil): QuadStore =
+    applyWeighted(store, text, 1L, protoUsingDefault, protoUsingNamed)._1
+
+  /**
+   * Like [[apply]], but the plan-growth weight is THREADED: `startWeight` is
+   * the caller's accumulated growth product since its store plan was last
+   * checkpointed, and the final weight comes back with the result. Callers
+   * that apply a SEQUENCE of requests against evolving state — [[graft.UpdateLog]]
+   * replay, the protocol server's logged/live mutation paths — must use this
+   * form: with per-request accounting a run of single-Modify requests never
+   * reaches the in-request cut (weight 8 < 64 per request) and the plan
+   * compounds ~8^n leaves across requests — exactly the exponential shape
+   * tools/UpdatePlanProbe measured at 575 s for 12 uncut ops.
+   */
+  def applyWeighted(store: QuadStore, text: String, startWeight: Long,
+                    protoUsingDefault: Seq[Iri] = Nil,
+                    protoUsingNamed: Seq[Iri] = Nil): (QuadStore, Long) = {
     val req = SparqlParser.parseUpdate(text)
     if (protoUsingDefault.nonEmpty || protoUsingNamed.nonEmpty)
       req.ops.foreach {
@@ -58,16 +74,22 @@ private[graft] object UpdateExec {
     // factor and cutting when the product exceeds cutWeight bounds every
     // compiled plan to ~cutWeight leaves, making a 100-op request linear.
     // The checkpoint is store-snapshot-sized but amortised over the ops
-    // between cuts.
-    var weight = 1L
-    req.ops.foldLeft(store) { (st, op) =>
+    // between cuts. The weight only advances when the op actually grew the
+    // plan (`next.quads ne st.quads` — SILENT no-ops and registry-only ops
+    // leave it untouched), and the product is clamped so a long run of
+    // growth cannot overflow Long and silently disable every later cut.
+    var weight = math.max(startWeight, 1L)
+    val out = req.ops.foldLeft(store) { (st, op) =>
       val next = exec(st, op, protoUsingDefault, protoUsingNamed)
-      weight *= opGrowth(op)
-      if (weight >= lineageCutWeight && (next ne st)) {
-        weight = 1L
-        next.withQuads(next.quads.localCheckpoint())
+      if (next.quads ne st.quads) {
+        weight = math.min(weight * opGrowth(op), 1L << 40)
+        if (weight >= lineageCutWeight) {
+          weight = 1L
+          next.withQuads(next.quads.localCheckpoint())
+        } else next
       } else next
     }
+    (out, weight)
   }
 
   /** How many times an op's output plan embeds its input store plan. */
@@ -137,8 +159,11 @@ private[graft] object UpdateExec {
         // Force materialisation INSIDE the try: .nt/.nq line parsing runs
         // lazily on executors, so without this a malformed document would
         // escape the SILENT handler and crash a later, unrelated action on
-        // the store. The checkpoint is document-sized.
-        val loaded = if (silent) loaded0.localCheckpoint() else loaded0
+        // the store — or, for a non-SILENT LOAD, escape the UPDATE REQUEST
+        // entirely and poison a write-ahead log / protocol response whose
+        // contract is "a failed request has no effect". The checkpoint is
+        // document-sized.
+        val loaded = loaded0.localCheckpoint()
         val retargeted = into match {
           case Some(g) => loaded.withColumn("graph", ExprCompiler.termLit(g))
           case None => loaded

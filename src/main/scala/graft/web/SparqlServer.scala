@@ -58,6 +58,15 @@ final class SparqlServer private (spark: SparkSession, initial: DataFrame, port:
     * would re-initialize it to empty. */
   @volatile private var registeredGraphs: Set[graft.model.RdfTerm] = Set.empty
 
+  /** Accumulated plan-growth weight of the uncheckpointed update lineage on
+    * top of `quads` (see [[graft.engine.UpdateExec.applyWeighted]]). Carried
+    * ACROSS protocol requests so mutations checkpoint by weight, not per
+    * request: at 100 TB a full-store materialisation per protocol update is
+    * exactly the cost the write-ahead log exists to avoid, while the weight
+    * bound keeps every served plan ≤ cutWeight store-plan leaves. Guarded by
+    * the same `synchronized` as the `quads` swap. */
+  private var planWeight: Long = 1L
+
   @volatile private var quads: DataFrame = logged match {
     case Some(dir) =>
       val st = graft.UpdateLog.load(spark, dir)
@@ -223,11 +232,18 @@ final class SparqlServer private (spark: SparkSession, initial: DataFrame, port:
         val req = s"LOAD <file://${doc.toAbsolutePath}>"
         synchronized {
           val st0 = registeredGraphs.foldLeft(QuadStore(quads))(_ insertNamedGraph _)
-          val st1 = st0.update(req)
-          quads = st1.quads.localCheckpoint()
-          registeredGraphs = st1.reg
-          hasStore.set(true)
+          // weight-carried apply (see planWeight); LOAD materialises the
+          // parsed document inside the executor, so a malformed upload
+          // fails HERE — before anything is appended or published
+          val (st1, w) = graft.engine.UpdateExec.applyWeighted(st0, req, planWeight)
+          // durability BEFORE publication: if the append fails (disk full),
+          // the client gets its 500 while memory still matches the log —
+          // the two can never silently diverge (r8 ADVICE)
           graft.UpdateLog.append(dir, req)
+          quads = st1.quads
+          registeredGraphs = st1.reg
+          planWeight = w
+          hasStore.set(true)
         }
         respond(ex, 204, null, Array.emptyByteArray)
       case None =>
@@ -274,20 +290,38 @@ final class SparqlServer private (spark: SparkSession, initial: DataFrame, port:
     val usingNamed = params.getOrElse("using-named-graph-uri", Nil).map(graft.model.Iri(_))
     // a logged store replays REQUEST TEXT — protocol dataset parameters
     // live outside the text and would be lost on replay, silently changing
-    // the replayed semantics. Spell the dataset as USING clauses instead.
-    if (logged.isDefined && (usingDefault.nonEmpty || usingNamed.nonEmpty))
-      throw new BadRequest(
-        "using-graph-uri/using-named-graph-uri are not supported on a logged store; " +
-          "put USING / USING NAMED clauses in the request")
+    // the replayed semantics. Splice them into the text as USING / USING
+    // NAMED clauses (spec-equivalent — see UpdateDatasetRewrite), so the
+    // live apply and any future replay execute the IDENTICAL request.
+    val (effText, effDefault, effNamed) =
+      if (logged.isDefined && (usingDefault.nonEmpty || usingNamed.nonEmpty)) {
+        // same protocol §2.2.3 error UpdateExec enforces, surfaced as a 400
+        // BEFORE splicing (the rewriter assumes no op carries USING/WITH)
+        graft.sparql.SparqlParser.parseUpdate(text).ops.foreach {
+          case m: graft.sparql.Algebra.Modify
+              if m.usingDefault.nonEmpty || m.usingNamed.nonEmpty || m.withGraph.nonEmpty =>
+            throw new BadRequest(
+              "using-graph-uri parameters cannot be combined with a USING or WITH clause")
+          case _ =>
+        }
+        val spliced = graft.sparql.UpdateDatasetRewrite.spliceUsing(text, usingDefault, usingNamed)
+        graft.sparql.SparqlParser.parseUpdate(spliced) // defensive: must stay parseable
+        (spliced, Nil, Nil)
+      } else (text, usingDefault, usingNamed)
     synchronized {
       val st0 = registeredGraphs.foldLeft(QuadStore(quads))(_ insertNamedGraph _)
-      val st1 = st0.update(text, usingDefault, usingNamed)
-      quads = st1.quads.localCheckpoint()
+      // weight-carried apply: checkpoints by accumulated plan growth, not
+      // per request (see planWeight). Parse/validation errors and every
+      // eager op failure surface here, before the log append.
+      val (st1, w) = graft.engine.UpdateExec.applyWeighted(
+        st0, effText, planWeight, effDefault, effNamed)
+      // durability BEFORE publication (r8 ADVICE): a failed append leaves
+      // memory and log consistent — the client's 500 is the truth
+      logged.foreach(graft.UpdateLog.append(_, effText))
+      quads = st1.quads
       registeredGraphs = st1.reg
+      planWeight = w
       hasStore.set(true)
-      // durability AFTER the in-memory apply succeeded: a failed request
-      // must not poison the log
-      logged.foreach(graft.UpdateLog.append(_, text))
     }
     respond(ex, 204, null, Array.emptyByteArray)
   }

@@ -8,9 +8,10 @@ import graft.web.SparqlServer
 /** Durable protocol server: with a log dir, update POSTs and data POSTs
   * append to the write-ahead update log and a RESTARTED server over the
   * same directory reproduces the exact store — including graphs
-  * registered empty, and LOAD-routed data uploads. Protocol dataset
-  * params are rejected in logged mode (they live outside the request
-  * text a replay sees). */
+  * registered empty, LOAD-routed data uploads, and protocol dataset
+  * parameters (which live outside the request text, so the server
+  * splices them into it as USING clauses before appending — the logged
+  * request is self-contained and replays with the live semantics). */
 class SparqlServerLogSpec extends SparkSpec {
 
   private val dir = Files.createTempDirectory("graft_server_log").toString
@@ -55,12 +56,21 @@ class SparqlServerLogSpec extends SparkSpec {
         body = "<urn:l:b> <urn:l:p> \"v2\" <urn:l:g1> .\n")._1 == 204)
       assert(ask(base1, "ASK { <urn:l:a> <urn:l:p> \"v1\" }"))
       assert(ask(base1, "ASK { GRAPH <urn:l:g1> { <urn:l:b> <urn:l:p> \"v2\" } }"))
-      // protocol dataset params rejected in logged mode
+      // protocol dataset params in logged mode: spliced into the request
+      // text as USING clauses, applied live AND preserved for replay
       val (st, msg) = http("POST",
         s"$base1/repositories/default/update?using-graph-uri=${URLEncoder.encode("urn:l:g1", UTF_8)}",
         contentType = "application/sparql-update",
         body = "INSERT { <urn:x> <urn:y> ?o } WHERE { ?s <urn:l:p> ?o }")
-      assert(st == 400, msg)
+      assert(st == 204, msg)
+      // the WHERE saw g1 as its default graph → bound ?o to "v2"
+      assert(ask(base1, "ASK { <urn:x> <urn:y> \"v2\" }"))
+      // combining the params with an in-request USING stays a 400 (§2.2.3)
+      val (stBad, msgBad) = http("POST",
+        s"$base1/repositories/default/update?using-graph-uri=${URLEncoder.encode("urn:l:g1", UTF_8)}",
+        contentType = "application/sparql-update",
+        body = "INSERT { <urn:x2> <urn:y2> ?o } USING <urn:l:g1> WHERE { ?s <urn:l:p> ?o }")
+      assert(stBad == 400, msgBad)
     } finally s1.stop()
 
     // fresh server over the same dir: the log replays to the same state
@@ -69,6 +79,9 @@ class SparqlServerLogSpec extends SparkSpec {
     try {
       assert(ask(base2, "ASK { <urn:l:a> <urn:l:p> \"v1\" }"))
       assert(ask(base2, "ASK { GRAPH <urn:l:g1> { <urn:l:b> <urn:l:p> \"v2\" } }"))
+      // the protocol-dataset mutation replayed with its spliced USING clause
+      assert(ask(base2, "ASK { <urn:x> <urn:y> \"v2\" }"),
+        "using-graph-uri semantics must survive a replay")
       // the duplicate upload stayed a set: exactly one copy
       assert(ask(base2,
         "ASK { { SELECT (COUNT(*) AS ?n) WHERE { GRAPH <urn:l:g1> { ?s ?p ?o } } } FILTER(?n = 1) }"))
@@ -91,6 +104,8 @@ class SparqlServerLogSpec extends SparkSpec {
     try {
       assert(ask(base3, "ASK { <urn:l:a> <urn:l:p> \"v1\" }"))
       assert(ask(base3, "ASK { GRAPH <urn:l:g1> { <urn:l:b> <urn:l:p> \"v2\" } }"))
+      assert(ask(base3, "ASK { <urn:x> <urn:y> \"v2\" }"),
+        "the spliced protocol-dataset mutation must survive compaction")
       val (stC, _) = http("POST", s"$base3/repositories/default/update",
         contentType = "application/sparql-update", body = "CREATE GRAPH <urn:l:gEmpty>")
       assert(stC >= 400, "registry must survive compaction")
