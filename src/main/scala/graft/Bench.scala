@@ -117,8 +117,11 @@ object Bench {
     } catch { case e: Throwable => System.err.println(s"[bench] artifact write: $e") }
     // stop Spark BEFORE printing, so the JSON is the process's very last
     // stdout line (r6's artifact was truncated by a JVM-exit summary
-    // printing after it).
+    // printing after it). The full per-query line stays on stdout (the
+    // contract line, with the complete "queries" map); the compact summary
+    // prints LAST so the driver's 2,000-char tail capture parses it.
     spark.stop()
+    println(json)
     println(compact)
   }
 }
