@@ -90,10 +90,18 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
       // unreliable and tends to broadcast half the table. Hint shuffle-hash;
       // genuinely small sides still end up broadcast via AQE when unhinted
       // joins surround this, and shuffle-hash on small data is near-free.
+      // EXCEPT: a pattern whose scan partition- or branch-prunes to a
+      // provably small relation (Rewriter.statSmall — predicate-partitioned
+      // store directory, or one small mapped table) broadcasts instead:
+      // the join then needs no exchange on EITHER side (r9, guide §3.1;
+      // the 17-pattern wind-farm BGP had 25 exchanges for 14 16-KB
+      // metadata predicates).
       bgpPlans(ps, scope).reduce { (a, b) =>
         // a structurally-tiny side broadcasts instead (see join) — don't
         // pre-commit it to a shuffle
-        val b2 = if (a.tiny || b.tiny) b else b.copy(df = b.df.hint("shuffle_hash"))
+        val b2 = if (a.tiny || b.tiny) b
+                 else if (Rewriter.statSmall(b.df)) b.copy(df = broadcast(b.df))
+                 else b.copy(df = b.df.hint("shuffle_hash"))
         join(a, b2, "inner", None, scope)
       }
     case PathPattern(s, path, o) => pathPattern(s, path, o, scope)
@@ -507,8 +515,14 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
         return SPlan(df, outVars, mu, mergeKinds(l, r), outTiny)
       }
       if (!needCompat && filter.isEmpty) {
-        // fast path: plain equi-join; Catalyst picks broadcast/SMJ/shuffle-hash
-        val df = ldf.join(rdf, shared, joinType)
+        // fast path: plain equi-join. A genuinely-small right side still
+        // broadcasts (estimates for these shapes over-state, so a small
+        // verdict is safe); anything else is hinted shuffle_hash — the
+        // default preferSortMergeJoin would otherwise plan SMJ for the
+        // mid-size checkpointed relations path/closure composition feeds
+        // through here (same shuffle + two sorts; guide §3.1).
+        val rdf2 = if (r.tiny) rdf else Rewriter.shuffleHashUnlessSmall(rdf)
+        val df = ldf.join(rdf2, shared, joinType)
         val mu0 = l.maybeUnbound ++ r.maybeUnbound -- shared
         val mu = if (joinType == "left") mu0 ++ rOnly else mu0
         return SPlan(df, outVars, mu, mergeKinds(l, r), outTiny)
@@ -675,7 +689,7 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
       val keys = shared.filterNot(v => aNull(v) || bNull(v))
       if (keys.nonEmpty) {
         val cond = (keys.map(k => col(k) === col("__r_" + k)) ++ filterCond).reduce(_ && _)
-        lslice.join(rslice, cond, "inner")
+        lslice.join(Rewriter.shuffleHashUnlessSmall(rslice), cond, "inner")
       } else {
         // every shared var null on one side → all rows compatible; the cross
         // is the operator's actual output for these slices. Broadcast the
@@ -706,7 +720,7 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
       SPlan(inner.select(out: _*), outVars, mu, mergeKinds(l, r), outTiny)
     else {
       val matched = inner.select(col(rowId)).distinct()
-      val unmatched = ldf.join(matched, Seq(rowId), "left_anti")
+      val unmatched = ldf.join(Rewriter.shuffleHashUnlessSmall(matched), Seq(rowId), "left_anti")
       val padded = unmatched.select(outVars.map(v =>
         if (l.vars.contains(v)) col(v) else TermCols.nullTerm.as(v)): _*)
       SPlan(inner.select(out: _*).unionAll(padded), outVars, mu, mergeKinds(l, r), outTiny)
@@ -723,7 +737,9 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     // compat ≡ equality and the ≥1-bound-both condition is always true →
     // plain equi anti-join (hash join, not the O(n·m) non-equi fallback)
     if (shared.forall(v => !l.isNullable(v) && !r.isNullable(v)))
-      return SPlan(l.df.join(r.df.select(shared.map(col): _*), shared, "left_anti"),
+      return SPlan(l.df.join(
+          Rewriter.shuffleHashUnlessSmall(r.df.select(shared.map(col): _*)),
+          shared, "left_anti"),
         l.vars, l.maybeUnbound, l.kinds, l.tiny)
     // Null-pattern union rewrite (same machinery as compatUnionJoin, anti
     // flavour): ANY nullable shared var makes the condition below pure
@@ -759,11 +775,13 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
         val rslice = rn.foldLeft(rdf)((d, v) =>
           d.filter(if (bNull(v)) col("__r_" + v).isNull else col("__r_" + v).isNotNull))
         val cond = keys.map(k => col(k) === col("__r_" + k)).reduce(_ && _)
-        lslice.join(rslice, cond, "left_semi").select(col(rowId))
+        lslice.join(Rewriter.shuffleHashUnlessSmall(rslice), cond, "left_semi")
+          .select(col(rowId))
       }
       val out = matchedPerBranch.reduceOption(_ unionAll _) match {
         case Some(matched) =>
-          ldf.join(matched.distinct(), Seq(rowId), "left_anti").drop(rowId)
+          ldf.join(Rewriter.shuffleHashUnlessSmall(matched.distinct()),
+            Seq(rowId), "left_anti").drop(rowId)
         case None => l.df
       }
       return SPlan(out, l.vars, l.maybeUnbound, l.kinds, l.tiny)
@@ -925,7 +943,8 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
         val compat = shared.map(v => TermCols.isCompatible(col(v), col("__r_" + v)))
         val anyBoth = shared.map(v => col(v).isNotNull && col("__r_" + v).isNotNull)
         val cond = (col(lid) === col("__r_" + lid)) && compat.reduce(_ && _) && anyBoth.reduce(_ || _)
-        SPlan(A.df.join(rr, cond, "left_anti"), A.vars, A.maybeUnbound, A.kinds)
+        SPlan(A.df.join(Rewriter.shuffleHashUnlessSmall(rr), cond, "left_anti"),
+          A.vars, A.maybeUnbound, A.kinds)
       }
     case GraphGraph(name, inner) => name match {
       case TermPat(Iri(iri)) => lateralPattern(inner, ctx, lid, Named(iri))
@@ -1140,7 +1159,8 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
       if (shared.isEmpty)
         return SPlan(in.df.join(inner.df.limit(1), lit(true), jt), in.vars, in.maybeUnbound, in.kinds)
       if (shared.forall(v => !in.isNullable(v) && !inner.isNullable(v)))
-        return SPlan(in.df.join(inner.df.select(shared.map(col): _*), shared, jt),
+        return SPlan(in.df.join(
+            Rewriter.shuffleHashUnlessSmall(inner.df.select(shared.map(col): _*)), shared, jt),
           in.vars, in.maybeUnbound, in.kinds)
       // Null-pattern union rewrite (semi/anti flavour of compatUnionJoin):
       // nullable shared vars make the condition below pure isCompatible —
@@ -1173,11 +1193,14 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
             val rslice = rn.foldLeft(rdf)((d, v) =>
               d.filter(if (bNull(v)) col("__r_" + v).isNull else col("__r_" + v).isNotNull))
             val cond = keys.map(k => col(k) === col("__r_" + k)).reduce(_ && _)
-            lslice.join(rslice, cond, "left_semi").select(col(rowId))
+            lslice.join(Rewriter.shuffleHashUnlessSmall(rslice), cond, "left_semi")
+              .select(col(rowId))
           }
         }
         val out = matchedPerBranch.reduceOption(_ unionAll _) match {
-          case Some(matched) => ldf.join(matched.distinct(), Seq(rowId), jt).drop(rowId)
+          case Some(matched) =>
+            ldf.join(Rewriter.shuffleHashUnlessSmall(matched.distinct()), Seq(rowId), jt)
+              .drop(rowId)
           case None => // no compatible right rows at all
             if (negated) in.df else in.df.limit(0)
         }
@@ -1708,7 +1731,12 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
   private def stepJoin(delta: DataFrame, rel: DataFrame,
                        heavy: Option[DataFrame]): DataFrame = heavy match {
     case None =>
-      delta.join(rel, col("dtgt") === col("src") && (col("dg") <=> col("g")))
+      // both sides are checkpointed (no stats) → hint shuffle_hash so the
+      // per-round join skips SortMergeJoin's two sorts; the delta side is
+      // hinted (= build side): the frontier shrinks round over round while
+      // rel stays edge-sized
+      delta.hint("shuffle_hash")
+        .join(rel, col("dtgt") === col("src") && (col("dg") <=> col("g")))
         .select(col("dg").as("g"), col("dsrc").as("src"), col("tgt"))
     case Some(h) =>
       val s = graft.ops.SkewSalt.salts
@@ -1723,7 +1751,8 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
         .withColumn("__sb", explode(when(col("__hot") === 1,
           sequence(lit(0), lit(s - 1))).otherwise(array(lit(0)))))
         .select(col("g"), col("src"), col("tgt"), col("__sb"))
-      d2.join(r2, col("dtgt") === col("src") && (col("dg") <=> col("g")) &&
+      d2.hint("shuffle_hash")
+        .join(r2, col("dtgt") === col("src") && (col("dg") <=> col("g")) &&
           col("__sa") === col("__sb"))
         .select(col("dg").as("g"), col("dsrc").as("src"), col("tgt"))
   }
@@ -1736,7 +1765,8 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
         // seeds — rounds are linear in path depth but each round touches
         // O(frontier) data, not the whole graph
         val s = sd.select(col("g").as("sg"), col("n"))
-        var all = edges.join(s, col("src") === col("n") && (col("g") <=> col("sg")))
+        var all = edges.join(s.hint("shuffle_hash"),
+            col("src") === col("n") && (col("g") <=> col("sg")))
           .select(col("g"), col("src"), col("tgt")).dropDuplicates().localCheckpoint()
         // dense seed set: the walk would touch most of the graph anyway, and
         // linear rounds pay fixed job overhead per hop — log-round full
@@ -1744,7 +1774,8 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
         val eCnt = edges.count()
         if (all.count() * 8 >= eCnt)
           return closure(edges, None)
-            .join(s, col("src") === col("n") && (col("g") <=> col("sg")), "left_semi")
+            .join(s.hint("shuffle_hash"),
+              col("src") === col("n") && (col("g") <=> col("sg")), "left_semi")
         // hub out-degrees are static across rounds: detect once
         val eHeavy = heavyKeys(edges, eCnt)
         var delta = all
@@ -1758,7 +1789,15 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
           rounds += 1
           val d = delta.select(col("g").as("dg"), col("src").as("dsrc"), col("tgt").as("dtgt"))
           val next = stepJoin(d, edges, eHeavy).dropDuplicates()
-          delta = next.except(all).localCheckpoint()
+          // next is already distinct, so `except(all)` ≡ this anti join —
+          // minus except's redundant re-dedup of the left side, and with
+          // the checkpointed right side hinted off SortMergeJoin
+          delta = next.join(
+              all.select(col("g").as("__ag"), col("src").as("__as"), col("tgt").as("__at"))
+                .hint("shuffle_hash"),
+              (col("g") <=> col("__ag")) && (col("src") <=> col("__as")) &&
+                (col("tgt") <=> col("__at")), "left_anti")
+            .localCheckpoint()
           if (!delta.isEmpty) all = all.unionAll(delta).localCheckpoint()
         }
         if (!delta.isEmpty) {
@@ -1940,4 +1979,121 @@ object Rewriter {
   private[engine] def closureKey(edges: DataFrame, seeds: Option[DataFrame]): String =
     graft.ops.IndexCache.key(edges) + "||" +
       seeds.map(graft.ops.IndexCache.key(_)).getOrElse("")
+
+  /** Whether Catalyst's size estimate for this plan is both MEANINGFUL and
+    * under the session's broadcast threshold (guide §3.1: pick the join
+    * strategy deliberately; broadcast the side you KNOW is small).
+    *
+    * Meaningful: a pattern scan over a predicate-partitioned store
+    * ([[graft.QuadStore#saveByPredicate]]) partition-prunes to one
+    * directory, so `optimizedPlan.stats.sizeInBytes` is that directory's
+    * real file size; a pattern over the relational mapping's union prunes
+    * to the one per-column branch whose predicate matches, so the estimate
+    * is that table scan's size. Both are trustworthy. NOT meaningful:
+    * checkpointed RDD scans and filtered slices of a monolithic quad
+    * relation — there sizeInBytes is the full-relation (or default ~8 EB)
+    * figure, which simply fails the threshold, keeping today's behaviour.
+    *
+    * Estimates only ever OVER-state for these shapes (filters keep the
+    * child's size when CBO can't refine), so a positive answer is safe at
+    * any data scale; the threshold itself is the session's
+    * `spark.sql.autoBroadcastJoinThreshold`, i.e. cluster-configurable,
+    * not a local[32] constant. */
+  private[engine] def statSmall(df: DataFrame): Boolean = {
+    // Deliberately LOWER than spark.sql.autoBroadcastJoinThreshold: these
+    // are columnar-compressed quad bytes, so 8 MB of parquet is ~2.4M term
+    // rows — a hash relation that costs more to build + broadcast than the
+    // shuffle it saves, and a broadcast chain keeps the streamed side's
+    // (tiny) partitioning, so over-eager broadcasting collapses
+    // parallelism (measured: wind-farm 5.9 s → 11.4 s with the 10 MB
+    // threshold; metadata-only broadcasting is the win). 1 MB ≈ ≤300k
+    // rows ≈ bounded-vocabulary metadata predicates. Conf-tunable for
+    // other storage profiles.
+    val conf = df.sparkSession.conf.getOption("graft.bgp.broadcastBytes")
+      .orElse(sys.props.get("graft.bgp.broadcastBytes")).getOrElse("1m")
+    val threshold =
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(conf)
+      catch { case _: Throwable => 1L << 20 }
+    threshold > 0 && {
+      val plan = df.queryExecution.optimizedPlan
+      val size = prunedScanSize(plan).getOrElse(plan.stats.sizeInBytes)
+      size >= 0 && size <= threshold
+    }
+  }
+
+  /** Append a shuffle_hash hint unless this side's size estimate is small
+    * enough that Catalyst would broadcast it. Rationale (guide §3.1 — pick
+    * the strategy deliberately): with `preferSortMergeJoin` at its default,
+    * any non-broadcastable side gets SortMergeJoin — the same shuffle plus
+    * a sort of BOTH sides. These call sites join checkpointed/derived
+    * relations whose estimates are either propagated over-statements or
+    * the ~8 EB default, so "too big to broadcast" is exactly the case
+    * where shuffled-hash wins; a genuinely small estimate is left alone so
+    * the broadcast still happens (estimates for these shapes only ever
+    * over-state, so a small verdict is trustworthy). */
+  private[engine] def shuffleHashUnlessSmall(df: DataFrame): DataFrame = {
+    // never stack over an existing hint (a deliberate broadcast would be
+    // silently overridden — HintErrorLogger warns and the broadcast dies);
+    // hints live below projections too, so walk the narrow-op chain
+    @annotation.tailrec
+    def hintedAtRoot(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p match {
+        case _: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => true
+        case prj: org.apache.spark.sql.catalyst.plans.logical.Project => hintedAtRoot(prj.child)
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => hintedAtRoot(f.child)
+        case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias => hintedAtRoot(a.child)
+        case _ => false
+      }
+    val hinted = hintedAtRoot(df.queryExecution.analyzed)
+    val conf = df.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val threshold =
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(conf)
+      catch { case _: Throwable => 10485760L }
+    if (hinted || (threshold > 0 &&
+        df.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold)) df
+    else df.hint("shuffle_hash")
+  }
+
+  /** Partition-pruned byte size of a Project/Filter chain over ONE
+    * partitioned parquet relation, or None when the shape doesn't match.
+    * Spark only applies partition pruning to path-based reads at PHYSICAL
+    * planning (FileSourceStrategy), so `optimizedPlan.stats` still reports
+    * the FULL relation size for a `__pv = <iri>` slice of a
+    * [[graft.QuadStore#saveByPredicate]] store; asking the relation's file
+    * index with the plan's own partition-column predicates gives the real
+    * post-pruning figure (the same one the scan node later reports as its
+    * PartitionFilters size). In-memory listing — no Spark job, no I/O. */
+  private def prunedScanSize(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Option[BigInt] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Project => LProject}
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression => CExpr}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def split(e: CExpr): Seq[CExpr] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case other => Seq(other)
+    }
+    @annotation.tailrec
+    def walk(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             conds: Seq[CExpr]): Option[(LogicalRelation, HadoopFsRelation, Seq[CExpr])] =
+      p match {
+        case LProject(_, child) => walk(child, conds)
+        case LFilter(c, child) => walk(child, conds ++ split(c))
+        case lr @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _) => Some((lr, fs, conds))
+        case _ => None
+      }
+    try walk(plan, Nil).flatMap { case (lr, fs, conds) =>
+      val partNames = fs.partitionSchema.fieldNames.toSet
+      if (partNames.isEmpty) None
+      else {
+        val partAttrs = lr.output.filter(a => partNames.contains(a.name)).map(_.exprId).toSet
+        val partConds = conds.filter(c =>
+          c.references.nonEmpty && c.references.forall(a => partAttrs.contains(a.exprId)))
+        // only a binding predicate actually prunes; anything else = full size
+        if (!partConds.exists { case EqualTo(_, _) => true; case _ => false }) None
+        else Some(BigInt(fs.location.listFiles(partConds, Nil)
+          .iterator.flatMap(_.files).map(_.getLen).sum))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
 }

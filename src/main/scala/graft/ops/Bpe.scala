@@ -114,7 +114,8 @@ object Bpe {
       sum(size(col("syms"))).cast(IntegerType).as("n_tokens"),
       array_join(transform(array_sort(collect_list(struct(col("wpos"), col("syms")))),
         s => array_join(s.getField("syms"), " ")), " ").as("bpe_text"))
-    df.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+    // id-keyed reattach: aggregate side has no stats -> hint off SortMergeJoin
+    df.select(col(idCol).as("id")).join(Joins.shuffleHashUnlessSmall(perDoc), Seq("id"), "left")
       .select(col("id"), coalesce(col("n_words"), lit(0)).as("n_words"),
         coalesce(col("n_tokens"), lit(0)).as("n_tokens"),
         coalesce(col("bpe_text"), lit("")).as("bpe_text"))

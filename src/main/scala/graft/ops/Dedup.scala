@@ -427,16 +427,19 @@ object Dedup {
       .withColumn("comp", col("id")).localCheckpoint()
     var changed = 1L
     while (changed > 0) {
+      // per-round joins run over checkpointed relations (no stats) ->
+      // hint shuffle_hash so each label-prop round skips two sorts
       val nbrMin = edges
-        .join(labels.withColumnRenamed("id", "u").withColumnRenamed("comp", "nc"), "u")
+        .join(Joins.shuffleHashUnlessSmall(
+          labels.withColumnRenamed("id", "u").withColumnRenamed("comp", "nc")), "u")
         .groupBy(col("v").as("id")).agg(min(col("nc")).as("nbr"))
-      val stepped = labels.join(nbrMin, Seq("id"), "left")
+      val stepped = labels.join(Joins.shuffleHashUnlessSmall(nbrMin), Seq("id"), "left")
         .select(col("id"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
       // pointer jumping: follow the label one hop (comp is itself a node id);
       // `prev` rides along so convergence needs no extra join afterwards
       val compOf = stepped.select(col("id").as("jid"), col("comp").as("jcomp"))
-      val next = stepped.join(compOf, stepped("comp") === compOf("jid"), "left")
+      val next = stepped.join(Joins.shuffleHashUnlessSmall(compOf), stepped("comp") === compOf("jid"), "left")
         .select(stepped("id"), coalesce(col("jcomp"), stepped("comp")).as("comp"),
           (coalesce(col("jcomp"), stepped("comp")) =!= col("prev")).as("chg"))
         .localCheckpoint()
@@ -482,7 +485,7 @@ object Dedup {
   def clusters(df: DataFrame, idCol: String, pairs: DataFrame,
                aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
     val cc = connectedComponents(pairs, aCol, bCol)
-    df.select(col(idCol).as("id")).join(cc, Seq("id"), "left")
+    df.select(col(idCol).as("id")).join(Joins.shuffleHashUnlessSmall(cc), Seq("id"), "left")
       .select(col("id").as(idCol), coalesce(col("comp"), col("id")).as("cluster"))
   }
 
@@ -496,7 +499,8 @@ object Dedup {
                scoreCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val joined = clusters.withColumnRenamed(idCol, "id")
-      .join(scores.select(col(idCol).as("id"), col(scoreCol).as("__s")), Seq("id"))
+      .join(Joins.shuffleHashUnlessSmall(
+        scores.select(col(idCol).as("id"), col(scoreCol).as("__s"))), Seq("id"))
     val w = Window.partitionBy("cluster").orderBy(col("__s").desc, col("id").asc)
     joined
       .withColumn("__rn", row_number().over(w))

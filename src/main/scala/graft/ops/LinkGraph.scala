@@ -57,20 +57,29 @@ object LinkGraph {
     // out-degree AFTER parallel-edge collapse; broadcast-joined nowhere —
     // it is corpus-sized, so it rides the same keyed shuffles as edges
     val deg = e.groupBy("src").agg(count(lit(1)).cast(DoubleType).as("deg"))
-      .localCheckpoint(eager = false)
     val teleport = (1.0 - damping) / nCount
 
-    var ranks = n.withColumn("rank", lit(1.0 / nCount)).localCheckpoint()
+    // The rank relation CARRIES its node's out-degree (null = dangling),
+    // joined once up front instead of per iteration: the old loop paid a
+    // full shuffled left_anti join (dangling mass) plus an extra deg
+    // equi-join per iteration; now dangling mass is a filter+sum over the
+    // node-sized rank relation and the contribution join needs no second
+    // join (guide §2.4: remove shuffles outright). Numerics are unchanged:
+    // the same per-node rank/deg terms are summed per dst, and ranks round
+    // to 12 decimals per iteration as before.
+    val nd = n.join(deg, n("id") === deg("src"), "left")
+      .select(col("id"), col("deg")).localCheckpoint()
+    var ranks = nd.withColumn("rank", lit(1.0 / nCount)).localCheckpoint()
     for (_ <- 1 to iters) {
-      // dangling mass: one aggregation to a single scalar row
-      val dangling = ranks.join(deg, ranks("id") === deg("src"), "left_anti")
+      // dangling mass: one aggregation to a single scalar row (no join —
+      // the dangling flag rides the rank relation as deg IS NULL)
+      val dangling = ranks.where(col("deg").isNull)
         .agg(coalesce(sum(col("rank")), lit(0.0))).head.getDouble(0)
       val contribs = e.join(ranks, e("src") === ranks("id"))
-        .join(deg, Seq("src"))
         .select(col("dst"), (col("rank") / col("deg")).as("c"))
         .groupBy("dst").agg(sum(col("c")).as("c"))
-      ranks = n.join(contribs, n("id") === contribs("dst"), "left")
-        .select(col("id"),
+      ranks = nd.join(contribs, nd("id") === contribs("dst"), "left")
+        .select(col("id"), col("deg"),
           round(lit(teleport) + lit(damping) * (coalesce(col("c"), lit(0.0))
             + lit(dangling / nCount)), 12).as("rank"))
         .localCheckpoint() // k rows per executor partition; constant plan size

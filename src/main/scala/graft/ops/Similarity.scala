@@ -404,7 +404,8 @@ object Similarity {
       .filter(col("__rn") === k)
       .select(col("__qid"),
         (sqrt(greatest(lit(0.0d), lit(2.0d) - lit(2.0d) * col("__c"))) + lit(1e-9)).as("__dk"))
-    val probeAll = ranked.join(bounds, Seq("__qid"), "left")
+    // one row per probe query -> broadcast (batch-bounded at any scale)
+    val probeAll = ranked.join(broadcast(bounds), Seq("__qid"), "left")
       .filter(col("__crank") <= nProbe || col("__dk").isNull ||
         (col("__qdist") - col("radius")) <= col("__dk"))
       .select(col("__qid"), col("cluster"), col("__qraw"), col("__qnrm"))
@@ -529,7 +530,7 @@ object Similarity {
         .groupBy("cid", "pos").agg(round(avg(col("col")), 9).as("m"))
         .groupBy("cid").agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("mv"))
-      cents = cents.join(means, Seq("cid"), "left")
+      cents = cents.join(broadcast(means), Seq("cid"), "left") // k rows
         .select(col("cid"), coalesce(col("mv"), col("cv")).as("cv"))
         .localCheckpoint() // k rows; truncates the per-iteration lineage
       assigned = assign(cents)
@@ -609,7 +610,7 @@ object Similarity {
       .where(round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6) >= minCosine)
       .select(col("id_b").as("id")).distinct()
       .withColumn("__drop", lit(true))
-    withV.select(col("id"), col("cluster")).join(dropped, Seq("id"), "left")
+    withV.select(col("id"), col("cluster")).join(Joins.shuffleHashUnlessSmall(dropped), Seq("id"), "left")
       .select(col("id"), col("cluster"),
         (!coalesce(col("__drop"), lit(false))).as("keep"))
   }

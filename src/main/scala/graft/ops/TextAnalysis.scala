@@ -92,7 +92,8 @@ object TextAnalysis {
     val w = Window.partitionBy("id").orderBy(col("hits").desc, col("cand").asc)
     val best = scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
       .select(col("id"), col("cand").as("lang_pred"), col("hits"))
-    df.select(col(idCol).as("id")).join(best, Seq("id"), "left")
+    // derived aggregates have no usable stats -> hint off SortMergeJoin
+    df.select(col(idCol).as("id")).join(Joins.shuffleHashUnlessSmall(best), Seq("id"), "left")
       .select(col("id"), coalesce(col("lang_pred"), lit("und")).as("lang_pred"),
         coalesce(col("hits"), lit(0L)).as("hits"))
   }
@@ -427,7 +428,7 @@ object TextAnalysis {
     val counts = base.select(col("id"), explode(col("w")).as("wd"))
       .groupBy("id", "wd").agg(count(lit(1)).as("c"))
       .groupBy("id").agg(max(col("c")).as("topc"))
-    perDoc.join(counts, Seq("id"), "left")
+    perDoc.join(Joins.shuffleHashUnlessSmall(counts), Seq("id"), "left")
       .select(col("id"), col("n_words"), col("uniq_word_ratio"), col("dup_bigram_ratio"),
         when(col("n_words") > 0, round(coalesce(col("topc"), lit(0L)) / col("n_words").cast(DoubleType), 6))
           .otherwise(lit(0.0)).as("top_word_share"))
@@ -534,7 +535,7 @@ object TextAnalysis {
         count(lit(1)).cast(IntegerType).as("n_kept"),
         array_join(transform(array_sort(collect_list(struct(col("idx"), col("span")))),
           s => s.getField("span")), " ").as("clean_text"))
-    base.select(col("id"), col("n_spans")).join(kept, Seq("id"), "left")
+    base.select(col("id"), col("n_spans")).join(Joins.shuffleHashUnlessSmall(kept), Seq("id"), "left")
       .select(col("id"), col("n_spans"),
         coalesce(col("n_kept"), lit(0)).as("n_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
@@ -645,8 +646,8 @@ object TextAnalysis {
         array_join(transform(array_sort(collect_list(struct(col("idx"), col("line")))),
           s => s.getField("line")), "\n").as("clean_text"))
     val counts = lines.groupBy("id").agg(count(lit(1)).cast(IntegerType).as("n_lines"))
-    df.select(col(idCol).as("id")).join(counts, Seq("id"), "left")
-      .join(kept, Seq("id"), "left")
+    df.select(col(idCol).as("id")).join(Joins.shuffleHashUnlessSmall(counts), Seq("id"), "left")
+      .join(Joins.shuffleHashUnlessSmall(kept), Seq("id"), "left")
       .select(col("id"), coalesce(col("n_lines"), lit(0)).as("n_lines"),
         coalesce(col("n_kept"), lit(0)).as("n_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
@@ -690,7 +691,7 @@ object TextAnalysis {
         avg(coalesce(col("__wt"), lit(0.0))).as("m"))
       .select(col("id"), col("n_tokens"),
         round(lit(1.0) / (lit(1.0) + exp(-(lit(bias) + col("m")))), 6).as("score"))
-    df.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
+    df.select(col(idCol).as("id")).join(Joins.shuffleHashUnlessSmall(scored), Seq("id"), "left")
       .select(col("id"), coalesce(col("n_tokens"), lit(0)).as("n_tokens"),
         coalesce(col("score"), round(lit(1.0) / (lit(1.0) + exp(lit(-bias))), 6)).as("score"))
       .withColumn("keep", col("score") >= threshold)
