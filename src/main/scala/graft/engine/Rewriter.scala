@@ -2021,39 +2021,9 @@ object Rewriter {
     }
   }
 
-  /** Append a shuffle_hash hint unless this side's size estimate is small
-    * enough that Catalyst would broadcast it. Rationale (guide §3.1 — pick
-    * the strategy deliberately): with `preferSortMergeJoin` at its default,
-    * any non-broadcastable side gets SortMergeJoin — the same shuffle plus
-    * a sort of BOTH sides. These call sites join checkpointed/derived
-    * relations whose estimates are either propagated over-statements or
-    * the ~8 EB default, so "too big to broadcast" is exactly the case
-    * where shuffled-hash wins; a genuinely small estimate is left alone so
-    * the broadcast still happens (estimates for these shapes only ever
-    * over-state, so a small verdict is trustworthy). */
-  private[engine] def shuffleHashUnlessSmall(df: DataFrame): DataFrame = {
-    // never stack over an existing hint (a deliberate broadcast would be
-    // silently overridden — HintErrorLogger warns and the broadcast dies);
-    // hints live below projections too, so walk the narrow-op chain
-    @annotation.tailrec
-    def hintedAtRoot(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
-      p match {
-        case _: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => true
-        case prj: org.apache.spark.sql.catalyst.plans.logical.Project => hintedAtRoot(prj.child)
-        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => hintedAtRoot(f.child)
-        case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias => hintedAtRoot(a.child)
-        case _ => false
-      }
-    val hinted = hintedAtRoot(df.queryExecution.analyzed)
-    val conf = df.sparkSession.conf
-      .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-    val threshold =
-      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(conf)
-      catch { case _: Throwable => 10485760L }
-    if (hinted || (threshold > 0 &&
-        df.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold)) df
-    else df.hint("shuffle_hash")
-  }
+  /** See [[graft.ops.Joins.shuffleHashUnlessSmall]] — shared policy. */
+  private[engine] def shuffleHashUnlessSmall(df: DataFrame): DataFrame =
+    graft.ops.Joins.shuffleHashUnlessSmall(df)
 
   /** Partition-pruned byte size of a Project/Filter chain over ONE
     * partitioned parquet relation, or None when the shape doesn't match.
