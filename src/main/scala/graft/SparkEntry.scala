@@ -52,7 +52,7 @@ object SparkEntry {
         |  FILTER(?bal > 9000)
         |} ORDER BY ?name""".stripMargin)
     Graft.decode(res, Map("bal" -> DoubleType))
-      .select(col("name"), round(col("bal"), 2).as("bal")).orderBy("name")
+      .select(col("name"), round(col("bal"), 2).as("bal")).localCheckpoint(eager = false).orderBy("name")
   }
 
   private def sparqlOptionalAgg(s: SparkSession, dir: String): DataFrame = {
@@ -116,7 +116,7 @@ object SparkEntry {
       """SELECT ?name WHERE {
         |  { ?x <urn:g:customer#c_name> ?name } UNION { ?x <urn:g:supplier#s_name> ?name }
         |} ORDER BY ?name""".stripMargin)
-    Graft.decode(res).orderBy("name")
+    Graft.decode(res).localCheckpoint(eager = false).orderBy("name")
   }
 
   private def sparqlPathSeq(s: SparkSession, dir: String): DataFrame = {
@@ -187,7 +187,7 @@ object SparkEntry {
         |  BIND(REPLACE(?name, "Customer", "C") AS ?repl)
         |  FILTER(CONTAINS(?name, "19") && STRSTARTS(?name, "Customer"))
         |} ORDER BY ?name""".stripMargin)
-    Graft.decode(res, Map("len" -> LongType)).orderBy("name")
+    Graft.decode(res, Map("len" -> LongType)).localCheckpoint(eager = false).orderBy("name")
   }
 
   /** Date accessors over xsd:dateTime terms (YEAR/MONTH/DAY), grouped. */
@@ -589,7 +589,7 @@ object SparkEntry {
   private def docSample(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
       rates = Map("en" -> 0.5, "de" -> 0.2), salt = "mix1", defaultRate = 0.05)
-      .select(col("doc_id"), col("lang")).orderBy("doc_id")
+      .select(col("doc_id"), col("lang")).localCheckpoint(eager = false).orderBy("doc_id")
 
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 16)
@@ -746,7 +746,7 @@ object SparkEntry {
         .when(col("doc_id") % 5 === 2, lit(CjkText))
         .when(col("doc_id") % 5 === 3, lit(ArText))
         .otherwise(lit("123 456 7890")).as("text"))
-    TextAnalysis.scriptProfile(acc, "doc_id", "text").orderBy("id")
+    TextAnalysis.scriptProfile(acc, "doc_id", "text").localCheckpoint(eager = false).orderBy("id")
   }
 
   /** Unicode NFC + accent stripping over synthesized accented text (the
@@ -805,7 +805,7 @@ object SparkEntry {
       .otherwise(lit("a b"))
     TextAnalysis.heuristicFilter(
       t(s, dir, "documents").select(col("doc_id"), txt.as("text")), "doc_id", "text")
-      .orderBy("doc_id")
+      .localCheckpoint(eager = false).orderBy("doc_id")
   }
 
   private def embCentroids(s: SparkSession, dir: String): DataFrame =
@@ -820,10 +820,10 @@ object SparkEntry {
     TextAnalysis.chunk(t(s, dir, "documents"), "doc_id", "text", size = 64, overlap = 8)
       .select(col("id").as("doc_id"), col("chunk_index").cast(LongType),
         col("chunk_text"), col("n_tokens").cast(LongType))
-      .orderBy("doc_id", "chunk_index")
+      .localCheckpoint(eager = false).orderBy("doc_id", "chunk_index")
 
   private def textQuality(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.quality(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")
+    TextAnalysis.quality(t(s, dir, "documents"), "doc_id", "text").localCheckpoint(eager = false).orderBy("doc_id")
 
   private def langId(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(t(s, dir, "documents"), "doc_id", "text").orderBy("id")
@@ -832,7 +832,7 @@ object SparkEntry {
     TextAnalysis.tokenStats(t(s, dir, "documents"), "source", "text").orderBy("source")
 
   private def fingerprint(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")
+    TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text").localCheckpoint(eager = false).orderBy("doc_id")
 
   private def embNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -853,7 +853,7 @@ object SparkEntry {
         lit(" reach user"), col("doc_id"), lit("@example.com or +1 555-01"),
         lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"), lit(" 4321 from 10.0."),
         pmod(col("doc_id"), lit(256)).cast("string"), lit(".7 thanks")).as("text"))
-    TextAnalysis.piiScrub(docs, "doc_id", "text").orderBy("doc_id")
+    TextAnalysis.piiScrub(docs, "doc_id", "text").localCheckpoint(eager = false).orderBy("doc_id")
   }
 
   /** Repetition quality metrics — distinct-word / duplicate-bigram /
@@ -888,12 +888,12 @@ object SparkEntry {
 
   private def qualityScore(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text")
-      .select("doc_id", "score").orderBy("doc_id")
+      .select("doc_id", "score").localCheckpoint(eager = false).orderBy("doc_id")
 
   private def frameSample(s: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(
       Multimodal.syntheticMedia(t(s, dir, "documents"), "doc_id"), n = 4)
-      .orderBy("media_id", "frame_index")
+      .localCheckpoint(eager = false).orderBy("media_id", "frame_index")
 
   /** REAL WARC (ISO 28500) container walk end-to-end: two records per doc
     * (warcinfo + an HTTP response whose body is the document's own text),
@@ -908,7 +908,7 @@ object SparkEntry {
       .select(col("source"), col("record_ord"), col("warc_type"),
         col("record_id"), col("target_uri"), col("http_status"),
         col("http_content_type"), col("body"))
-      .orderBy("source", "record_ord")
+      .localCheckpoint(eager = false).orderBy("source", "record_ord")
 
   /** HTML → text extraction over deterministic tag soup wrapped around each
     * document's text (script/style blocks with hostile markup inside,
@@ -920,7 +920,7 @@ object SparkEntry {
     Html.extract(
         Html.syntheticPage(t(s, dir, "documents"), "doc_id", "text"),
         "doc_id", "html")
-      .orderBy("doc_id")
+      .localCheckpoint(eager = false).orderBy("doc_id")
 
   /** REAL WAV decode end-to-end: synthesize valid RIFF/PCM square waves from
     * doc ids, parse them back with the zero-dependency decoder; a square
@@ -931,7 +931,7 @@ object SparkEntry {
         Multimodal.syntheticWav(t(s, dir, "documents"), "doc_id"))
       .select(col("media_id"), col("sample_rate"), col("n_samples"),
         col("duration_ms"), col("peak"), round(col("rms"), 4).as("rms"))
-      .orderBy("media_id")
+      .localCheckpoint(eager = false).orderBy("media_id")
 
   /** REAL AIFF decode end-to-end: the big-endian sibling of wav_features —
     * same square wave, same closed-form oracle, AIFF chunk framing with an
@@ -941,7 +941,7 @@ object SparkEntry {
         Multimodal.syntheticAiff(t(s, dir, "documents"), "doc_id"))
       .select(col("media_id"), col("sample_rate"), col("n_samples"),
         col("duration_ms"), col("peak"), round(col("rms"), 4).as("rms"))
-      .orderBy("media_id")
+      .localCheckpoint(eager = false).orderBy("media_id")
 
   /** REAL Sun AU µ-law decode end-to-end: the square wave is built in the
     * ENCODED domain so the decoded amplitude is closed-form in the id —
@@ -951,7 +951,7 @@ object SparkEntry {
         Multimodal.syntheticAu(t(s, dir, "documents"), "doc_id"))
       .select(col("media_id"), col("sample_rate"), col("n_samples"),
         col("duration_ms"), col("peak"), round(col("rms"), 4).as("rms"))
-      .orderBy("media_id")
+      .localCheckpoint(eager = false).orderBy("media_id")
 
   /** REAL G.711 A-law decode end-to-end (AU encoding 27): amplitude is the
     * closed form (man·16)+8 for segment 0, ((man·16)+264)·2^(seg−1)
@@ -961,7 +961,7 @@ object SparkEntry {
         Multimodal.syntheticAuAlaw(t(s, dir, "documents"), "doc_id"))
       .select(col("media_id"), col("sample_rate"), col("n_samples"),
         col("duration_ms"), col("peak"), round(col("rms"), 4).as("rms"))
-      .orderBy("media_id")
+      .localCheckpoint(eager = false).orderBy("media_id")
 
   /** REAL compressed-audio decode end-to-end (WAV format tag 0x11, IMA
     * ADPCM): codes are synthesized in the ENCODED domain as sign-only
@@ -973,7 +973,7 @@ object SparkEntry {
         Multimodal.syntheticAdpcmWav(t(s, dir, "documents"), "doc_id"))
       .select(col("media_id"), col("sample_rate"), col("n_samples"),
         col("duration_ms"), col("peak"), round(col("rms"), 4).as("rms"))
-      .orderBy("media_id")
+      .localCheckpoint(eager = false).orderBy("media_id")
 
   /** REAL video-container decode end-to-end: uncompressed AVI (RIFF LIST
     * tree, 24-bit DIB frames) fans out to one row per frame; frame means
@@ -983,7 +983,7 @@ object SparkEntry {
         Multimodal.syntheticAvi(t(s, dir, "documents"), "doc_id"))
       .select(col("media_id"), col("frame_index"), col("n_frames"),
         col("width"), col("height"), round(col("mean_lum"), 4).as("mean_lum"))
-      .orderBy("media_id", "frame_index")
+      .localCheckpoint(eager = false).orderBy("media_id", "frame_index")
 
   /** REAL ISO-BMFF container metadata probe end-to-end: minimal valid MP4s
     * (ftyp + moov/mvhd + video & audio traks) probed for brand, timescale,
@@ -994,7 +994,7 @@ object SparkEntry {
       .select(col("media_id"), col("major_brand"), col("timescale"),
         col("duration_ms"), col("n_tracks"), col("video_tracks"),
         col("audio_tracks"), col("width"), col("height"))
-      .orderBy("media_id")
+      .localCheckpoint(eager = false).orderBy("media_id")
 
   /** REAL Ogg Vorbis container probe end-to-end: RFC 3533 page walk with
     * mandatory CRC verification + Vorbis identification-header parse; rate,
@@ -1004,7 +1004,7 @@ object SparkEntry {
         Multimodal.syntheticOgg(t(s, dir, "documents"), "doc_id"))
       .select(col("media_id"), col("sample_rate"), col("channels"),
         col("n_pages"), col("granule"), col("duration_ms"))
-      .orderBy("media_id")
+      .localCheckpoint(eager = false).orderBy("media_id")
 
   /** REAL MPEG-1 Layer III stream probe end-to-end: ID3v2 syncsafe skip,
     * per-frame header walk (bitrate/sample-rate indices, padding-aware frame
@@ -1014,7 +1014,7 @@ object SparkEntry {
         Multimodal.syntheticMp3(t(s, dir, "documents"), "doc_id"))
       .select(col("media_id"), col("sample_rate"), col("channels"),
         col("bitrate_kbps"), col("n_frames"), col("duration_ms"), col("vbr"))
-      .orderBy("media_id")
+      .localCheckpoint(eager = false).orderBy("media_id")
 
   /** REAL H.264 Annex-B probe end-to-end: start-code NAL walk + Exp-Golomb
     * SPS parse (with emulation-prevention removal and frame cropping);
@@ -1024,7 +1024,7 @@ object SparkEntry {
         Multimodal.syntheticH264(t(s, dir, "documents"), "doc_id"))
       .select(col("media_id"), col("profile_idc"), col("level_idc"),
         col("width"), col("height"), col("n_nals"), col("n_idr"), col("n_frames"))
-      .orderBy("media_id")
+      .localCheckpoint(eager = false).orderBy("media_id")
 
   /** REAL multi-frame container decode end-to-end: animated GIFs (2–4
     * frames of constant gray, LZW + palette via javax.imageio) fan out to
@@ -1034,7 +1034,7 @@ object SparkEntry {
         Multimodal.syntheticGif(t(s, dir, "documents"), "doc_id"))
       .select(col("media_id"), col("frame_index"), col("n_frames"),
         col("width"), col("height"), round(col("mean_lum"), 4).as("mean_lum"))
-      .orderBy("media_id", "frame_index")
+      .localCheckpoint(eager = false).orderBy("media_id", "frame_index")
 
   /** REAL BMP decode end-to-end: synthesize valid 8x8 24-bit grayscale BMPs,
     * parse headers + bottom-up padded pixel rows; channel means and the
@@ -1045,7 +1045,7 @@ object SparkEntry {
       .select(col("media_id"), col("width"), col("height"),
         round(col("mean_r"), 4).as("mean_r"), round(col("mean_b"), 4).as("mean_b"),
         lpad(bin(col("ahash")), 64, "0").as("ahash_bits"))
-      .orderBy("media_id")
+      .localCheckpoint(eager = false).orderBy("media_id")
 
   /** REAL compressed-image decode end-to-end (PNG: DEFLATE inflate + filter
     * reversal via the JDK's javax.imageio — zero new dependencies): same
@@ -1057,7 +1057,7 @@ object SparkEntry {
       .select(col("media_id"), col("format"), col("width"), col("height"),
         round(col("mean_r"), 4).as("mean_r"), round(col("mean_b"), 4).as("mean_b"),
         lpad(bin(col("ahash")), 64, "0").as("ahash_bits"))
-      .orderBy("media_id")
+      .localCheckpoint(eager = false).orderBy("media_id")
 
   /** REAL lossy-JPEG decode end-to-end (Huffman + IDCT via javax.imageio):
     * constant-gray 8×8 blocks at quality 1.0 round-trip exactly (flat block
@@ -1069,14 +1069,14 @@ object SparkEntry {
       .select(col("media_id"), col("format"), col("width"), col("height"),
         round(col("mean_r"), 4).as("mean_r"), round(col("mean_g"), 4).as("mean_g"),
         lpad(bin(col("ahash")), 64, "0").as("ahash_bits"))
-      .orderBy("media_id")
+      .localCheckpoint(eager = false).orderBy("media_id")
 
   private def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(
       Multimodal.syntheticMedia(t(s, dir, "documents"), "doc_id"))
       .select(col("media_id"), col("n_bytes"), round(col("byte_mean"), 4).as("byte_mean"),
         round(col("byte_entropy"), 4).as("byte_entropy"))
-      .orderBy("media_id")
+      .localCheckpoint(eager = false).orderBy("media_id")
 
   // ------------------------------------------------- wind farm benchmark
 
