@@ -78,7 +78,16 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val calibrations = scala.collection.mutable.ArrayBuffer[Double]()
+    // Honesty fix (r9 verdict item 6): graft-level build-once artifacts
+    // (memoised transitive closures, LSH/IVF/MinHash-signature indexes) are
+    // wiped before EVERY timed pass, so passes 2-3 rebuild them and the
+    // min-of-passes time reflects cold-artifact cost instead of a warm-index
+    // lookup for sparql_path_closure/path_seeded/ann_*/dedup_minhash.
+    // -Dgraft.bench.keepCaches=true restores the old behaviour for local
+    // iteration only (never set by the driver).
+    val keepCaches = sys.props.get("graft.bench.keepCaches").contains("true")
     val passes = (1 to 3).map { _ =>
+      if (!keepCaches) graft.ops.IndexCache.clearAll()
       calibrations += calibrate()
       sorted.map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -94,6 +103,13 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // same map at millisecond precision for the STDOUT copy of the full
+    // line: 108 full-precision doubles make the line 3.3 KB, of which the
+    // driver's 2,000-char tail keeps only the last ~55%; at 1 ms precision
+    // ~75% of the per-query entries stay recoverable from the tail. The
+    // full-precision map still goes to target/bench_latest.json.
+    val qsShort = results.map { case (k, v) => s"\"" + k + "\":" + math.rint(v * 1000) / 1000 }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // n_queries/per_query contextualise the total across rounds: the query
     // inventory grows round over round (r2: 33, r3: 41), so raw totals are
@@ -104,6 +120,7 @@ object Bench {
     val calMin = if (calibrations.nonEmpty) calibrations.min else 0.0
     val calAll = calibrations.mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"per_query":$avg,"calibration":$calMin,"calibration_all":$calAll,"queries":$qs,"sf":"$sfDir"}"""
+    val jsonShort = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"per_query":$avg,"calibration":$calMin,"queries":$qsShort,"sf":"$sfDir"}"""
     // The FULL artifact (per-query map) goes to a file; stdout gets a
     // COMPACT summary. The driver captures only the last 2,000 chars of
     // stdout, and the full line (3.3 KB at 108 queries) truncated from the
@@ -121,7 +138,7 @@ object Bench {
     // contract line, with the complete "queries" map); the compact summary
     // prints LAST so the driver's 2,000-char tail capture parses it.
     spark.stop()
-    println(json)
+    println(jsonShort)
     println(compact)
   }
 }

@@ -52,7 +52,7 @@ object SparkEntry {
         |  FILTER(?bal > 9000)
         |} ORDER BY ?name""".stripMargin)
     Graft.decode(res, Map("bal" -> DoubleType))
-      .select(col("name"), round(col("bal"), 2).as("bal")).localCheckpoint(eager = false).orderBy("name")
+      .select(col("name"), round(col("bal"), 2).as("bal")).orderBy("name")
   }
 
   private def sparqlOptionalAgg(s: SparkSession, dir: String): DataFrame = {
@@ -116,7 +116,7 @@ object SparkEntry {
       """SELECT ?name WHERE {
         |  { ?x <urn:g:customer#c_name> ?name } UNION { ?x <urn:g:supplier#s_name> ?name }
         |} ORDER BY ?name""".stripMargin)
-    Graft.decode(res).localCheckpoint(eager = false).orderBy("name")
+    Graft.decode(res).orderBy("name")
   }
 
   private def sparqlPathSeq(s: SparkSession, dir: String): DataFrame = {
@@ -187,7 +187,7 @@ object SparkEntry {
         |  BIND(REPLACE(?name, "Customer", "C") AS ?repl)
         |  FILTER(CONTAINS(?name, "19") && STRSTARTS(?name, "Customer"))
         |} ORDER BY ?name""".stripMargin)
-    Graft.decode(res, Map("len" -> LongType)).localCheckpoint(eager = false).orderBy("name")
+    Graft.decode(res, Map("len" -> LongType)).orderBy("name")
   }
 
   /** Date accessors over xsd:dateTime terms (YEAR/MONTH/DAY), grouped. */

@@ -53,12 +53,16 @@ object Joins {
       .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     val threshold =
       try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(conf)
-      catch { case _: Throwable => 10485760L }
-    def small =
-      analyzed.stats.sizeInBytes <= threshold ||
+      catch { case scala.util.control.NonFatal(_) => 10485760L }
+    // threshold <= 0 means broadcasts are DISABLED for the session: no side
+    // can be "small enough to broadcast", so every unhinted side takes the
+    // shuffle_hash hint (the deliberate choice: with broadcasts off the
+    // planner's only alternatives are SMJ's extra sorts or a hint).
+    def small = threshold > 0 &&
+      (analyzed.stats.sizeInBytes <= threshold ||
         (leafish(analyzed) &&
-          df.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold)
-    if (hinted || (threshold > 0 && small)) df
+          df.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold))
+    if (hinted || small) df
     else df.hint("shuffle_hash")
   }
 }

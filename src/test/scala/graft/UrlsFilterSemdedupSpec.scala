@@ -142,6 +142,28 @@ class UrlsFilterSemdedupSpec extends SparkSpec {
     assert(keep == Map(1L -> true, 2L -> true))
   }
 
+  test("semDedup triangle chunking (skew cap) is result-identical at any chunk size") {
+    // real embeddings, cap forced to 1 row per chunk → maximum splitting
+    // (m = cluster size, every pair meets via a cross-chunk key); must
+    // equal the default single-chunk-per-cluster output exactly
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def run(): Seq[(Long, Int, Boolean)] =
+      Similarity.semDedup(emb, "vec_id", "embedding", k = 4, iters = 2, minCosine = 0.3)
+        .orderBy("id").select("id", "cluster", "keep")
+        .as[(Long, Int, Boolean)].collect().toSeq
+    val base = run()
+    val old = sys.props.put("graft.semdedup.maxClusterRows", "1")
+    try {
+      val split = run()
+      assert(split == base, "chunked pair join must be pair-complete and duplicate-free")
+    } finally {
+      old match {
+        case Some(v) => sys.props.put("graft.semdedup.maxClusterRows", v)
+        case None => sys.props.remove("graft.semdedup.maxClusterRows")
+      }
+    }
+  }
+
   test("semDedup dominance rule is non-chained: dropped doc still shadows later ones") {
     // angles 0, 0.03, 0.06 rad: cos(0.03) ≈ 0.99955 ≥ 0.999 but
     // cos(0.06) ≈ 0.9982 < 0.999 — so 3 is dropped ONLY because of the
