@@ -14,6 +14,10 @@ import graft.gen.BsbmGen
  * whole query set — DESCRIBE and CONSTRUCT included — runs through the
  * engine and selects non-trivial rows on schema-faithful data.
  */
+// 126 s of the measured 1687 s full-suite runtime (r10 timing run):
+// excluded from the driver's budgeted `sbt test` gate, still run in the
+// builder's own loop (see build.sbt testOptions).
+@graft.SlowTest
 class BsbmSpec extends SparkSpec {
 
   private val qdir = Paths.get("/root/reference/bench/tests/query_results/queries")

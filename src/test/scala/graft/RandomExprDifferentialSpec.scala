@@ -26,6 +26,10 @@ import graft.sources.Turtle
  * jobs; more per query overflows whole-stage codegen's 64KB method limit
  * (janino falls back to interpreted and the spec crawls).
  */
+// 570 s of the measured 1687 s full-suite runtime (r10 timing run):
+// excluded from the driver's budgeted `sbt test` gate, still run in the
+// builder's own loop (see build.sbt testOptions).
+@graft.SlowTest
 class RandomExprDifferentialSpec extends SparkSpec {
 
   // ----- model terms ------------------------------------------------------

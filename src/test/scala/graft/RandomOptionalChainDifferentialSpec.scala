@@ -13,6 +13,10 @@ import graft.sources.Turtle
  * identical bags on both paths, and the rewritten plan on all-matched data
  * must contain no nested-loop or cartesian node.
  */
+// 183 s of the measured 1687 s full-suite runtime (r10 timing run):
+// excluded from the driver's budgeted `sbt test` gate, still run in the
+// builder's own loop (see build.sbt testOptions).
+@graft.SlowTest
 class RandomOptionalChainDifferentialSpec extends SparkSpec {
 
   /** Seeds per shape — default 20; set GRAFT_FUZZ_N for a deeper one-off

@@ -25,6 +25,10 @@ import graft.sources.Turtle
  * (cutEvery=8) — compared once at the end, so the cut path itself is under
  * differential test.
  */
+// 105 s of the measured 1687 s full-suite runtime (r10 timing run):
+// excluded from the driver's budgeted `sbt test` gate, still run in the
+// builder's own loop (see build.sbt testOptions).
+@graft.SlowTest
 class RandomUpdateDifferentialSpec extends SparkSpec {
 
   private type Quad = (Option[String], String, String, RdfTerm) // graph IRI, s, p, o

@@ -23,6 +23,10 @@ import graft.testkit.TestSuite._
  * filters, and ORDER/DISTINCT/LIMIT/OFFSET — with hand-computed expected
  * results.
  */
+// 271 s of the measured 1687 s full-suite runtime (r10 timing run):
+// excluded from the driver's budgeted `sbt test` gate, still run in the
+// builder's own loop (see build.sbt testOptions).
+@graft.SlowTest
 class W3cSliceSpec extends SparkSpec {
 
   private val root = Paths.get("src/test/w3c-slice/manifest.ttl")
