@@ -1757,27 +1757,110 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
         .select(col("dg").as("g"), col("dsrc").as("src"), col("tgt"))
   }
 
+  /** [[heavyKeys]] over the long-encoded edge relation (s, t): hot source
+    * ids whose out-degree reaches the salt threshold. */
+  private def heavyIds(rel: DataFrame, relCount: Long): Option[DataFrame] = {
+    val hot = graft.ops.SkewSalt.hotThreshold
+    val minRows = sys.props.get("graft.salt.minRows").map(_.toLong).getOrElse(100000L)
+    if (relCount < math.max(hot.toLong, minRows)) None
+    else {
+      val h = rel.groupBy(col("s")).agg(count(lit(1)).as("__n"))
+        .where(col("__n") >= hot)
+        .select(col("s").as("hk")).localCheckpoint()
+      if (h.isEmpty) None else Some(h)
+    }
+  }
+
+  /** [[stepJoin]] on the long-encoded relations: delta (s, t) ∘ rel (s, t)
+    * joined on delta.t = rel.s → (s, t); salted identically when `heavy`
+    * ids are present. */
+  private def stepJoinL(delta: DataFrame, rel: DataFrame,
+                        heavy: Option[DataFrame]): DataFrame = {
+    val d = delta.select(col("s").as("ds"), col("t").as("dt"))
+    heavy match {
+      case None =>
+        d.hint("shuffle_hash").join(rel, col("dt") === col("s"))
+          .select(col("ds").as("s"), col("t"))
+      case Some(h) =>
+        val ns = graft.ops.SkewSalt.salts
+        val hb = broadcast(h.withColumn("__hot", lit(1)))
+        val d2 = d.join(hb, col("dt") === col("hk"), "left")
+          .withColumn("__sa", when(col("__hot") === 1,
+            pmod(xxhash64(col("ds")), lit(ns)).cast("int")).otherwise(lit(0)))
+          .select(col("ds"), col("dt"), col("__sa"))
+        val r2 = rel.join(hb, col("s") === col("hk"), "left")
+          .withColumn("__sb", explode(when(col("__hot") === 1,
+            sequence(lit(0), lit(ns - 1))).otherwise(array(lit(0)))))
+          .select(col("s"), col("t"), col("__sb"))
+        d2.hint("shuffle_hash")
+          .join(r2, col("dt") === col("s") && col("__sa") === col("__sb"))
+          .select(col("ds").as("s"), col("t"))
+    }
+  }
+
+  /** stderr per-round timing, local profiling only (-Dgraft.closure.debug=true). */
+  private def dbg(label: => String, t0: Long): Unit =
+    if (sys.props.get("graft.closure.debug").contains("true"))
+      System.err.println(f"[closure] $label ${(System.nanoTime() - t0) / 1e9}%.3f s")
+
   private def closureCompute(edges0: DataFrame, seeds: Option[DataFrame]): DataFrame = {
+    val tE = System.nanoTime()
     val edges = edges0.dropDuplicates().localCheckpoint()
+    dbg("edges materialize", tE)
+    // The iteration below shuffles its working relation every round; on RDF
+    // terms that is three 5-field structs per row. (graph, node) pairs are
+    // dictionary-encoded to ONE long up front (ids are per-graph, so the
+    // g <=> g same-graph constraint folds into plain id equality) and decoded
+    // back to terms once at the end: O(|edges| + |closure|) encode/decode
+    // replaces O(rounds × |closure|) struct-wide shuffles (guide §2.2,
+    // shuffle fewer bytes / narrower types).
+    val tD = System.nanoTime()
+    val dict = edges.select(col("g"), col("src").as("n"))
+      .unionAll(edges.select(col("g"), col("tgt").as("n")))
+      .dropDuplicates()
+      // ids are frozen by the checkpoint (assigned once, never recomputed)
+      .withColumn("__id", monotonically_increasing_id())
+      .localCheckpoint()
+    val sDict = dict.select(col("g").as("__sg"), col("n").as("__sn"), col("__id").as("__sid"))
+    val tDict = dict.select(col("g").as("__tg"), col("n").as("__tn"), col("__id").as("__tid"))
+    val eL = edges
+      .join(sDict.hint("shuffle_hash"), (col("g") <=> col("__sg")) && col("src") === col("__sn"))
+      .join(tDict.hint("shuffle_hash"), (col("g") <=> col("__tg")) && col("tgt") === col("__tn"))
+      .select(col("__sid").as("s"), col("__tid").as("t"))
+      .localCheckpoint()
+    dbg("dict encode", tD)
+    def decode(pairs: DataFrame): DataFrame = pairs
+      .join(sDict.hint("shuffle_hash"), col("s") === col("__sid"))
+      .join(tDict.hint("shuffle_hash"), col("t") === col("__tid"))
+      .select(col("__sg").as("g"), col("__sn").as("src"), col("__tn").as("tgt"))
+    // subtract already-known pairs: next is distinct, so this anti join is
+    // `except` minus except's redundant left-side re-dedup, hinted off SMJ
+    def minusAll(next: DataFrame, all: DataFrame): DataFrame = next.join(
+      all.select(col("s").as("__as"), col("t").as("__at")).hint("shuffle_hash"),
+      col("s") === col("__as") && col("t") === col("__at"), "left_anti")
     seeds match {
       case Some(sd) =>
         // seeded walk: the frontier only ever holds nodes reachable from the
         // seeds — rounds are linear in path depth but each round touches
         // O(frontier) data, not the whole graph
+        val tS = System.nanoTime()
         val s = sd.select(col("g").as("sg"), col("n"))
-        var all = edges.join(s.hint("shuffle_hash"),
-            col("src") === col("n") && (col("g") <=> col("sg")))
-          .select(col("g"), col("src"), col("tgt")).dropDuplicates().localCheckpoint()
+        val seedL = s.join(sDict.hint("shuffle_hash"),
+            (col("sg") <=> col("__sg")) && col("n") === col("__sn"))
+          .select(col("__sid").as("sn")).localCheckpoint()
+        var all = eL.join(seedL.hint("shuffle_hash"), col("s") === col("sn"), "left_semi")
+          .localCheckpoint()
+        dbg("seed frontier", tS)
         // dense seed set: the walk would touch most of the graph anyway, and
         // linear rounds pay fixed job overhead per hop — log-round full
         // doubling restricted back to the seeds is strictly fewer rounds
-        val eCnt = edges.count()
+        val eCnt = eL.count()
         if (all.count() * 8 >= eCnt)
           return closure(edges, None)
             .join(s.hint("shuffle_hash"),
               col("src") === col("n") && (col("g") <=> col("sg")), "left_semi")
         // hub out-degrees are static across rounds: detect once
-        val eHeavy = heavyKeys(edges, eCnt)
+        val eHeavy = heavyIds(eL, eCnt)
         var delta = all
         var rounds = 0
         // linear BFS rounds are O(frontier) work but pay fixed driver/job
@@ -1786,52 +1869,66 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
         // composed onto the reach so far (log(diameter) further rounds)
         val maxLinear = 16
         while (!delta.isEmpty && rounds < maxLinear) {
+          val tR = System.nanoTime()
           rounds += 1
-          val d = delta.select(col("g").as("dg"), col("src").as("dsrc"), col("tgt").as("dtgt"))
-          val next = stepJoin(d, edges, eHeavy).dropDuplicates()
-          // next is already distinct, so `except(all)` ≡ this anti join —
-          // minus except's redundant re-dedup of the left side, and with
-          // the checkpointed right side hinted off SortMergeJoin
-          delta = next.join(
-              all.select(col("g").as("__ag"), col("src").as("__as"), col("tgt").as("__at"))
-                .hint("shuffle_hash"),
-              (col("g") <=> col("__ag")) && (col("src") <=> col("__as")) &&
-                (col("tgt") <=> col("__at")), "left_anti")
+          delta = minusAll(stepJoinL(delta, eL, eHeavy).dropDuplicates(), all)
             .localCheckpoint()
-          if (!delta.isEmpty) all = all.unionAll(delta).localCheckpoint()
+          // `all` stays a lazy union of CHECKPOINTED deltas: every piece is
+          // already materialized, so consumers scan the block union without
+          // re-persisting the whole accumulated set each round (the old
+          // checkpoint-of-union rewrote O(|closure|) blocks per round)
+          if (!delta.isEmpty) all = all.unionAll(delta)
+          dbg(s"seeded round $rounds", tR)
         }
-        if (!delta.isEmpty) {
+        if (delta.isEmpty) decode(all).localCheckpoint()
+        else {
+          // deep-graph escape: one composition onto the (cached, term-level)
+          // full closure finishes the walk in a single round
           val full = closure(edges, None)
-          val a = all.select(col("g").as("dg"), col("src").as("dsrc"), col("tgt").as("dtgt"))
-          all = stepJoin(a, full, eHeavy)
-            .unionAll(all).dropDuplicates().localCheckpoint()
+          val allT = decode(all)
+          val a = allT.select(col("g").as("dg"), col("src").as("dsrc"), col("tgt").as("dtgt"))
+          stepJoin(a, full, heavyKeys(edges, eCnt))
+            .unionAll(allT).dropDuplicates().localCheckpoint()
         }
-        all
       case None =>
-        // full closure: path doubling — T ∪ T∘T per round, log(diameter)
-        // rounds instead of the reference's single-partition linear loop
-        // (lib/physical/src/paths/kleene_plus/physical.rs:246-290)
-        var all = edges
-        var grew = true
-        var size = all.count()
+        // full closure: SEMI-NAIVE path doubling, log(diameter) rounds
+        // instead of the reference's single-partition linear loop
+        // (lib/physical/src/paths/kleene_plus/physical.rs:246-290).
+        // A pair discovered this round must compose at least one pair
+        // discovered LAST round (two already-known factors were composed in
+        // an earlier round), and splitting a shortest path at its midpoint
+        // puts the left factor in last round's distance band — so
+        // delta ∘ all replaces all ∘ all with the same doubling rate, the
+        // shrinking delta as the streamed side, dedup against history as an
+        // anti join on new pairs only (not a full re-dedup of the
+        // accumulated set), and delta-empty termination (the old grew-check
+        // paid one extra full-relation self-join to discover nothing).
+        val tC = System.nanoTime()
+        var size = eL.count()
+        dbg(s"initial count=$size", tC)
         // hub keys come from the BASE edges, detected once: re-detecting on
         // the evolving reachability relation costs O(|all|) extra per round
         // (measured 2× on a 16M-pair closure) for marginal coverage — the
         // base hub is the amplification epicenter; a node whose CLOSURE
         // degree alone is huge spreads its output across its many distinct
         // frontier rows, which is ordinary input skew AQE does split
-        val eHeavy = heavyKeys(edges, size)
-        while (grew) {
-          val a = all.select(col("g").as("dg"), col("src").as("dsrc"), col("tgt").as("dtgt"))
-          val next = stepJoin(a, all, eHeavy)
-            .unionAll(all)
-            .dropDuplicates().localCheckpoint()
-          val n2 = next.count()
-          grew = n2 > size
-          size = n2
-          all = next
+        val tH = System.nanoTime()
+        val eHeavy = heavyIds(eL, size)
+        dbg("heavyKeys", tH)
+        var all = eL
+        var delta = eL
+        while (!delta.isEmpty) {
+          val tR = System.nanoTime()
+          delta = minusAll(stepJoinL(delta, all, eHeavy).dropDuplicates(), all)
+            .localCheckpoint()
+          // `all` stays a lazy union of CHECKPOINTED deltas: every piece is
+          // already materialized, so consumers scan the block union without
+          // re-persisting the whole accumulated set each round (the old
+          // checkpoint-of-union rewrote O(|closure|) blocks per round)
+          if (!delta.isEmpty) all = all.unionAll(delta)
+          dbg(s"doubling round += ${if (sys.props.get("graft.closure.debug").contains("true")) delta.count() else -1}", tR)
         }
-        all
+        decode(all).localCheckpoint()
     }
   }
 
@@ -1979,6 +2076,10 @@ object Rewriter {
   private[engine] def closureKey(edges: DataFrame, seeds: Option[DataFrame]): String =
     graft.ops.IndexCache.key(edges) + "||" +
       seeds.map(graft.ops.IndexCache.key(_)).getOrElse("")
+
+  /** Drop all memoised closures (bench honesty: min-of-passes timing must
+    * not report warm-artifact cost — see [[graft.ops.IndexCache.clearAll]]). */
+  def clearClosureCache(): Unit = closureCache.synchronized { closureCache.clear() }
 
   /** Whether Catalyst's size estimate for this plan is both MEANINGFUL and
     * under the session's broadcast threshold (guide §3.1: pick the join
