@@ -1247,10 +1247,31 @@ object SparkEntry {
     val src = s.readStream
       .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
       .option("maxFilesPerTrigger", "1").parquet(stage).as[EventStreams.Event]
-    val q = EventStreams.asofEnrichStream(src, "click", "view",
-        bufferMs = Long.MaxValue / 4)
-      .writeStream.format("memory").queryName(name).outputMode("append").start()
-    try { q.processAllAvailable() } finally q.stop()
+    // Scale-adaptive STATE partitioning (guide §2.3): the stateful operator's
+    // partition count is frozen from spark.sql.shuffle.partitions at query
+    // start and every micro-batch pays a fixed load/commit cost PER state
+    // partition (measured: 32 partitions → 800 ms addBatch per ~100-row
+    // batch; 4 → 195 ms). Size it from the staged input instead of the
+    // session's core-count constant: one state partition per 16 MB of input,
+    // capped at the cluster's default parallelism, floor 1
+    // (-Dgraft.stream.statePartitions overrides).
+    val stateParts = sys.props.get("graft.stream.statePartitions").map(_.toInt).getOrElse {
+      val bytes = Option(new java.io.File(stage).listFiles())
+        .map(_.filterNot(_.getName.startsWith(".")).map(_.length()).sum).getOrElse(0L)
+      math.max(1L, math.min(s.sparkContext.defaultParallelism.toLong,
+        bytes / (16L << 20) + 1)).toInt
+    }
+    // the conf is snapshotted into the query's offset metadata when its
+    // FIRST batch plans (async, after start()), so it is restored only once
+    // the stream has fully drained
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", stateParts)
+      val q = EventStreams.asofEnrichStream(src, "click", "view",
+          bufferMs = Long.MaxValue / 4)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try { q.processAllAvailable() } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     val res = s.table(name).select(col("event_id"), col("user_id"),
         unix_millis(col("ts")).as("click_ts_ms"),
         unix_millis(col("matched_ts")).as("view_matched_ts_ms"),

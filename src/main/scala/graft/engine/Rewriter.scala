@@ -1773,10 +1773,17 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
 
   /** [[stepJoin]] on the long-encoded relations: delta (s, t) ∘ rel (s, t)
     * joined on delta.t = rel.s → (s, t); salted identically when `heavy`
-    * ids are present. */
+    * ids are present. `broadcastDelta` streams rel against the broadcast
+    * delta instead — no exchange on the (big) rel side, no salting needed
+    * (a broadcast join has no per-key partition to collapse; composition
+    * output spreads across rel's existing blocks). */
   private def stepJoinL(delta: DataFrame, rel: DataFrame,
-                        heavy: Option[DataFrame]): DataFrame = {
+                        heavy: Option[DataFrame],
+                        broadcastDelta: Boolean = false): DataFrame = {
     val d = delta.select(col("s").as("ds"), col("t").as("dt"))
+    if (broadcastDelta)
+      return broadcast(d).join(rel, col("dt") === col("s"))
+        .select(col("ds").as("s"), col("t"))
     heavy match {
       case None =>
         d.hint("shuffle_hash").join(rel, col("dt") === col("s"))
@@ -1798,6 +1805,36 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     }
   }
 
+  /** [[stepJoinL]] carrying the exact-distance column: `ex` (s, t, d) holds
+    * pairs at ONE exact distance, `rel` (s, t, d) the full history with its
+    * exact distances; output d = ex.d + rel.d (joined on ex.t = rel.s). */
+  private def stepJoinD(ex: DataFrame, rel: DataFrame,
+                        heavy: Option[DataFrame],
+                        broadcastDelta: Boolean = false): DataFrame = {
+    val d = ex.select(col("s").as("ds"), col("t").as("dt"), col("d").as("dd"))
+    val out = Seq(col("ds").as("s"), col("t"), (col("dd") + col("d")).as("d"))
+    if (broadcastDelta)
+      return broadcast(d).join(rel, col("dt") === col("s")).select(out: _*)
+    heavy match {
+      case None =>
+        d.hint("shuffle_hash").join(rel, col("dt") === col("s")).select(out: _*)
+      case Some(h) =>
+        val ns = graft.ops.SkewSalt.salts
+        val hb = broadcast(h.withColumn("__hot", lit(1)))
+        val d2 = d.join(hb, col("dt") === col("hk"), "left")
+          .withColumn("__sa", when(col("__hot") === 1,
+            pmod(xxhash64(col("ds")), lit(ns)).cast("int")).otherwise(lit(0)))
+          .select(col("ds"), col("dt"), col("dd"), col("__sa"))
+        val r2 = rel.join(hb, col("s") === col("hk"), "left")
+          .withColumn("__sb", explode(when(col("__hot") === 1,
+            sequence(lit(0), lit(ns - 1))).otherwise(array(lit(0)))))
+          .select(col("s"), col("t"), col("d"), col("__sb"))
+        d2.hint("shuffle_hash")
+          .join(r2, col("dt") === col("s") && col("__sa") === col("__sb"))
+          .select(out: _*)
+    }
+  }
+
   /** stderr per-round timing, local profiling only (-Dgraft.closure.debug=true). */
   private def dbg(label: => String, t0: Long): Unit =
     if (sys.props.get("graft.closure.debug").contains("true"))
@@ -1815,29 +1852,77 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
     // replaces O(rounds × |closure|) struct-wide shuffles (guide §2.2,
     // shuffle fewer bytes / narrower types).
     val tD = System.nanoTime()
-    val dict = edges.select(col("g"), col("src").as("n"))
+    val dict0 = edges.select(col("g"), col("src").as("n"))
       .unionAll(edges.select(col("g"), col("tgt").as("n")))
       .dropDuplicates()
       // ids are frozen by the checkpoint (assigned once, never recomputed)
       .withColumn("__id", monotonically_increasing_id())
       .localCheckpoint()
+    // the dictionary is node-count-bounded (≤ 2·|edges| entries, usually far
+    // fewer) while the pair relation it translates grows toward |closure| —
+    // broadcast it when it provably fits so the encode/decode joins never
+    // shuffle the big side (guide §3.1); above the gate, shuffled-hash
+    val dictBcastRows =
+      sys.props.get("graft.closure.dictBroadcastRows").map(_.toLong).getOrElse(2000000L)
+    val dict =
+      if (dict0.count() <= dictBcastRows) broadcast(dict0) else dict0.hint("shuffle_hash")
     val sDict = dict.select(col("g").as("__sg"), col("n").as("__sn"), col("__id").as("__sid"))
     val tDict = dict.select(col("g").as("__tg"), col("n").as("__tn"), col("__id").as("__tid"))
     val eL = edges
-      .join(sDict.hint("shuffle_hash"), (col("g") <=> col("__sg")) && col("src") === col("__sn"))
-      .join(tDict.hint("shuffle_hash"), (col("g") <=> col("__tg")) && col("tgt") === col("__tn"))
+      .join(sDict, (col("g") <=> col("__sg")) && col("src") === col("__sn"))
+      .join(tDict, (col("g") <=> col("__tg")) && col("tgt") === col("__tn"))
       .select(col("__sid").as("s"), col("__tid").as("t"))
       .localCheckpoint()
     dbg("dict encode", tD)
     def decode(pairs: DataFrame): DataFrame = pairs
-      .join(sDict.hint("shuffle_hash"), col("s") === col("__sid"))
-      .join(tDict.hint("shuffle_hash"), col("t") === col("__tid"))
+      .join(sDict, col("s") === col("__sid"))
+      .join(tDict, col("t") === col("__tid"))
       .select(col("__sg").as("g"), col("__sn").as("src"), col("__tn").as("tgt"))
     // subtract already-known pairs: next is distinct, so this anti join is
-    // `except` minus except's redundant left-side re-dedup, hinted off SMJ
-    def minusAll(next: DataFrame, all: DataFrame): DataFrame = next.join(
-      all.select(col("s").as("__as"), col("t").as("__at")).hint("shuffle_hash"),
+    // `except` minus except's redundant left-side re-dedup. The shuffle_hash
+    // hint sits on the NEW-pairs side (bounded by one round's compositions),
+    // never on the accumulated closure: a ShuffledHashJoin build side cannot
+    // spill, and `all` grows toward |closure| — building on it would OOM at
+    // scale exactly where except's SortMergeJoin spilled.
+    def minusAll(next: DataFrame, all: DataFrame): DataFrame = next.hint("shuffle_hash").join(
+      all.select(col("s").as("__as"), col("t").as("__at")),
       col("s") === col("__as") && col("t") === col("__at"), "left_anti")
+    // One semi-naive round: compose delta ∘ rel, keep pairs not already in
+    // `all`. A small frontier takes the BROADCAST path (guide §3.1): compose
+    // streams rel against the broadcast delta, and the history check first
+    // semi-filters `all` down to the broadcast candidate keys before a
+    // broadcast anti join — the big sides (rel, all) are never shuffled.
+    // The shuffle path otherwise pays two full exchanges of the accumulated
+    // relation per round just to process a residual frontier; tail rounds
+    // of the doubling loop and every round of a small seeded walk hit this.
+    val tailRows = sys.props.get("graft.closure.tailBroadcastRows")
+      .map(_.toLong).getOrElse(250000L)
+    def subtractBcast(next: DataFrame, all: DataFrame): DataFrame = {
+      val known = all.join(
+          broadcast(next.select(col("s").as("__ns"), col("t").as("__nt"))),
+          col("s") === col("__ns") && col("t") === col("__nt"), "left_semi")
+        .select(col("s").as("__as"), col("t").as("__at")).localCheckpoint()
+      next.join(broadcast(known),
+        col("s") === col("__as") && col("t") === col("__at"), "left_anti")
+    }
+    // checkpoint `next`, count it, and subtract history by whichever side is
+    // provably small enough to broadcast
+    def subtract(next0: DataFrame, all: DataFrame, tail: Boolean): DataFrame =
+      if (tail) {
+        val next = next0.localCheckpoint()
+        val nCnt = next.count()
+        if (nCnt == 0) next
+        else if (nCnt <= tailRows) subtractBcast(next, all).localCheckpoint()
+        else minusAll(next, all).localCheckpoint()
+      } else minusAll(next0, all).localCheckpoint()
+    def round(delta: DataFrame, deltaCnt: Long, rel: DataFrame, all: DataFrame,
+              heavy: => Option[DataFrame]): DataFrame = {
+      val tail = deltaCnt <= tailRows
+      subtract(
+        stepJoinL(delta, rel, if (tail) None else heavy, broadcastDelta = tail)
+          .dropDuplicates(),
+        all, tail)
+    }
     seeds match {
       case Some(sd) =>
         // seeded walk: the frontier only ever holds nodes reachable from the
@@ -1845,7 +1930,7 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
         // O(frontier) data, not the whole graph
         val tS = System.nanoTime()
         val s = sd.select(col("g").as("sg"), col("n"))
-        val seedL = s.join(sDict.hint("shuffle_hash"),
+        val seedL = s.join(sDict,
             (col("sg") <=> col("__sg")) && col("n") === col("__sn"))
           .select(col("__sid").as("sn")).localCheckpoint()
         var all = eL.join(seedL.hint("shuffle_hash"), col("s") === col("sn"), "left_semi")
@@ -1855,32 +1940,37 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
         // linear rounds pay fixed job overhead per hop — log-round full
         // doubling restricted back to the seeds is strictly fewer rounds
         val eCnt = eL.count()
-        if (all.count() * 8 >= eCnt)
+        val aCnt = all.count()
+        if (aCnt * 8 >= eCnt)
           return closure(edges, None)
             .join(s.hint("shuffle_hash"),
               col("src") === col("n") && (col("g") <=> col("sg")), "left_semi")
-        // hub out-degrees are static across rounds: detect once
-        val eHeavy = heavyIds(eL, eCnt)
+        // hub out-degrees are static across rounds: detect once — and
+        // lazily: only a shuffle-path round (frontier above the broadcast
+        // tail gate) consults it; all-broadcast walks never pay the
+        // detection job
+        lazy val eHeavy = heavyIds(eL, eCnt)
         var delta = all
+        var deltaCnt = aCnt
         var rounds = 0
         // linear BFS rounds are O(frontier) work but pay fixed driver/job
         // overhead per hop — right for shallow graphs; past maxLinear hops a
         // deep structure is cheaper to finish with one path-doubled closure
         // composed onto the reach so far (log(diameter) further rounds)
         val maxLinear = 16
-        while (!delta.isEmpty && rounds < maxLinear) {
+        while (deltaCnt > 0 && rounds < maxLinear) {
           val tR = System.nanoTime()
           rounds += 1
-          delta = minusAll(stepJoinL(delta, eL, eHeavy).dropDuplicates(), all)
-            .localCheckpoint()
+          delta = round(delta, deltaCnt, eL, all, eHeavy)
+          deltaCnt = delta.count()
           // `all` stays a lazy union of CHECKPOINTED deltas: every piece is
           // already materialized, so consumers scan the block union without
           // re-persisting the whole accumulated set each round (the old
           // checkpoint-of-union rewrote O(|closure|) blocks per round)
-          if (!delta.isEmpty) all = all.unionAll(delta)
-          dbg(s"seeded round $rounds", tR)
+          if (deltaCnt > 0) all = all.unionAll(delta)
+          dbg(s"seeded round $rounds += $deltaCnt", tR)
         }
-        if (delta.isEmpty) decode(all).localCheckpoint()
+        if (deltaCnt == 0) decode(all).localCheckpoint()
         else {
           // deep-graph escape: one composition onto the (cached, term-level)
           // full closure finishes the walk in a single round
@@ -1891,18 +1981,25 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
             .unionAll(allT).dropDuplicates().localCheckpoint()
         }
       case None =>
-        // full closure: SEMI-NAIVE path doubling, log(diameter) rounds
+        // full closure: EXACT-DISTANCE path doubling, log(diameter) rounds
         // instead of the reference's single-partition linear loop
         // (lib/physical/src/paths/kleene_plus/physical.rs:246-290).
-        // A pair discovered this round must compose at least one pair
-        // discovered LAST round (two already-known factors were composed in
-        // an earlier round), and splitting a shortest path at its midpoint
-        // puts the left factor in last round's distance band — so
-        // delta ∘ all replaces all ∘ all with the same doubling rate, the
-        // shrinking delta as the streamed side, dedup against history as an
-        // anti join on new pairs only (not a full re-dedup of the
-        // accumulated set), and delta-empty termination (the old grew-check
-        // paid one extra full-relation self-join to discover nothing).
+        // Every stored pair carries its exact shortest distance `d`. Round k
+        // composes only the EXACT-2^k front (ex = delta filtered to d = 2^k)
+        // against the full history: splitting a shortest path of length
+        // d* ∈ (2^k, 2^k+1] at exactly 2^k steps shows this reaches double
+        // the distance per round, and — unlike composing the whole band
+        // delta, whose (2^k-1, 2^k] × (0, 2^k] splits emit every new pair
+        // once per valid split point (measured 8× duplicate multiplicity on
+        // a 43M-pair closure, round output 70M rows) — the exact-front
+        // split is unique per shortest path, so compose output ≈ the new
+        // pairs themselves. min(d) aggregation replaces dropDuplicates
+        // (same shuffle), keeping stored distances exact (induction: a
+        // produced d is 2^k + an exact suffix distance, minimised over
+        // midpoints; the true midpoint realises the true distance and the
+        // anti join protects already-stored, strictly smaller values).
+        // Termination is new-empty: if any pair beyond 2^k existed, its
+        // 2^k-prefix would be an exact-2^k pair in the current delta.
         val tC = System.nanoTime()
         var size = eL.count()
         dbg(s"initial count=$size", tC)
@@ -1912,21 +2009,33 @@ final class Rewriter(spark: SparkSession, quads: DataFrame,
         // base hub is the amplification epicenter; a node whose CLOSURE
         // degree alone is huge spreads its output across its many distinct
         // frontier rows, which is ordinary input skew AQE does split
-        val tH = System.nanoTime()
-        val eHeavy = heavyIds(eL, size)
-        dbg("heavyKeys", tH)
-        var all = eL
-        var delta = eL
-        while (!delta.isEmpty) {
+        lazy val eHeavy = {
+          val tH = System.nanoTime()
+          val h = heavyIds(eL, size)
+          dbg("heavyKeys", tH)
+          h
+        }
+        var all = eL.withColumn("d", lit(1L))
+        var delta = all
+        var deltaCnt = size
+        var span = 1L
+        while (deltaCnt > 0) {
           val tR = System.nanoTime()
-          delta = minusAll(stepJoinL(delta, all, eHeavy).dropDuplicates(), all)
-            .localCheckpoint()
+          val tail = deltaCnt <= tailRows
+          val ex = delta.filter(col("d") === lit(span))
+          val composed = stepJoinD(ex, all, if (tail) None else eHeavy,
+            broadcastDelta = tail)
+          delta = subtract(
+            composed.groupBy(col("s"), col("t")).agg(min(col("d")).as("d")),
+            all, tail)
+          deltaCnt = delta.count()
           // `all` stays a lazy union of CHECKPOINTED deltas: every piece is
           // already materialized, so consumers scan the block union without
           // re-persisting the whole accumulated set each round (the old
           // checkpoint-of-union rewrote O(|closure|) blocks per round)
-          if (!delta.isEmpty) all = all.unionAll(delta)
-          dbg(s"doubling round += ${if (sys.props.get("graft.closure.debug").contains("true")) delta.count() else -1}", tR)
+          if (deltaCnt > 0) all = all.unionAll(delta)
+          span *= 2
+          dbg(s"doubling round += $deltaCnt", tR)
         }
         decode(all).localCheckpoint()
     }

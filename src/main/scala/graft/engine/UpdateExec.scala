@@ -285,23 +285,23 @@ private[graft] object UpdateExec {
     * solution-sized job per op, shared by both sides. */
   private def sizedSolutions(store: QuadStore, plan: SPlan,
                              nTemplates: Int): (SPlan, Boolean) = {
-    // Pay-as-you-go (the SkewSalt.minRows pattern): below a store-size
-    // gate the measurement job costs more than the SortMergeJoin it
-    // prevents — skip it and let the planner/AQE choose (a shuffle of a
-    // sub-512MB store is harmless, and AQE broadcasts truly small sides
-    // on its own). Catalyst stats are free: parquet-backed stores report
-    // real file bytes; in-memory/checkpointed lineages report the huge
-    // default and take the measured path (conservative).
-    val storeBytes = store.quads.queryExecution.optimizedPlan.stats.sizeInBytes
-    val gate = sys.props.get("graft.update.measureStoreBytes")
-      .map(BigInt(_)).getOrElse(BigInt(512L * 1024 * 1024))
-    if (storeBytes < gate) (plan, false)
-    else {
-      val m = plan.df.localCheckpoint()
-      val bound = m.count() * math.max(nTemplates, 1)
-      (plan.copy(df = m), bound <= sys.props.get("graft.update.broadcastRows")
-        .map(_.toLong).getOrElse(1000000L))
-    }
+    // The WHERE solutions are ALWAYS pinned (localCheckpoint): every quad
+    // template embeds the solution relation into the post-update store's
+    // lineage, so an un-pinned WHERE re-executes its full pattern join once
+    // per template per LATER read of the store — measured on sparql_update,
+    // whose earlier store-size-gated variant (only pin when the store
+    // exceeded 512 MB) left the supplier scan + star pivot running 4x
+    // inside the post-update SELECT's one plan, all of it driver/fixed-cost
+    // bound (the r9 scaling block's ratio ≈ 1). The pin costs the same work
+    // as a single re-execution, is solution-relation-sized (bounded by the
+    // WHERE result — the thing an update must materialise anyway at any
+    // scale), and makes the count on the cached blocks cheap; the count
+    // drives the broadcast-vs-shuffle choice for the delete/insert
+    // anti/semi joins exactly as before.
+    val m = plan.df.localCheckpoint()
+    val bound = m.count() * math.max(nTemplates, 1)
+    (plan.copy(df = m), bound <= sys.props.get("graft.update.broadcastRows")
+      .map(_.toLong).getOrElse(1000000L))
   }
 
   /** Evaluate an update WHERE clause. Dataset rules (spec §3.1.3): USING

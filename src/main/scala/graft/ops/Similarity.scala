@@ -514,6 +514,11 @@ object Similarity {
     val e = emb.select(col(idCol).cast(LongType).as("id"), toDouble(col(vecCol)).as("v"))
     def packed(cents: DataFrame): DataFrame =
       cents.agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
+    // The unpartitioned window (WindowExec "No Partition Defined" warning)
+    // is BOUNDED: it runs over the limit(k) rows only — k centroids, a
+    // constant, never corpus-scaled — so the single-partition window is a
+    // k-row operation. (Plan-audit sweep: this is the only unpartitioned
+    // window in the codebase.)
     var cents: DataFrame = e.orderBy("id").limit(k)
       .select((row_number().over(Window.orderBy("id")) - 1).cast(IntegerType).as("cid"),
         col("v").as("cv"))

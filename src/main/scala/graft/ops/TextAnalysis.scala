@@ -559,9 +559,16 @@ object TextAnalysis {
   def lmPerplexity(df: DataFrame, idCol: String, textCol: String,
                    alpha: Double = 0.1): DataFrame = {
     require(alpha > 0, "need alpha > 0")
+    // pinned: FIVE consumers re-derive this relation (unigram counts, bigram
+    // counts, first-token scores, bigram scores, the final n_tokens join) —
+    // without the checkpoint each one re-runs the regex tokenisation of the
+    // whole corpus (guide §1.4/§5: one materialisation of the token arrays
+    // replaces four corpus-wide recomputes; the text column is dropped, so
+    // the pinned relation is token-array-sized)
     val base = df.select(col(idCol).as("id"), normTokens(col(textCol)).as("w"))
       .where(size_(col("w")) > 0)
       .withColumn("n", size_(col("w")))
+      .localCheckpoint()
     val grams = bigramsWith(col("w"), col("n"),
       (a, b) => struct(a.as("w1"), b.as("w2")), "array<struct<w1:string,w2:string>>")
     val uni = base.select(explode(col("w")).as("tok"))

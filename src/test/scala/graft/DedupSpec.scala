@@ -21,6 +21,24 @@ class DedupSpec extends SparkSpec {
     assert(inv.nonEmpty) // the corpus contains near-dups; empty would be vacuous
   }
 
+  test("prefix band triangle chunking (skew cap) is result-identical at any chunk size") {
+    // cap forced to 1 row per chunk → every band splits maximally and every
+    // candidate pair must meet via a cross-chunk key; must equal the default
+    // (unchunked at this scale) output exactly
+    val base = pairSet(Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 0.6, shingleK = 3))
+    val old = sys.props.put("graft.jaccard.maxBandRows", "1")
+    try {
+      val split = pairSet(Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 0.6, shingleK = 3))
+      assert(split == base, "chunked band join must be pair-complete and duplicate-free")
+      assert(base.nonEmpty)
+    } finally {
+      old match {
+        case Some(v) => sys.props.put("graft.jaccard.maxBandRows", v)
+        case None => sys.props.remove("graft.jaccard.maxBandRows")
+      }
+    }
+  }
+
   test("prefix filter is lossless at a tight threshold boundary") {
     import spark.implicits._
     // J(1,2) = 4/6 = 2/3 exactly at threshold 2/3 — the ⌈t·sz⌉ boundary
